@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-supplied parquet corpus (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. All analytic queries take
+  * `(SparkSession, sfDir)` and read through here so the scan always goes
+  * through the vectorized parquet reader with pushdown/pruning enabled.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. We read nanos as a long
+    * (legacy knob, set dynamically — it is a runtime SQLConf) and truncate
+    * to microseconds, exactly like DuckDB's parquet scan does, so oracle
+    * comparisons see identical values. */
+  private def loadNanosAware(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, sfDir, name)
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
+      .getOrElse(df)
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame = loadNanosAware(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view so queries can use spark.sql with
+    * the same table names the DuckDB oracle sees. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings")
+      .foreach(t => loadNanosAware(spark, sfDir, t).createOrReplaceTempView(t))
+  }
+}

@@ -11,12 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micros (not INT96) so DuckDB reads identical timestamp values
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // TimestampType is "with local TZ" and annotates parquet as
+      // UTC-adjusted; the DuckDB oracle produces naive timestamps. Cast
+      // result timestamps to NTZ (same wall value under the pinned UTC
+      // session) so the comparison sees identical types AND values.
+      def ntz(df: org.apache.spark.sql.DataFrame) = df.select(df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+        else org.apache.spark.sql.functions.col(f.name)
+      }.toSeq: _*)
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

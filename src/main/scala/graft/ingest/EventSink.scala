@@ -1,0 +1,39 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioned, sort-ordered columnar sink — the MergeTree analog.
+  *
+  * The reference stores both streams as MergeTree tables with
+  * `PARTITION BY toYYYYMM(event_time)` and `ORDER BY (event_time,
+  * product_id)` (reference generate_data.py:170-173, 191-194). The Spark
+  * mapping (SURVEY.md §4):
+  *
+  *  - Hive-style `partitionBy("event_month")` parquet layout → partition
+  *    pruning for month-range predicates, exactly like CH part pruning.
+  *  - `sortWithinPartitions(event_time, product_id)` before write → parquet
+  *    row-group min/max statistics give CH-sparse-index-like data skipping
+  *    for time-range scans, with zero custom code.
+  *
+  * At 100 TB this layout is what makes the dashboard queries cheap: a
+  * "last 24h" predicate touches at most two month partitions, and within
+  * them only the row groups whose event_time range overlaps.
+  */
+object EventSink {
+
+  /** Derived partition column mirroring `toYYYYMM(event_time)`
+    * (reference generate_data.py:171,192). NULL event_time (lenient-parse
+    * failures) lands in the Hive default partition — kept, as in the
+    * reference, where such rows are still stored. */
+  def withEventMonth(df: DataFrame): DataFrame =
+    df.withColumn("event_month", date_format(col("event_time"), "yyyyMM"))
+
+  /** Append `df` to `path` as a partitioned, locally-sorted parquet table. */
+  def append(df: DataFrame, path: String): Unit =
+    withEventMonth(df)
+      .sortWithinPartitions("event_month", "event_time", "product_id")
+      .write.mode("append")
+      .partitionBy("event_month")
+      .parquet(path)
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import OracleSafe._
+
+/** Relational operator coverage over the TPC-H-ish corpus: aggregation,
+  * joins of every flavor the engine must plan well (broadcast, semi, anti),
+  * window functions, set operations, pivot, rollup, top-k and
+  * sessionization. These are also the bench headliners.
+  *
+  * Scale notes (the point, per the brief):
+  *  - Dimension tables (region 5, nation 25, customer ~150/SF-k, supplier
+  *    ~10) are broadcast — verified in the plan as BroadcastHashJoin. Only
+  *    fact⋈fact (orders⋈lineitem) shuffles, on the join key both sides.
+  *  - Aggregates are partial+final automatically; conditional aggs share
+  *    one hash-agg pass.
+  *  - Top-k plans as TakeOrderedAndProject (per-partition heap + driver
+  *    merge), never a global sort.
+  *  - All money arithmetic is decimal-exact (see [[OracleSafe]]).
+  */
+object Relational extends QueryPack {
+
+  private val d18_2 = DecimalType(18, 2)
+  private val d18_4 = DecimalType(18, 4)
+
+  /** l_extendedprice * (1 - l_discount), decimal-exact, mirrored in SQL. */
+  private def discPrice =
+    col("l_extendedprice").cast(d18_2) * (lit(1) - col("l_discount").cast(d18_2))
+
+  /** TPC-H Q1-shaped pricing summary: filter → grouped sums/avgs/count.
+    * The shipdate filter is pushed to the parquet scan (PushedFilters). */
+  def q1Agg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(discPrice.cast(d18_4) * (lit(1) + col("l_tax").cast(d18_2)))
+          .cast(DecimalType(38, 6)).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: 3-way join, grouped revenue, top-10. customer is
+    * broadcast; orders⋈lineitem shuffles on the order key. */
+  def q3TopK(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, d)
+    val l = Tables.lineitem(spark, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: snowflake join region→nation→customer→orders→lineitem,
+    * revenue per nation. All dimension sides broadcast. */
+  def q5Region(spark: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, d)
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    val l = Tables.lineitem(spark, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** O2-style top-k over a raw column: TakeOrderedAndProject. */
+  def topkOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Left-semi join (EXISTS): customers holding at least one finished
+    * order. Broadcast of the filtered key set. */
+  def semiJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).filter(col("o_orderstatus") === "F")
+    Tables.customer(spark, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no in-progress order. */
+  def antiJoin(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).filter(col("o_orderstatus") === "P")
+    Tables.customer(spark, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Window: top-3 orders per customer by price (row_number over a
+    * partitioned window — single shuffle on the partition key). */
+  def windowRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window: exact running total per customer in order-date order. */
+  def windowRunning(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(d18_2)).over(w)
+          .cast(DecimalType(38, 2)).as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** (user, day) activity tuples for one event type — fine enough grain
+    * that the set operations below have non-trivial overlap. */
+  private def userDays(spark: SparkSession, d: String, eventType: String): DataFrame =
+    Tables.events(spark, d).filter(col("event_type") === eventType)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+
+  /** INTERSECT: user-days with both a purchase and an error. */
+  def setIntersect(spark: SparkSession, d: String): DataFrame =
+    userDays(spark, d, "purchase").intersect(userDays(spark, d, "error"))
+      .orderBy("user_id", "day")
+
+  /** EXCEPT: purchase user-days with no signup that day. */
+  def setExcept(spark: SparkSession, d: String): DataFrame =
+    userDays(spark, d, "purchase").except(userDays(spark, d, "signup"))
+      .orderBy("user_id", "day")
+
+  /** UNION (distinct): purchase or signup user-days. */
+  def setUnion(spark: SparkSession, d: String): DataFrame =
+    userDays(spark, d, "purchase").union(userDays(spark, d, "signup"))
+      .distinct().orderBy("user_id", "day")
+
+  /** COUNT(DISTINCT) per group — plans as the two-phase distinct expand. */
+  def distinctUsers(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Pivot: daily event counts fanned into one column per event type
+    * (explicit value list keeps the schema static and broadcast-free). */
+  def pivotDaily(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** ROLLUP with grouping_id: per (day, type), per day, grand total. */
+  def rollupEvents(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+
+  /** Tumbling 1-day event-time windows via the streaming-compatible
+    * `window()` function (same expression Structured Streaming would run
+    * incrementally with a watermark). */
+  def timeBuckets(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
+      .orderBy("bucket")
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + cumulative
+    * window sum — the batch mirror of streaming session_window. */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap test in exact integer microseconds (fractional seconds matter)
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3TopK,
+    "q5_region" -> q5Region,
+    "topk_orders" -> topkOrders,
+    "semi_join" -> semiJoin,
+    "anti_join" -> antiJoin,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "set_union" -> setUnion,
+    "distinct_users" -> distinctUsers,
+    "pivot_daily" -> pivotDaily,
+    "rollup_events" -> rollupEvents,
+    "time_buckets" -> timeBuckets,
+    "sessionize" -> sessionize)
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracles = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(SUM(CAST($discPriceSql AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate,
+         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY l.l_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q5_region" ->
+      s"""SELECT n.n_name,
+         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DECIMAL(38,2)) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin,
+    "set_except" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, day""".stripMargin,
+    "set_union" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, day""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_events" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        |       CAST(GROUPING(date_trunc('day', ts), event_type) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        |ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "time_buckets" ->
+      """SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+}
