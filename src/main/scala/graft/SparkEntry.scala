@@ -14,7 +14,10 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs, in registration order. */
-  def packs: Seq[QueryPack] = Seq(Dashboard, Relational)
+  def packs: Seq[QueryPack] = Seq(
+    Dashboard, Relational,
+    graft.dedup.Dedup, graft.similarity.Similarity,
+    graft.text.TextAnalysis, graft.multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,243 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Document deduplication over the `documents` table (`doc_id`, `text`,
+  * `lang`, `source`, `n_chars`) — the four standard flavors of a
+  * training-data pipeline, each designed so the candidate-generation step
+  * is an equi-join (shuffle on a key), never an all-pairs scan:
+  *
+  *  - exact: hash group-by on the full text;
+  *  - n-gram Jaccard: inverted-index join on word trigram shingles;
+  *  - MinHash + LSH: banding over 128-permutation signatures, candidates
+  *    verified with exact Jaccard (so output = the exact result as long
+  *    as recall holds — with 32 bands × 4 rows, miss probability at
+  *    j≥0.8 is < 1e-7);
+  *  - SimHash: 64-bit fingerprints, 16-bit band join, Hamming filter.
+  *
+  * Thresholds are calibrated to the corpus (planted near-dups sit at
+  * trigram Jaccard ≥ 0.8; unrelated pairs below 0.1).
+  */
+object Dedup extends QueryPack {
+
+  // ---------- shared shingling ----------
+
+  /** Distinct (doc_id, shingle) pairs: word trigrams joined by single
+    * spaces. Docs shorter than `n` tokens contribute nothing (guarded
+    * identically in the oracle SQL). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n))))")).as("shingle"))
+
+  /** Exact Jaccard over distinct shingle sets via inverted-index
+    * intersection counts; `pairs` (doc_a < doc_b) optionally restricts to
+    * pre-generated candidates (a semi join, e.g. from LSH banding). */
+  private def jaccardOf(sh: DataFrame, pairs: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val coShingle = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+    val restricted = pairs.fold(coShingle)(p =>
+      coShingle.join(p, Seq("doc_a", "doc_b"), "left_semi"))
+    val inter = restricted
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+  }
+
+  // ---------- exact ----------
+
+  /** Exact dedup stats per source: group-by on text (Spark's hash
+    * aggregate keys on the hash of the value — at 100 TB swap `text` for
+    * `xxhash64(text)` to shrink shuffle payloads; semantics identical
+    * modulo 64-bit collisions). */
+  def exactStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_distinct"),
+           (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
+      .orderBy("source")
+
+  /** Exact dedup survivors: smallest doc_id per identical text + copy
+    * count — the standard keep-first policy as one hash aggregate. */
+  def exactSurvivors(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  // ---------- n-gram Jaccard ----------
+
+  /** Near-dup pairs with trigram-shingle Jaccard >= 0.8, candidates from
+    * the inverted-index self-join (only docs sharing >= 1 shingle are
+    * ever paired). */
+  def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, d))
+    jaccardOf(sh, None)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  private val NumPerms = 128
+  private val Bands = 32
+  private val RowsPerBand = NumPerms / Bands
+
+  /** Fixed affine permutation constants for `(h*a + b) mod p` (p =
+    * 2^31-1, prime — the modulus is what makes each permutation reorder
+    * the domain; without it the transform is monotone and every
+    * permutation picks the same argmin). The base hash is masked to 32
+    * bits and multipliers stay below 2^30 so `h*a + b` never overflows a
+    * long (ANSI mode rejects wrapping arithmetic). */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private lazy val permA: Array[Long] = {
+    val r = new scala.util.Random(7)
+    Array.fill(NumPerms)((r.nextInt(1 << 29).toLong << 1) | 1L) // odd, < 2^30
+  }
+  private lazy val permB: Array[Long] = {
+    val r = new scala.util.Random(11)
+    Array.fill(NumPerms)(r.nextInt(Int.MaxValue).toLong)
+  }
+
+  /** 128-perm MinHash signature per doc: one hash aggregate with 128 MIN
+    * columns over the masked shingle hash — a single map-side-combined
+    * pass, no per-row array allocation. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val h = shingles(docs)
+      .withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
+    val mins: Seq[Column] = (0 until NumPerms).map { i =>
+      min((col("h") * lit(permA(i)) + lit(permB(i))) % lit(MersennePrime)).as(s"m$i")
+    }
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: equal signature band (4 consecutive minhashes
+    * hashed together) in the same band index. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash/LSH near-dup: banded candidates, then exact-Jaccard verify at
+    * the same 0.8 threshold → equals the exhaustive result (≥ 1-1e-7
+    * recall), at index-join cost. Shares the n-gram oracle. */
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sh = shingles(docs)
+    val candidates = lshCandidates(minhashSignatures(docs))
+    jaccardOf(sh, Some(candidates))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash per doc over distinct word features: bit b is set iff
+    * sum over features of (bit b of xxhash64(token) ? +1 : -1) > 0.
+    * Computed as 64 conditional sums in one aggregate pass. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val withSums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withSums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 × 16-bit band join (a pair within Hamming
+    * distance 3 of each other must agree on at least one band), then
+    * exact Hamming filter via bit_count(xor). Sketch-based → rows-only
+    * check (no SQL oracle). */
+  def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val fp = simhashFingerprints(Tables.documents(spark, d))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * 16}) & 65535").as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.select(col("doc_id").as("doc_a"), col("simhash").as("fa"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(fa ^ fb) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "dedup_exact_stats" -> exactStats,
+    "dedup_exact_survivors" -> exactSurvivors,
+    "dedup_ngram" -> ngramJaccard,
+    "dedup_minhash" -> minhashLsh,
+    "dedup_simhash" -> simhashPairs)
+
+  /** Oracle for the shingle-Jaccard queries — mirrors the guard, the
+    * trigram construction, the distinct, and the inverted-index
+    * intersection exactly. */
+  private val jaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(ni AS DOUBLE) / (x.n + y.n - ni) AS jaccard
+      |FROM inter
+      |JOIN sz x ON x.doc_id = doc_a
+      |JOIN sz y ON y.doc_id = doc_b
+      |WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles = Map(
+    "dedup_exact_stats" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT text) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" -> jaccardSql,
+    "dedup_minhash" -> jaccardSql)
+}

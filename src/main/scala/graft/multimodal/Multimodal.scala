@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
+  * typed metadata struct, plus the partition-level decode / feature-
+  * extract stage a real image/audio pipeline would run.
+  *
+  * The decode itself is STUBBED (no codec libraries in this container —
+  * see [[MediaCodec.decodeStub]]), but everything Spark-side is real and
+  * tested: the schema contract, the binary column handling, the
+  * `mapPartitions` batch shape (one iterator pass, constant memory, no
+  * per-row task overhead — the Scala analog of `mapInPandas` batches),
+  * and the deterministic metadata derivation.
+  */
+object Multimodal extends QueryPack {
+
+  /** One media row: payload + the metadata a real pipeline would carry. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)
+
+  /** Extracted features; `embedding` stands in for a model output. */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      n_frames: Int, embedding: Array[Float])
+
+  object MediaCodec {
+    /** STUB — deterministic fake decode. A real deployment links an
+      * image/audio codec here (the batch/iterator contract is the part
+      * under test; this container ships no codec libraries). Derives
+      * plausible dimensions from the payload bytes so downstream logic
+      * has real-shaped data to chew on. */
+    def decodeStub(row: MediaRow): MediaFeatures = {
+      val n = row.payload.length
+      val w = 64 + (n % 192)
+      val h = 64 + ((n * 31) % 192)
+      val emb = Array.tabulate(8)(i =>
+        ((row.payload(i % math.max(n, 1)) & 0xFF) / 255.0f))
+      MediaFeatures(row.doc_id, n.toLong, w, h, 1 + n % 8, emb)
+    }
+  }
+
+  /** documents.text encoded as a UTF-8 binary payload — the stand-in
+    * media bytes column (schema-identical to a real image/audio column). */
+  def mediaTable(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/utf-8").as("kind"))
+
+  /** The decode / feature-extract stage: one `mapPartitions` pass so a
+    * real codec could amortize model/codec init per partition (the
+    * Spark-native analog of a Pandas-UDF batch). */
+  def extractFeatures(spark: SparkSession, d: String): Dataset[MediaFeatures] = {
+    val s = spark
+    import s.implicits._
+    mediaTable(spark, d).as[MediaRow]
+      .mapPartitions(rows => rows.map(MediaCodec.decodeStub))
+  }
+
+  /** Oracle-checked metadata query: the deterministic part of the decode
+    * (byte length → fake dimensions) expressed as pure columns, so the
+    * binary plumbing is verifiable end-to-end in SQL. */
+  def mmMeta(spark: SparkSession, d: String): DataFrame =
+    mediaTable(spark, d)
+      .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
+      .withColumn("width", (lit(64) + col("n_bytes") % 192).cast("int"))
+      .withColumn("height", (lit(64) + (col("n_bytes") * 31) % 192).cast("int"))
+      .withColumn("n_frames", (lit(1) + col("n_bytes") % 8).cast("int"))
+      .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames")
+      .orderBy("doc_id")
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "mm_meta" -> mmMeta)
+
+  val oracles = Map(
+    "mm_meta" ->
+      """SELECT doc_id, 'text/utf-8' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,149 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.queries.QueryPack
+
+/** Similarity search over the `embeddings` table (`vec_id`, `embedding
+  * ARRAY<FLOAT>`, `label`).
+  *
+  * Two paths, per the brief:
+  *  - exact brute-force cosine (the correctness baseline, oracle-checked);
+  *  - random-hyperplane LSH bucketing (the 100 TB path: candidate
+  *    generation is an equi-join on bucket key — shuffle-partitioned,
+  *    never all-pairs).
+  *
+  * All cosine math runs through the codegen'd
+  * [[graft.functions.CosineSimilarity]] expression.
+  */
+object Similarity extends QueryPack {
+
+  /** embeddings with the float vector cast to ARRAY<DOUBLE> once. */
+  private def vecs(spark: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** Exact near-duplicate pairs: all (a<b) pairs with cosine >= 0.4.
+    *
+    * Plan: the smaller side broadcasts → BroadcastNestedLoopJoin with the
+    * codegen'd cosine in the join condition. Correct-but-quadratic: this
+    * is the oracle baseline. At real scale use [[annLsh]]-style bucketing
+    * first; the embeddings corpus stays small (2k rows at sf0.1) so the
+    * exact scan is also the fastest plan here. */
+  def embedNearDup(spark: SparkSession, d: String): DataFrame = {
+    val a = vecs(spark, d).select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = vecs(spark, d).select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("cosine_sim(va, vb)"))
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact top-5 nearest neighbors (cosine) for the first 10 vectors,
+    * searched over the rest of the corpus. Brute-force scan + per-query
+    * top-k via window row_number — the ANN correctness baseline. */
+  def annTopK(spark: SparkSession, d: String): DataFrame = {
+    val q = vecs(spark, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = vecs(spark, d).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — no RNG at plan
+    * time, so resume/retry sees identical planes): `Tables` hash tables of
+    * `BitsPerTable` sign bits each. Multi-table trades memory for recall —
+    * a near neighbor only needs to agree on ALL bits of ONE table. */
+  private val NumTables = 8
+  private val BitsPerTable = 4
+  private val Dim = 64
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumTables * BitsPerTable, Dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  private def planeSql(j: Int): String =
+    planes(j).mkString("cast(array(", ",", ") as array<double>)")
+
+  /** (table, bucket) structs for one vector column: bucket = the table's
+    * sign-bit key (bit k = sign of dot(v, plane)). */
+  private def bucketStructs(v: String): org.apache.spark.sql.Column =
+    array((0 until NumTables).map { t =>
+      val key = (0 until BitsPerTable).map { k =>
+        val j = t * BitsPerTable + k
+        when(expr(s"cosine_sim($v, ${planeSql(j)})") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), key.as("bucket"))
+    }: _*)
+
+  /** Approximate NN via multi-table random-hyperplane LSH: queries only
+    * compare against candidates sharing a (table, bucket) key. This is
+    * the plan shape that survives 100 TB — candidate generation is an
+    * equi-join on the bucket key, i.e. a hash-partitioned shuffle, never
+    * a cross join. Approximate ⇒ rows-only check (no SQL oracle). */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val base = vecs(spark, d)
+      .select(col("vec_id"), col("v"), explode(bucketStructs("v")).as("bb"))
+      .select(col("vec_id"), col("v"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val q = base.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val c = base.filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id") // may collide in several tables
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "embed_neardup" -> embedNearDup,
+    "ann_topk" -> annTopK,
+    "ann_lsh" -> annLsh)
+
+  /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
+    * expression's exact float math: sequential dot products and
+    * `dot / (sqrt(na) * sqrt(nb))`. */
+  private val cosSql =
+    "(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))))"
+
+  val oracles = Map(
+    "embed_neardup" -> {
+      val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cs AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cs >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "ann_topk" -> {
+      val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cs AS cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cs DESC, c.vec_id) AS rank
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM sims
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+}

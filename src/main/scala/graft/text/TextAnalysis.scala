@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, and rolling-hash fingerprinting —
+  * the per-document scoring stage of a training-data pipeline.
+  *
+  * Everything is built from codegen'd built-ins (split / higher-order
+  * array functions / regexp), so the whole stage is a single narrow
+  * projection over the scan: no shuffle, no UDF, embarrassingly parallel
+  * at any scale. All ratio math is exact-int → double division, which the
+  * DuckDB oracle reproduces bit-for-bit.
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Per-language marker-word lists for the n-gram/stopword language ID
+    * heuristic. Deterministic cascade (en → de → es → fr → zh) breaks
+    * score ties. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerScore(lang: String): Column = {
+    val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> t IN ($list)))")
+  }
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+
+  /** Language-ID confusion matrix: declared `lang` vs predicted language
+    * from marker-word argmax. (The synthetic corpus draws every language
+    * from the same English-ish vocabulary, so the interesting output IS
+    * the confusion structure — the mechanics are what's exercised.) */
+  def langConfusion(spark: SparkSession, d: String): DataFrame = {
+    val scored = withToks(Tables.documents(spark, d))
+      .withColumn("s_en", markerScore("en"))
+      .withColumn("s_de", markerScore("de"))
+      .withColumn("s_es", markerScore("es"))
+      .withColumn("s_fr", markerScore("fr"))
+      .withColumn("s_zh", markerScore("zh"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_zh"), "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+    scored.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Quality scoring: token counts, type-token ratio, stopword ratio,
+    * chars-per-token, and a boolean gate — the heuristics a pretraining
+    * filter would run per document. */
+  def quality(spark: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(spark, d))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", markerScore("en").cast("double") / col("n_tokens"))
+      .withColumn("chars_per_token",
+        (length(col("text")) - col("n_tokens") + lit(1)).cast("double") / col("n_tokens"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 10 && col("ttr") >= 0.15 && col("stop_ratio") <= 0.5)
+      .select("doc_id", "n_tokens", "n_distinct", "ttr", "stop_ratio",
+        "chars_per_token", "quality_ok")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alphanumerics) — the
+    * compute-shape of a real tokenizer-count pass. */
+  def tokenCounts(spark: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(spark, d))
+      .withColumn("ws_tokens", size(col("toks")).cast("long"))
+      .withColumn("re_tokens",
+        expr("cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') as bigint)"))
+      .withColumn("bytes_per_ws_token",
+        expr("octet_length(text)").cast("double") / col("ws_tokens"))
+      .select("doc_id", "ws_tokens", "re_tokens", "bytes_per_ws_token")
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint: fold `(acc * 31 + codepoint) mod
+    * 1e9+7` over the characters. A single codegen'd `aggregate` over a
+    * position sequence — the oracle reproduces the identical fold. */
+  def fingerprints(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("fp", expr(
+        "aggregate(sequence(1, length(text)), 0L, " +
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "text_lang_confusion" -> langConfusion,
+    "text_quality" -> quality,
+    "text_tokens" -> tokenCounts,
+    "text_fingerprint" -> fingerprints)
+
+  private def markerSql(lang: String): String = {
+    val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
+  }
+
+  val oracles = Map(
+    "text_lang_confusion" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${markerSql("en")} AS s_en, ${markerSql("de")} AS s_de,
+         |    ${markerSql("es")} AS s_es, ${markerSql("fr")} AS s_fr,
+         |    ${markerSql("zh")} AS s_zh
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |         WHEN s_fr >= s_zh THEN 'fr'
+         |         ELSE 'zh' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, COUNT(*) AS n FROM pred
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr,
+         |  CAST(${markerSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS chars_per_token,
+         |  (len(string_split(text, ' ')) >= 10
+         |   AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / len(string_split(text, ' ')) >= 0.15
+         |   AND CAST(${markerSql("en")} AS DOUBLE) / len(string_split(text, ' ')) <= 0.5)
+         |    AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(octet_length(encode(text)) AS DOUBLE) / len(string_split(text, ' ')) AS bytes_per_ws_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
