@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Sketch-operator properties the SQL oracle can't check. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docANear = "the quick brown fox jumps over the lazy cat again and again"
+  private val docB = "completely different words nothing shared at all here truly"
+
+  private def docs = Seq(
+    (0L, docA), (1L, docANear), (2L, docB), (3L, docA))
+    .toDF("doc_id", "text")
+
+  test("identical docs get identical minhash signatures; disjoint docs differ") {
+    val sig = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(0L) === sig(3L))
+    assert(sig(0L) !== sig(2L))
+  }
+
+  test("minhash signature similarity tracks Jaccard") {
+    val sig = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail.toArray).toMap
+    def agree(x: Array[Any], y: Array[Any]): Double =
+      x.zip(y).count { case (a, b) => a == b }.toDouble / x.length
+    // near-dup pair: most shingles shared → high signature agreement
+    assert(agree(sig(0L), sig(1L)) > 0.5)
+    // unrelated pair: no shared shingles → near-zero agreement
+    assert(agree(sig(0L), sig(2L)) < 0.1)
+  }
+
+  test("identical docs → simhash Hamming 0; near-dups close; unrelated far") {
+    val fp = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(3L)) === 0)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+  }
+
+  test("shingles: doc shorter than n tokens contributes nothing") {
+    val sh = Dedup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"))
+    assert(sh.count() === 0)
+  }
+
+  test("shingles are distinct trigram strings") {
+    val sh = Dedup.shingles(Seq((1L, "a b a b a b")).toDF("doc_id", "text"))
+      .select("shingle").as[String].collect().sorted
+    assert(sh.toSeq === Seq("a b a", "b a b"))
+  }
+}

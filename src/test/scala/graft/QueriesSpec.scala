@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Cross-query invariants (FIXTURES.md §4 style) + the multimodal
+  * mapPartitions stage. The DuckDB oracle checks exact values; these
+  * check structural properties on sf0.001. */
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("conditional-agg identity: incoming+outgoing <= per-user total (A2)") {
+    val tm = graft.queries.Dashboard.topMovers(spark, sf0001)
+      .select($"user_id", ($"incoming" + $"outgoing").as("io")).as[(Long, BigDecimal)].collect().toMap
+    val totals = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(sum($"value".cast("decimal(18,2)")).as("t"))
+      .as[(Long, BigDecimal)].collect().toMap
+    tm.foreach { case (u, io) => assert(io <= totals(u)) }
+  }
+
+  test("top-k is a prefix of the full sort (O2/O3)") {
+    val top = graft.queries.Relational.topkOrders(spark, sf0001)
+      .select("o_orderkey").as[Long].collect().toSeq
+    val full = Tables.orders(spark, sf0001)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select("o_orderkey").as[Long].limit(10).collect().toSeq
+    assert(top === full)
+  }
+
+  test("sessionize: session count bounded by event count; starts <= ends") {
+    val s = graft.queries.Relational.sessionize(spark, sf0001)
+    val bad = s.filter($"session_start" > $"session_end").count()
+    assert(bad === 0)
+    assert(s.count() <= Tables.events(spark, sf0001).count())
+  }
+
+  test("multimodal extractFeatures: deterministic stub, real batch shape") {
+    val feats = Multimodal.extractFeatures(spark, sf0001).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.width >= 64 && f.width < 256)
+      assert(f.embedding.length === 8)
+      assert(f.embedding.forall(v => v >= 0f && v <= 1f))
+    }
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(spark, sf0001).collect()
+    assert(feats.map(_.doc_id).toSeq === again.map(_.doc_id).toSeq)
+    assert(feats.map(_.width).toSeq === again.map(_.width).toSeq)
+  }
+
+  test("exact ANN equals its own re-ranking: rank column is 1..5 per query") {
+    val r = graft.similarity.Similarity.annTopK(spark, sf0001)
+      .groupBy("query_id").agg(collect_list("rank").as("ranks"))
+      .as[(Long, Seq[Int])].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, ranks) => assert(ranks.sorted === Seq(1, 2, 3, 4, 5)) }
+  }
+}
