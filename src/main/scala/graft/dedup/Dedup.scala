@@ -42,8 +42,17 @@ object Dedup extends QueryPack {
     * pre-generated candidates (a semi join, e.g. from LSH banding). */
   private def jaccardOf(sh: DataFrame, pairs: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val coShingle = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    // with candidates given, shrink the inverted index to candidate docs
+    // BEFORE the self-join — the verify then costs O(candidate shingles),
+    // not O(corpus shingles): this is what makes LSH + exact-verify
+    // cheaper than the exhaustive join at scale
+    val shJ = pairs.fold(sh) { p =>
+      val docsInPairs = p.select(col("doc_a").as("doc_id"))
+        .union(p.select(col("doc_b").as("doc_id"))).distinct()
+      sh.join(docsInPairs, Seq("doc_id"), "left_semi")
+    }
+    val coShingle = shJ.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shJ.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
     val restricted = pairs.fold(coShingle)(p =>
       coShingle.join(p, Seq("doc_a", "doc_b"), "left_semi"))
@@ -85,7 +94,9 @@ object Dedup extends QueryPack {
     * the inverted-index self-join (only docs sharing >= 1 shingle are
     * ever paired). */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, d))
+    // the shingle set feeds three plan branches (sizes + both join sides);
+    // cache so explode+distinct runs once, not per branch
+    val sh = shingles(Tables.documents(spark, d)).cache()
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -117,9 +128,12 @@ object Dedup extends QueryPack {
   /** 128-perm MinHash signature per doc: one hash aggregate with 128 MIN
     * columns over the masked shingle hash — a single map-side-combined
     * pass, no per-row array allocation. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val h = shingles(docs)
-      .withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingles(docs))
+
+  /** Same, over an already-shingled (doc_id, shingle) frame. */
+  def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val h = sh.withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
     val mins: Seq[Column] = (0 until NumPerms).map { i =>
       min((col("h") * lit(permA(i)) + lit(permB(i))) % lit(MersennePrime)).as(s"m$i")
     }
@@ -148,8 +162,11 @@ object Dedup extends QueryPack {
     * recall), at index-join cost. Shares the n-gram oracle. */
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val sh = shingles(docs)
-    val candidates = lshCandidates(minhashSignatures(docs))
+    // four plan branches read the shingles (signatures, sizes, both
+    // verify-join sides) and three read the candidate pairs — cache both
+    // so the explode+distinct and the banding pipeline run once each
+    val sh = shingles(docs).cache()
+    val candidates = lshCandidates(minhashSignaturesFrom(sh)).cache()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")

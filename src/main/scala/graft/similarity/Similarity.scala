@@ -76,29 +76,18 @@ object Similarity extends QueryPack {
     Array.fill(NumTables * BitsPerTable, Dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  private def planeSql(j: Int): String =
-    planes(j).mkString("cast(array(", ",", ") as array<double>)")
-
-  /** (table, bucket) structs for one vector column: bucket = the table's
-    * sign-bit key (bit k = sign of dot(v, plane)). */
-  private def bucketStructs(v: String): org.apache.spark.sql.Column =
-    array((0 until NumTables).map { t =>
-      val key = (0 until BitsPerTable).map { k =>
-        val j = t * BitsPerTable + k
-        when(expr(s"cosine_sim($v, ${planeSql(j)})") > 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), key.as("bucket"))
-    }: _*)
-
   /** Approximate NN via multi-table random-hyperplane LSH: queries only
     * compare against candidates sharing a (table, bucket) key. This is
     * the plan shape that survives 100 TB — candidate generation is an
     * equi-join on the bucket key, i.e. a hash-partitioned shuffle, never
-    * a cross join. Approximate ⇒ rows-only check (no SQL oracle). */
+    * a cross join. All table keys come from one
+    * [[graft.functions.LshBucketKeysExpr]] pass; `posexplode` yields the
+    * (table, bucket) pairs. Approximate ⇒ rows-only check (no oracle). */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.LshBucketKeysExpr.register(spark, "lsh_buckets", planes, BitsPerTable)
     val base = vecs(spark, d)
-      .select(col("vec_id"), col("v"), explode(bucketStructs("v")).as("bb"))
-      .select(col("vec_id"), col("v"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+      .select(col("vec_id"), col("v"),
+        posexplode(expr("lsh_buckets(v)")).as(Seq("tbl", "bucket")))
     val q = base.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
     val c = base.filter(col("vec_id") >= 100)

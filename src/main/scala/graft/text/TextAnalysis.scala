@@ -90,15 +90,16 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
 
   /** Rolling-hash document fingerprint: fold `(acc * 31 + codepoint) mod
-    * 1e9+7` over the characters. A single codegen'd `aggregate` over a
-    * position sequence — the oracle reproduces the identical fold. */
-  def fingerprints(spark: SparkSession, d: String): DataFrame =
+    * 1e9+7` over the characters, via the codegen'd
+    * [[graft.functions.RollingHashExpr]] — the oracle reproduces the
+    * identical fold in SQL. */
+  def fingerprints(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHashExpr.register(spark)
     Tables.documents(spark, d)
-      .withColumn("fp", expr(
-        "aggregate(sequence(1, length(text)), 0L, " +
-        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .withColumn("fp", expr("rolling_hash(text)"))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+  }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "text_lang_confusion" -> langConfusion,
