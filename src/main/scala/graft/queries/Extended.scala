@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import OracleSafe._
+
+/** Operators beyond the reference's own surface that a real deployment
+  * reaches for next: as-of join, stream-static broadcast enrichment
+  * (SURVEY.md §2.3's natural extension), exact quantiles, outer-join
+  * aggregation, UNION ALL, CUBE.
+  */
+object Extended extends QueryPack {
+
+  /** As-of join: for every event, the most recent order (by order date)
+    * of the same customer at or before the event time.
+    *
+    * Implementation is the scale-friendly union trick — tag both sides,
+    * union, one window pass per key carrying the last-seen order forward
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding), keep event
+    * rows. One shuffle on the join key, no per-event range probe, no
+    * row explosion — survives arbitrarily many events per key. Orders
+    * are pre-deduped to one per (custkey, date) with a deterministic
+    * winner (max orderkey) so ties match the oracle's ASOF exactly. */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val taggedOrders = orders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"))
+    val taggedEvents = Tables.events(spark, d).select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedOrders.unionByName(taggedEvents)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"), col("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Stream-static broadcast enrichment (the §2.3 extension): events
+    * joined to the small customer dimension — explicitly broadcast, left
+    * join keeps unmatched users under an UNKNOWN segment. */
+  def enrichBroadcast(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .join(broadcast(Tables.customer(spark, d)),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+           decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+
+  /** Exact quantiles (linear interpolation) of order value per status —
+    * `percentile` ≙ DuckDB `quantile_cont`. */
+  def quantiles(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Left-outer aggregation: order count per customer including zeros. */
+  def outerJoinAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(18, 2)))
+             .cast(DecimalType(38, 2)).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** UNION ALL with provenance tag (duplicates preserved — contrast with
+    * the distinct set ops in [[Relational]]). */
+  def unionAll(spark: SparkSession, d: String): DataFrame = {
+    def side(et: String) = Tables.events(spark, d)
+      .filter(col("event_type") === et)
+      .select(col("user_id"), col("event_id"), lit(et).as("src"))
+    side("purchase").unionByName(side("signup"))
+      .orderBy("event_id")
+  }
+
+  /** CUBE over (event_type, user bucket): all 4 grouping combinations. */
+  def cubeEvents(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "asof_join" -> asofJoin,
+    "enrich_broadcast" -> enrichBroadcast,
+    "quantiles" -> quantiles,
+    "outer_join_agg" -> outerJoinAgg,
+    "union_all" -> unionAll,
+    "cube_events" -> cubeEvents)
+
+  val oracles = Map(
+    "asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "enrich_broadcast" ->
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantiles" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.75) AS p75,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "outer_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "union_all" ->
+      """SELECT user_id, event_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT user_id, event_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+    "cube_events" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+        |       CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** The plans we'd want at 100 TB, asserted — not just eyeballed:
+  * pushdown reaches the scan, dimensions broadcast, top-k never global
+  * sorts, aggregation is partial+final, scans are column-pruned.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: shipdate filter pushed to parquet; partial+final hash agg; pruned scan") {
+    val f = formatted(queries.Relational.q1Agg(spark, sf0001))
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the parquet scan")
+    assert("HashAggregate".r.findAllIn(f).size >= 2, "expect partial+final hash agg")
+    assert(!f.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3/q5: dimension joins broadcast, no shuffle on the small side") {
+    val f3 = planOf(queries.Relational.q3TopK(spark, sf0001))
+    assert(f3.contains("BroadcastHashJoin"), "customer side must broadcast")
+    val f5 = planOf(queries.Relational.q5Region(spark, sf0001))
+    assert(f5.contains("BroadcastHashJoin"), "nation/region/customer must broadcast")
+    assert(!f5.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global Sort+Limit") {
+    for (q <- Seq(queries.Relational.topkOrders(spark, sf0001),
+                  queries.Dashboard.recentEvents(spark, sf0001),
+                  queries.Dashboard.topMovers(spark, sf0001))) {
+      assert(planOf(q).contains("TakeOrderedAndProject"))
+    }
+  }
+
+  test("dashboard scan prunes to the referenced columns only") {
+    val f = formatted(queries.Dashboard.salesByHour(spark, sf0001))
+    assert(f.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"))
+    assert(!f.contains("props"), "props/user_id must not be read")
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(planOf(queries.Relational.semiJoin(spark, sf0001)).contains("LeftSemi"))
+    assert(planOf(queries.Relational.antiJoin(spark, sf0001)).contains("LeftAnti"))
+  }
+
+  test("similarity exact pair scan broadcasts the smaller side (BNLJ by design)") {
+    val p = planOf(similarity.Similarity.embedNearDup(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "exact pair scan = broadcast nested loop (documented quadratic baseline)")
+  }
+
+  test("LSH ANN candidate generation is an equi-join (shuffle/broadcast hash), not a cross join") {
+    val p = planOf(similarity.Similarity.annLsh(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketed candidates must come from an equi-join")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
+    // codegen spans from explain; disable it just for this inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // codegen stages print as `*(n) Operator` in the plan tree
+      val p = planOf(queries.Dashboard.salesByHour(spark, sf0001))
+      assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+        s"hash agg must sit inside a WholeStageCodegen stage:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
