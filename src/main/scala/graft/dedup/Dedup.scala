@@ -177,19 +177,15 @@ object Dedup extends QueryPack {
 
   /** 64-bit SimHash per doc over distinct word features: bit b is set iff
     * sum over features of (bit b of xxhash64(token) ? +1 : -1) > 0.
-    * Computed as 64 conditional sums in one aggregate pass. */
+    * One [[graft.functions.SimHashAgg]] sketch aggregate (64-counter
+    * buffer, partial+final) instead of 64 separate conditional sums. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs
+    graft.functions.SimHashAgg.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .withColumn("h", xxhash64(col("token")))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val withSums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    withSums.select(col("doc_id"), fp.as("simhash"))
+      .groupBy("doc_id")
+      .agg(expr("simhash_agg(h)").as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4 × 16-bit band join (a pair within Hamming

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.RollingHashExpr
+
+/** Property-based checks on the pure kernels of the custom expressions
+  * (no Spark jobs — these exercise the same static methods the codegen
+  * calls). */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("rolling hash: matches a reference fold for arbitrary strings incl. non-ASCII") {
+    def reference(s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val mixedStr = Gen.listOf(
+      Gen.oneOf(Gen.asciiPrintableChar, Gen.oneOf('а', 'б', 'я', '的', 'é', ' ')))
+      .map(_.mkString)
+    check(Prop.forAll(mixedStr) { s =>
+      RollingHashExpr.compute(UTF8String.fromString(s)) == reference(s)
+    })
+  }
+
+  test("rolling hash: range [0, mod) and determinism") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = RollingHashExpr.compute(UTF8String.fromString(s))
+      h >= 0L && h < RollingHashExpr.Mod &&
+        h == RollingHashExpr.compute(UTF8String.fromString(s))
+    })
+  }
+
+  test("simhash buffer algebra: merge == sequential update; serde round-trips") {
+    import graft.functions.SimHashAgg
+    val agg = SimHashAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    def updateAll(hs: Seq[Long]): Array[Long] = {
+      val buf = agg.createAggregationBuffer()
+      hs.foreach { h =>
+        var b = 0
+        while (b < 64) { buf(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      buf
+    }
+    check(Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      val merged = agg.merge(updateAll(xs), updateAll(ys))
+      val sequential = updateAll(xs ++ ys)
+      merged.toSeq == sequential.toSeq &&
+        agg.deserialize(agg.serialize(sequential)).toSeq == sequential.toSeq
+    })
+  }
+
+  test("minhash property: signature agreement approximates Jaccard of shingle sets") {
+    // pure-JVM mirror of the Spark minhash (same constants not required —
+    // the estimator property is what's under test)
+    val r = new scala.util.Random(7)
+    val as = Array.fill(128)((r.nextInt(1 << 29).toLong << 1) | 1L)
+    val r2 = new scala.util.Random(11)
+    val bs = Array.fill(128)(r2.nextInt(Int.MaxValue).toLong)
+    val p = 2147483647L
+    def sig(set: Set[Long]): Array[Long] =
+      Array.tabulate(128)(i => set.map(h => (h * as(i) + bs(i)) % p).min)
+    def jaccard(x: Set[Long], y: Set[Long]): Double =
+      if (x.isEmpty && y.isEmpty) 1.0
+      else (x & y).size.toDouble / (x | y).size
+    val genSet = Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 32) - 1)).map(_.toSet)
+    check(Prop.forAll(genSet, genSet) { (x, y) =>
+      val est = sig(x).zip(sig(y)).count { case (a, b) => a == b } / 128.0
+      math.abs(est - jaccard(x, y)) < 0.35 // 128 perms ⇒ σ ≈ 0.044; 8σ bound
+    })
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{SessionEvent, SessionState}
+
+/** Incremental (streaming) aggregates match their batch equivalents, and
+  * the custom session state machine behaves. */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sale(id: String, t: String, total: String, qty: Int) =
+    s"""{"event_id":"$id","event_type":"sale","event_time":"$t","product_id":1,"product_name":"p","category":"c","quantity":$qty,"price":10.00,"discount":0.0,"total":$total,"store_id":1,"cashier_id":1,"customer_id":"u"}"""
+
+  test("streaming hourly revenue == batch hourly revenue on the same data") {
+    val in = tmpDir("sa-in"); val ckpt = tmpDir("sa-ckpt")
+    val lines = Seq(
+      sale("a", "2026-08-12 10:05:00", "10.00", 1),
+      sale("b", "2026-08-12 10:55:00", "5.50", 2),
+      sale("c", "2026-08-12 11:10:00", "7.25", 3),
+      sale("d", "2026-08-12 13:30:00", "1.00", 1)) // watermark → 12:30, closes 10:00 and 11:00
+    Files.write(Paths.get(in, "b1.json"), String.join("\n", lines: _*).getBytes)
+
+    // streaming path: file stream → ingest transform → windowed agg → memory sink
+    val stream = spark.readStream.text(in)
+    val typed = graft.ingest.IngestTransform.salesFromJson(stream)
+    val q = StreamingAnalytics.hourlyRevenue(typed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // append mode only emits windows the watermark has closed (10:00, 11:00)
+    val streamed = spark.table("hourly_out")
+      .select($"hour".cast("string"), $"revenue".cast("string"), $"units", $"n_sales")
+      .as[(String, String, Long, Long)].collect().toSet
+
+    val batch = StreamingAnalytics.hourlyRevenue(
+      graft.ingest.IngestTransform.salesFromJson(Seq(lines: _*).toDF("value")))
+      .filter($"hour" < lit("2026-08-12 12:30:00").cast("timestamp"))
+      .select($"hour".cast("string"), $"revenue".cast("string"), $"units", $"n_sales")
+      .as[(String, String, Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set("2026-08-12 10:00:00", "2026-08-12 11:00:00"))
+  }
+
+  test("session state machine: gap splits, ordering, counts") {
+    import StreamingAnalytics.advance
+    val h = 3600L * 1000
+    // two bursts separated by > 30 min
+    val (open, closed) = advance(None, Seq(0L, 60000L, 120000L, 3 * h, 3 * h + 1000))
+    assert(closed === Seq(SessionState(0L, 120000L, 3)))
+    assert(open === Some(SessionState(3 * h, 3 * h + 1000, 2)))
+    // feeding more events within the gap extends the open session
+    val (open2, closed2) = advance(open, Seq(3 * h + 2000))
+    assert(closed2.isEmpty && open2.get.n === 3)
+  }
+
+  test("streaming sessionization emits closed sessions with custom state (flatMapGroupsWithState)") {
+    val in = tmpDir("ss-in"); val ckpt = tmpDir("ss-ckpt")
+    def ev(u: String, t: String) = s"""{"u":"$u","t":"$t"}"""
+    val lines = Seq(
+      ev("alice", "2026-08-12 10:00:00"), ev("alice", "2026-08-12 10:10:00"),
+      ev("bob", "2026-08-12 10:00:00"),
+      ev("alice", "2026-08-12 12:00:00"), // closes alice's first session
+      ev("carol", "2026-08-12 13:30:00")) // advances watermark
+    Files.write(Paths.get(in, "b1.json"), String.join("\n", lines: _*).getBytes)
+
+    val parsed = spark.readStream.text(in)
+      .select(from_json($"value",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType)))).as("e"))
+      .select($"e.u".as("user_id"), to_timestamp($"e.t").as("event_time"))
+      .as[SessionEvent]
+
+    val q = StreamingAnalytics.sessionizeStream(parsed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("sessions_out")
+      .select($"user_id", $"n_events", $"session_start".cast("string"))
+      .as[(String, Long, String)].collect()
+    // alice's 2-event morning session must be closed (split by the 2h gap)
+    assert(rows.contains(("alice", 2L, "2026-08-12 10:00:00")))
+    // bob's idle session closes via event-time timeout once watermark passes
+    assert(rows.exists(r => r._1 == "bob" && r._2 == 1L))
+  }
+}
