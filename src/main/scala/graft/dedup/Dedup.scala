@@ -125,26 +125,27 @@ object Dedup extends QueryPack {
     Array.fill(NumPerms)(r.nextInt(Int.MaxValue).toLong)
   }
 
-  /** 128-perm MinHash signature per doc: one hash aggregate with 128 MIN
-    * columns over the masked shingle hash — a single map-side-combined
-    * pass, no per-row array allocation. */
+  /** 128-perm MinHash signature per doc (`sig` ARRAY<BIGINT>): one
+    * [[graft.functions.MinHashAgg]] sketch aggregate over the masked
+    * shingle hash — a single map-side-combined pass with a 1 KB buffer
+    * per group, instead of 128 separate MIN columns. */
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
 
   /** Same, over an already-shingled (doc_id, shingle) frame. */
   def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val h = sh.withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
-    val mins: Seq[Column] = (0 until NumPerms).map { i =>
-      min((col("h") * lit(permA(i)) + lit(permB(i))) % lit(MersennePrime)).as(s"m$i")
-    }
-    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    graft.functions.MinHashAgg.register(sh.sparkSession, permA, permB)
+    sh.withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
+      .groupBy("doc_id")
+      .agg(expr("minhash_agg(h)").as("sig"))
   }
 
   /** LSH candidate pairs: equal signature band (4 consecutive minhashes
     * hashed together) in the same band index. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      val cols = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
     }
     val banded = sig.select(col("doc_id"),

@@ -15,17 +15,19 @@ class DedupSpec extends SparkSpec {
     (0L, docA), (1L, docANear), (2L, docB), (3L, docA))
     .toDF("doc_id", "text")
 
+  private def signatures = Dedup.minhashSignatures(docs).collect()
+    .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
   test("identical docs get identical minhash signatures; disjoint docs differ") {
-    val sig = Dedup.minhashSignatures(docs).collect()
-      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val sig = signatures
     assert(sig(0L) === sig(3L))
     assert(sig(0L) !== sig(2L))
+    assert(sig(0L).length === 128)
   }
 
   test("minhash signature similarity tracks Jaccard") {
-    val sig = Dedup.minhashSignatures(docs).collect()
-      .map(r => r.getLong(0) -> r.toSeq.tail.toArray).toMap
-    def agree(x: Array[Any], y: Array[Any]): Double =
+    val sig = signatures
+    def agree(x: Seq[Long], y: Seq[Long]): Double =
       x.zip(y).count { case (a, b) => a == b }.toDouble / x.length
     // near-dup pair: most shingles shared → high signature agreement
     assert(agree(sig(0L), sig(1L)) > 0.5)
