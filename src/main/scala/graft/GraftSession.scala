@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Session-level registration of the engine's custom expressions and
+  * sketch aggregates via `SparkSessionExtensions` — users get
+  * `cosine_sim`, `rolling_hash`, `simhash_agg`, `minhash_agg` in SQL
+  * without any per-query register call:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * val spark = GraftSession.builder("app").getOrCreate()
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE>"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(s) - polynomial rolling hash mod 1e9+7"),
+      (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(h) - 64-bit SimHash over feature hashes"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(h) - 128-perm MinHash signature (ARRAY<BIGINT>)"),
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head, MinHashAgg.DefaultA, MinHashAgg.DefaultB)
+          .toAggregateExpression()))
+  }
+}
+
+/** Builder preconfigured the way this engine wants to run: the graft
+  * extensions plus the settings every entry point (Verify/Bench/tests)
+  * pins — UTC session time, micros parquet timestamps, AQE, shuffle
+  * parallelism sized to the executor count rather than the 200 default. */
+object GraftSession {
+  def builder(appName: String, master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+}

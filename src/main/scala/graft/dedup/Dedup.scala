@@ -115,15 +115,8 @@ object Dedup extends QueryPack {
     * permutation picks the same argmin). The base hash is masked to 32
     * bits and multipliers stay below 2^30 so `h*a + b` never overflows a
     * long (ANSI mode rejects wrapping arithmetic). */
-  private val MersennePrime = 2147483647L // 2^31 - 1
-  private lazy val permA: Array[Long] = {
-    val r = new scala.util.Random(7)
-    Array.fill(NumPerms)((r.nextInt(1 << 29).toLong << 1) | 1L) // odd, < 2^30
-  }
-  private lazy val permB: Array[Long] = {
-    val r = new scala.util.Random(11)
-    Array.fill(NumPerms)(r.nextInt(Int.MaxValue).toLong)
-  }
+  private def permA: Array[Long] = graft.functions.MinHashAgg.DefaultA
+  private def permB: Array[Long] = graft.functions.MinHashAgg.DefaultB
 
   /** 128-perm MinHash signature per doc (`sig` ARRAY<BIGINT>): one
     * [[graft.functions.MinHashAgg]] sketch aggregate over the masked

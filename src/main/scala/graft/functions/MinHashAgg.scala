@@ -87,6 +87,17 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  /** Default permutation constants (fixed seeds; odd multipliers < 2^30
+    * so `h*a + b` never overflows for 32-bit-masked inputs). */
+  lazy val DefaultA: Array[Long] = {
+    val r = new scala.util.Random(7)
+    Array.fill(128)((r.nextInt(1 << 29).toLong << 1) | 1L)
+  }
+  lazy val DefaultB: Array[Long] = {
+    val r = new scala.util.Random(11)
+    Array.fill(128)(r.nextInt(Int.MaxValue).toLong)
+  }
+
   /** Register `minhash_agg(h)` bound to fixed permutation constants. */
   def register(spark: SparkSession, permA: Array[Long], permB: Array[Long]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
