@@ -101,7 +101,19 @@ object Extended extends QueryPack {
       .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
 
+  /** The custom group-wise top-k operator (bounded per-key heaps via
+    * [[graft.plans.TopKPerKey]]) — semantically identical to the window
+    * formulation, which is exactly what the oracle runs. */
+  def topkPerKey(spark: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.orders(spark, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "topk_per_key" -> topkPerKey,
     "asof_join" -> asofJoin,
     "enrich_broadcast" -> enrichBroadcast,
     "quantiles" -> quantiles,
@@ -110,6 +122,14 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
