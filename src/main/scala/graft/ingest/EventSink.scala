@@ -36,4 +36,25 @@ object EventSink {
       .write.mode("append")
       .partitionBy("event_month")
       .parquet(path)
+
+  /** Compact one closed month partition: streaming appends leave one
+    * small sorted file per micro-batch; this rewrites the partition as
+    * few large files re-sorted on the table's sort key, restoring
+    * optimal row-group skipping. Closed months are immutable, so the
+    * rewrite is safe; run it per month as months roll over. */
+  def compactMonth(spark: org.apache.spark.sql.SparkSession, path: String,
+      month: String, targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val partDir = s"$path/event_month=$month"
+    val tmpDir = s"$path/.compacting_event_month=$month"
+    // write the compacted copy aside, then swap atomically-enough:
+    // never read and overwrite the same files in one job
+    spark.read.parquet(partDir)
+      .repartition(targetFiles)
+      .sortWithinPartitions("event_time", "product_id")
+      .write.mode("overwrite").parquet(tmpDir)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(partDir), true)
+    fs.rename(new Path(tmpDir), new Path(partDir))
+  }
 }

@@ -112,7 +112,35 @@ object Extended extends QueryPack {
       k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Range join, bucketized: error events within 5 minutes AFTER a
+    * purchase by the same user. A naive time-inequality join degenerates
+    * to a per-user cross product; bucketing time into range-sized bins
+    * and equi-joining on (user, bin)±1 turns it into a hash join whose
+    * probe set is only the adjacent bins — the standard scalable plan
+    * for interval/range predicates. The residual inequality filter
+    * applies after the equi-join. */
+  def rangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val Bin = 300000000L // 5 min in microseconds
+    def side(et: String, idAs: String, tsAs: String) =
+      Tables.events(spark, d).filter(col("event_type") === et)
+        .select(col("user_id"), col("event_id").as(idAs),
+          unix_micros(col("ts")).as(tsAs))
+    val p = side("purchase", "purchase_id", "t_p")
+      .withColumn("bin", (col("t_p") / Bin).cast("long"))
+    val e = side("error", "error_id", "t_e")
+      .withColumn("bin0", (col("t_e") / Bin).cast("long"))
+      // an error's 5-minute look-back window spans at most 2 bins
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+    p.join(e, Seq("user_id", "bin"))
+      .filter(col("t_e") > col("t_p") && col("t_e") - col("t_p") <= Bin)
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (col("t_e") - col("t_p")).as("gap_us"))
+      .distinct() // bin overlap may duplicate a qualifying pair
+      .orderBy("user_id", "purchase_id", "error_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "range_join" -> rangeJoin,
     "topk_per_key" -> topkPerKey,
     "asof_join" -> asofJoin,
     "enrich_broadcast" -> enrichBroadcast,
@@ -122,6 +150,15 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        |       epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) > epoch_us(p.ts)
+        | AND epoch_us(e.ts) - epoch_us(p.ts) <= 300000000
+        |ORDER BY p.user_id, purchase_id, error_id""".stripMargin,
     "topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -52,6 +52,24 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(months === Set("event_month=202608", "event_month=202609"))
   }
 
+  test("compactMonth merges micro-batch files and preserves rows (scale path)") {
+    val in = tmpDir("c-in"); val out = tmpDir("c-out"); val ckpt = tmpDir("c-ckpt")
+    val p = StreamingPipeline.textDir(spark, Sales, in, out, ckpt)
+    // three micro-batches → three files in the same month partition
+    for (i <- 1 to 3) {
+      writeLines(in, s"b$i.json", Seq(sale(s"s$i", s"2026-08-12 1$i:00:00", "10.00")))
+      p.attach(); p.processAllAvailable(); p.detach()
+    }
+    val partDir = new java.io.File(s"$out/event_month=202608")
+    def parquetFiles = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 3)
+    val before = spark.read.parquet(out).select("event_id").as[String].collect().toSet
+    graft.ingest.EventSink.compactMonth(spark, out, "202608")
+    assert(parquetFiles === 1)
+    val after = spark.read.parquet(out).select("event_id").as[String].collect().toSet
+    assert(after === before)
+  }
+
   test("warehouse topic pipeline ingests its schema (S3)") {
     val in = tmpDir("wh-in"); val out = tmpDir("wh-out"); val ckpt = tmpDir("wh-ckpt")
     writeLines(in, "b.json", Seq(
