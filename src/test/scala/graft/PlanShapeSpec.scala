@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.SparkPlan
   * sorts, aggregation is partial+final, scans are column-pruned.
   */
 class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
 
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -62,6 +63,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf(similarity.Similarity.annLsh(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "bucketed candidates must come from an equi-join")
+  }
+
+  test("EventSink layout enables partition pruning: month predicate reads one partition") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("prune")
+    val sales = (1 to 3).map(m => (s"e$m", s"2026-0$m-15 10:00:00"))
+      .toDF("event_id", "event_time_s")
+      .select(col("event_id"), col("event_time_s").cast("timestamp").as("event_time"),
+        lit(1L).as("product_id"))
+    graft.ingest.EventSink.append(sales, dir)
+    val q = spark.read.parquet(dir).filter(col("event_month") === "202602")
+    val f = formatted(q)
+    assert(f.contains("PartitionFilters: [isnotnull(event_month"),
+      s"month predicate must become a partition filter:\n$f")
+    assert(q.count() === 1)
+    // the equality predicate itself is in the partition filter set
+    assert("""PartitionFilters: \[.*event_month#\d+ = 202602""".r
+      .findFirstIn(q.queryExecution.executedPlan.toString).isDefined)
   }
 
   test("whole-stage codegen covers the hot aggregation path") {
