@@ -37,6 +37,15 @@ object Dedup extends QueryPack {
           s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(toks, i, $n))))")).as("shingle"))
 
+  /** Shingles with the string replaced by its 64-bit hash — what every
+    * join/aggregate downstream actually keys on. An 8-byte shuffle key
+    * instead of a ~20-60 byte string is the difference that matters at
+    * corpus scale; a hash collision merging two distinct shingles has
+    * probability ~2^-64 per pair (it would shift a Jaccard count by 1 —
+    * accepted and documented, as with hash-keyed exact dedup). */
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** Exact Jaccard over distinct shingle sets via inverted-index
     * intersection counts; `pairs` (doc_a < doc_b) optionally restricts to
     * pre-generated candidates (a semi join, e.g. from LSH banding). */
@@ -94,9 +103,9 @@ object Dedup extends QueryPack {
     * the inverted-index self-join (only docs sharing >= 1 shingle are
     * ever paired). */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
-    // the shingle set feeds three plan branches (sizes + both join sides);
-    // cache so explode+distinct runs once, not per branch
-    val sh = shingles(Tables.documents(spark, d)).cache()
+    // hashed shingles: 8-byte join keys; cached because the set feeds
+    // three plan branches (sizes + both join sides)
+    val sh = hashedShingles(Tables.documents(spark, d)).cache()
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -125,10 +134,15 @@ object Dedup extends QueryPack {
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
 
-  /** Same, over an already-shingled (doc_id, shingle) frame. */
+  /** Same, over an already-shingled (doc_id, shingle) frame — string
+    * shingles or pre-hashed long shingles both accepted. */
   def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     graft.functions.MinHashAgg.register(sh.sparkSession, permA, permB)
-    sh.withColumn("h", expr("xxhash64(shingle) & 4294967295")) // 32-bit domain
+    val h = sh.schema("shingle").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("shingle & 4294967295")
+      case _ => expr("xxhash64(shingle) & 4294967295") // 32-bit domain
+    }
+    sh.withColumn("h", h)
       .groupBy("doc_id")
       .agg(expr("minhash_agg(h)").as("sig"))
   }
@@ -159,7 +173,7 @@ object Dedup extends QueryPack {
     // four plan branches read the shingles (signatures, sizes, both
     // verify-join sides) and three read the candidate pairs — cache both
     // so the explode+distinct and the banding pipeline run once each
-    val sh = shingles(docs).cache()
+    val sh = hashedShingles(docs).cache()
     val candidates = lshCandidates(minhashSignaturesFrom(sh)).cache()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= 0.8)
