@@ -102,10 +102,14 @@ object Dedup extends QueryPack {
   /** Near-dup pairs with trigram-shingle Jaccard >= 0.8, candidates from
     * the inverted-index self-join (only docs sharing >= 1 shingle are
     * ever paired). */
-  def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, d: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
     // hashed shingles: 8-byte join keys; cached because the set feeds
     // three plan branches (sizes + both join sides)
-    val sh = hashedShingles(Tables.documents(spark, d)).cache()
+    val sh = hashedShingles(docs).cache()
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -168,8 +172,11 @@ object Dedup extends QueryPack {
   /** MinHash/LSH near-dup: banded candidates, then exact-Jaccard verify at
     * the same 0.8 threshold → equals the exhaustive result (≥ 1-1e-7
     * recall), at index-join cost. Shares the n-gram oracle. */
-  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+  def minhashLsh(spark: SparkSession, d: String): DataFrame =
+    minhashLshOf(Tables.documents(spark, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def minhashLshOf(docs: DataFrame): DataFrame = {
     // four plan branches read the shingles (signatures, sizes, both
     // verify-join sides) and three read the candidate pairs — cache both
     // so the explode+distinct and the banding pipeline run once each

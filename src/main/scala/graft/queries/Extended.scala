@@ -94,6 +94,27 @@ object Extended extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per (type, bucket), per type, per bucket (no grand total). */
+  def groupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), (user_id % 10))
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST, n""".stripMargin)
+  }
+
+  /** HLL++ approximate distinct — sketch-based, so rows-only (DuckDB's
+    * HLL yields different estimates); the exact counterpart is
+    * `distinct_users`, which IS oracle-checked. */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** CUBE over (event_type, user bucket): all 4 grouping combinations. */
   def cubeEvents(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -140,6 +161,8 @@ object Extended extends QueryPack {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "grouping_sets" -> groupingSets,
+    "approx_distinct" -> approxDistinct,
     "range_join" -> rangeJoin,
     "topk_per_key" -> topkPerKey,
     "asof_join" -> asofJoin,
@@ -150,6 +173,11 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), (user_id % 10))
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST, n""".stripMargin,
     "range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
         |       epoch_us(e.ts) - epoch_us(p.ts) AS gap_us

@@ -50,6 +50,27 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set("2026-08-12 10:00:00", "2026-08-12 11:00:00"))
   }
 
+  test("dedupKeyed drops duplicate event_ids across micro-batches (ST1 exactly-once upgrade)") {
+    val in = tmpDir("dk-in"); val ckpt = tmpDir("dk-ckpt")
+    // same event_id delivered twice (at-least-once redelivery), second batch
+    Files.write(Paths.get(in, "b1.json"),
+      Seq(sale("dup-1", "2026-08-12 10:00:00", "10.00", 1),
+          sale("uniq-1", "2026-08-12 10:01:00", "5.00", 1)).mkString("\n").getBytes)
+    Files.write(Paths.get(in, "b2.json"),
+      Seq(sale("dup-1", "2026-08-12 10:00:00", "10.00", 1),
+          sale("uniq-2", "2026-08-12 10:02:00", "6.00", 1)).mkString("\n").getBytes)
+    val typed = graft.ingest.IngestTransform.salesFromJson(spark.readStream.text(in))
+    val q = graft.streaming.StreamingPipeline.dedupKeyed(typed, "event_time", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_out").select("event_id").as[String].collect().toSeq
+    assert(ids.sorted === Seq("dup-1", "uniq-1", "uniq-2"))
+  }
+
   test("session state machine: gap splits, ordering, counts") {
     import StreamingAnalytics.advance
     val h = 3600L * 1000
