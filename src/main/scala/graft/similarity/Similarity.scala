@@ -104,10 +104,50 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN: a coarse quantizer (here: a deterministic sample of
+    * the corpus as centroids — a k-means fit would slot in identically)
+    * partitions vectors into `nlist` inverted lists; a query scans only
+    * its `nprobe` nearest lists. Same scale shape as [[annLsh]] — the
+    * probe is an equi-join on the list id — but with data-adaptive cells
+    * instead of fixed hyperplanes. Approximate ⇒ rows-only. */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    val NList = 16
+    val NProbe = 4
+    VectorFunctions.register(spark)
+    val all = vecs(spark, d)
+    // deterministic coarse centroids: the first NList vectors by id
+    val centroids = all.orderBy("vec_id").limit(NList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def nearestLists(df: DataFrame, vcol: String, n: Int, out: String) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cid"))
+      df.join(broadcast(centroids))
+        .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .select(df.columns.map(col) :+ col("cid").as(out): _*)
+    }
+    val assigned = nearestLists(all, "v", 1, "list_id")        // nlist=1 per vector
+    val q = nearestLists(all.filter(col("vec_id") < 10), "v", NProbe, "list_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("list_id"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(q, "list_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
     "ann_topk" -> annTopK,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and
