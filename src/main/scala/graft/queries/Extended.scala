@@ -115,6 +115,48 @@ object Extended extends QueryPack {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Statistical aggregates computed deterministically: mean / population
+    * variance / stddev derived from exact decimal first and second
+    * moments (built-in stddev over doubles is accumulation-order-
+    * dependent and could never hash-match). Single pass, map-side
+    * combined, identical formula in the oracle. */
+  def statsAgg(spark: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        sum(x).cast(DecimalType(38, 2)).as("s1"),
+        sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("s2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        (col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          .as("var_pop"),
+        sqrt(col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          .as("stddev_pop"),
+        col("n"))
+      .orderBy("event_type")
+  }
+
+  /** String function surface: case mapping, substring, concat, replace,
+    * padding, LIKE — over the customer dimension. */
+  def stringFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("joined"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        length(col("c_name")).cast("long").as("len"))
+      .orderBy("c_custkey")
+
   /** CUBE over (event_type, user bucket): all 4 grouping combinations. */
   def cubeEvents(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -163,6 +205,8 @@ object Extended extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "grouping_sets" -> groupingSets,
     "approx_distinct" -> approxDistinct,
+    "stats_agg" -> statsAgg,
+    "string_funcs" -> stringFuncs,
     "range_join" -> rangeJoin,
     "topk_per_key" -> topkPerKey,
     "asof_join" -> asofJoin,
@@ -173,6 +217,30 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "stats_agg" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s2,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(s1 AS DOUBLE) / n AS mean,
+        |  CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var_pop,
+        |  sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS stddev_pop,
+        |  n
+        |FROM m ORDER BY event_type""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  lower(c_mktsegment) AS lo,
+        |  substring(c_name, 1, 8) AS sub,
+        |  concat_ws('-', c_mktsegment, c_custkey) AS joined,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  length(c_name) AS len
+        |FROM customer WHERE c_name LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
     "grouping_sets" ->
       """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
         |FROM events

@@ -16,7 +16,8 @@ class SqlParitySpec extends SparkSpec {
     "outer_join_agg", "union_all", "sales_by_hour", "sales_last_day",
     "top_movers", "recent_events", "dedup_exact_stats",
     "dedup_exact_survivors", "topk_per_key", "pivot_daily",
-    "time_buckets", "serve_status", "enrich_broadcast")
+    "time_buckets", "serve_status", "enrich_broadcast", "stats_agg",
+    "grouping_sets")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
