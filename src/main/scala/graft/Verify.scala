@@ -23,11 +23,20 @@ object Verify {
       // UTC-adjusted; the DuckDB oracle produces naive timestamps. Cast
       // result timestamps to NTZ (same wall value under the pinned UTC
       // session) so the comparison sees identical types AND values.
+      // DecimalType renders scale-exact ("1166.10") while the driver reads
+      // DuckDB decimals back as float64 ("1166.1"); cast decimals to DOUBLE
+      // so both sides land on the identical nearest-double rendering — the
+      // aggregation itself stays decimal-exact upstream of this final cast.
       def ntz(df: org.apache.spark.sql.DataFrame) = df.select(df.schema.fields.map { f =>
-        if (f.dataType == org.apache.spark.sql.types.TimestampType)
-          org.apache.spark.sql.functions.col(f.name)
-            .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
-        else org.apache.spark.sql.functions.col(f.name)
+        f.dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          case _: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.DoubleType).as(f.name)
+          case _ => org.apache.spark.sql.functions.col(f.name)
+        }
       }.toSeq: _*)
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -61,6 +61,19 @@ case class LshBucketKeysExpr(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array params get reference equality from the case class, which breaks
+  // expression canonicalization; compare the plane matrix by content.
+  override def equals(other: Any): Boolean = other match {
+    case l: LshBucketKeysExpr =>
+      child == l.child && bitsPerTable == l.bitsPerTable &&
+      java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], l.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(bitsPerTable),
+      Int.box(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
 }
 
 object LshBucketKeysExpr {

@@ -84,6 +84,23 @@ case class MinHashAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+
+  // Array params get reference equality from the case class, which breaks
+  // semanticEquals / aggregate dedup; compare contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case m: MinHashAgg =>
+      child == m.child &&
+      java.util.Arrays.equals(permA, m.permA) &&
+      java.util.Arrays.equals(permB, m.permB) &&
+      mutableAggBufferOffset == m.mutableAggBufferOffset &&
+      inputAggBufferOffset == m.inputAggBufferOffset
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Int.box(java.util.Arrays.hashCode(permA)),
+      Int.box(java.util.Arrays.hashCode(permB)),
+      Int.box(mutableAggBufferOffset), Int.box(inputAggBufferOffset))
 }
 
 object MinHashAgg {

@@ -125,7 +125,14 @@ object StreamingPipeline {
       targetPath, checkpointPath, trigger)
 
   /** Optional exactly-once-by-key upgrade over the reference's at-least-once
-    * semantics: drop duplicate event_ids within the watermark horizon. */
+    * semantics: drop duplicate event_ids within the watermark horizon.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, not `dropDuplicates`: with plain
+    * `dropDuplicates("event_id")` the event-time column is not part of the
+    * dedup key, so Spark can never evict state and it grows without bound.
+    * The within-watermark variant expires each key once the watermark passes
+    * its first-seen event time — bounded state, which is the semantics a
+    * 100 TB/day ingest needs. */
   def dedupKeyed(typed: DataFrame, watermarkCol: String, horizon: String): DataFrame =
-    typed.withWatermark(watermarkCol, horizon).dropDuplicates("event_id")
+    typed.withWatermark(watermarkCol, horizon).dropDuplicatesWithinWatermark("event_id")
 }
