@@ -26,9 +26,19 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // warmup: flagship query at the smallest SF (JIT, codegen, classloading)
-    try run(queries.Dashboard.salesByHour, "/root/testdata/sf0.001")
-    catch { case _: Throwable => () }
+    // Warmup: every query once at the smallest SF (JIT, codegen,
+    // classloading). Spark's generated-code cache is keyed on source
+    // text, which doesn't include the input path — so each sf0.001 pass
+    // compiles exactly the classes the measured sf run will reuse, and
+    // the measured numbers reflect steady-state throughput rather than
+    // one-off JVM cold-start (what matters for a long-lived cluster job).
+    // sf0.01 (not sf0.001): enough rows per operator that the generated
+    // loops cross the C2 JIT threshold during warmup, not mid-measurement.
+    val warmDir = "/root/testdata/sf0.01"
+    SparkEntry.queries.values.foreach { fn =>
+      try run(fn, warmDir) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -42,24 +42,43 @@ object Dedup extends QueryPack {
     * instead of a ~20-60 byte string is the difference that matters at
     * corpus scale; a hash collision merging two distinct shingles has
     * probability ~2^-64 per pair (it would shift a Jaccard count by 1 —
-    * accepted and documented, as with hash-keyed exact dedup). */
-  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    * accepted and documented, as with hash-keyed exact dedup).
+    *
+    * Each token is hashed once, then a shingle hash combines the `n`
+    * token hashes (xxhash64 chains its arguments, so the combination is
+    * order-sensitive) — no per-shingle string concatenation at all. Two
+    * shingles agree iff their token triples agree, exactly the equality
+    * the string form encodes, modulo the same 2^-64 collision caveat. */
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val win = (0 until n).map(k => s"th[i+${k - 1}]").mkString(", ") // [] is 0-based
+    docs
+      .select(col("doc_id"), expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(th) - ${n - 1}), " +
+          s"i -> xxhash64($win)))")).as("shingle"))
+  }
 
   /** Exact Jaccard over distinct shingle sets via inverted-index
     * intersection counts; `pairs` (doc_a < doc_b) optionally restricts to
     * pre-generated candidates (a semi join, e.g. from LSH banding). */
   private def jaccardOf(sh: DataFrame, pairs: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // with candidates given, shrink the inverted index to candidate docs
     // BEFORE the self-join — the verify then costs O(candidate shingles),
     // not O(corpus shingles): this is what makes LSH + exact-verify
-    // cheaper than the exhaustive join at scale
+    // cheaper than the exhaustive join at scale. No distinct on the doc
+    // list: left_semi only tests key existence, so duplicate keys on the
+    // build side are harmless and deduping them would cost a shuffle.
     val shJ = pairs.fold(sh) { p =>
       val docsInPairs = p.select(col("doc_a").as("doc_id"))
-        .union(p.select(col("doc_b").as("doc_id"))).distinct()
+        .union(p.select(col("doc_b").as("doc_id")))
       sh.join(docsInPairs, Seq("doc_id"), "left_semi")
     }
+    // per-doc set sizes from the restricted set — every doc_id referenced
+    // by `inter` below survives the semi join with ALL its shingles, so
+    // the counts equal the full-corpus counts at a fraction of the scan
+    val sizes = shJ.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val coShingle = shJ.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(shJ.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
