@@ -202,7 +202,33 @@ object Extended extends QueryPack {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** Window-frame surface in one pass per customer: 4-row moving sum /
+    * count / average, previous-order delta (LAG), quartile bucketing
+    * (NTILE) and PERCENT_RANK — ordered by (o_orderdate, o_orderkey),
+    * which is unique, so every frame is deterministic. The moving
+    * average divides the exact decimal moving sum by the frame row count
+    * as the final step (the [[OracleSafe]] mean policy applied to a
+    * window frame). */
+  def windowFrames(spark: SparkSession, d: String): DataFrame = {
+    val tp = col("o_totalprice").cast(DecimalType(18, 2))
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w3 = wo.rowsBetween(-3, Window.currentRow)
+    val movSum = sum(tp).over(w3).cast(DecimalType(38, 2))
+    val movN = count(lit(1)).over(w3)
+    Tables.orders(spark, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      movSum.as("mov_sum"),
+      movN.as("mov_n"),
+      (movSum.cast("double") / movN).as("mov_avg"),
+      (tp - lag(tp, 1, 0).over(wo)).as("delta_prev"),
+      ntile(4).over(wo).cast("long").as("quartile"),
+      percent_rank().over(wo).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "window_frames" -> windowFrames,
     "grouping_sets" -> groupingSets,
     "approx_distinct" -> approxDistinct,
     "stats_agg" -> statsAgg,
@@ -217,6 +243,22 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DECIMAL(38,2)) AS mov_sum,
+        |  COUNT(*) OVER w3 AS mov_n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DECIMAL(38,2)) AS DOUBLE)
+        |    / (COUNT(*) OVER w3) AS mov_avg,
+        |  CAST(o_totalprice AS DECIMAL(18,2))
+        |    - LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1, 0) OVER wo AS delta_prev,
+        |  CAST(NTILE(4) OVER wo AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER wo AS pr
+        |FROM orders
+        |WINDOW
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "stats_agg" ->
       """WITH m AS (
         |  SELECT event_type,

@@ -40,6 +40,27 @@ object StreamingAnalytics {
         count(lit(1)).as("n_sales"))
       .select(col("w.start").as("hour"), col("revenue"), col("units"), col("n_sales"))
 
+  /** Stream-stream interval join as a library operator — the streaming
+    * mirror of the batch `range_join` query: each left row pairs with
+    * right rows of the same key whose event time falls in
+    * `(leftTime, leftTime + horizon]`.
+    *
+    * Both sides are watermarked, which is what lets Spark bound the join
+    * state: a buffered row can be dropped as soon as the other side's
+    * watermark passes the end of its match window, so state is
+    * O(rows inside watermark + horizon) per side regardless of stream
+    * length. Key columns must already be named apart (rename before
+    * calling); the joined frame carries both sides' columns. */
+  def intervalJoin(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      horizon: String, watermark: String): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTime) > col(leftTime) &&
+          col(rightTime) <= col(leftTime) + expr(s"INTERVAL $horizon"))
+
   case class SessionEvent(user_id: String, event_time: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: String, session_start: Timestamp,

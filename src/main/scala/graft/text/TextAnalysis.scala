@@ -101,11 +101,35 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — term frequency × corpus rarity,
+    * scored log-free as `tf · N / df` (monotone in the classic
+    * `tf · log(N/df)` for any fixed tf, and, unlike log, exact-integer
+    * math until one final double division, so both engines agree
+    * bitwise). Two hash aggregations (term frequency per doc, document
+    * frequency per term), an equi-join on term, and a per-doc top-3 —
+    * every step map-side combinable; nothing is ever all-pairs. */
+  def tfidfTopTerms(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "text_lang_confusion" -> langConfusion,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
-    "text_fingerprint" -> fingerprints)
+    "text_fingerprint" -> fingerprints,
+    "text_tfidf" -> tfidfTopTerms)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -158,5 +182,20 @@ object TextAnalysis extends QueryPack {
         |      list_transform(generate_series(1, length(text)),
         |                     i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, CAST(tf * n_docs AS DOUBLE) / df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score, rn FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, term) AS BIGINT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin)
 }

@@ -67,6 +67,34 @@ class QueriesSpec extends SparkSpec {
     assert(feats.map(_.width).toSeq === again.map(_.width).toSeq)
   }
 
+  test("window_frames: frame arithmetic is internally consistent") {
+    val r = graft.queries.Extended.windowFrames(spark, sf0001)
+      .select($"mov_sum".cast("double"), $"mov_n", $"mov_avg", $"quartile", $"pr")
+      .as[(Double, Long, Double, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (sum, n, avg, q, pr) =>
+      assert(n >= 1 && n <= 4)
+      assert(math.abs(avg * n - sum) < 1e-6)
+      assert(q >= 1 && q <= 4)
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
+  test("text_tfidf: per-doc top-3, scores non-increasing, df consistent") {
+    val rows = graft.text.TextAnalysis.tfidfTopTerms(spark, sf0001)
+      .select($"doc_id", $"score", $"rn").as[(Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRn = g.sortBy(_._3)
+      assert(byRn.map(_._3).toSeq === (1L to byRn.length).toSeq)
+      assert(byRn.length <= 3)
+      // scores are non-increasing in rank (ties broken by term)
+      byRn.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b); case _ => ()
+      }
+    }
+  }
+
   test("exact ANN equals its own re-ranking: rank column is 1..5 per query") {
     val r = graft.similarity.Similarity.annTopK(spark, sf0001)
       .groupBy("query_id").agg(collect_list("rank").as("ranks"))

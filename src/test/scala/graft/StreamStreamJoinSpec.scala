@@ -33,16 +33,16 @@ class StreamStreamJoinSpec extends SparkSpec {
       .json(in)
       .withColumn("ts", to_timestamp(col("ts")))
 
+    // watermarks applied inside intervalJoin
     val purchases = src.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("t_p"))
-      .withWatermark("t_p", "10 minutes")
     val errors = src.filter($"event_type" === "error")
       .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("t_e"))
-      .withWatermark("t_e", "10 minutes")
 
-    val joined = purchases.join(errors,
-      $"user_id" === $"e_user" &&
-        $"t_e" > $"t_p" && $"t_e" <= $"t_p" + expr("INTERVAL 5 MINUTES"))
+    val joined = graft.streaming.StreamingAnalytics.intervalJoin(
+      purchases, "user_id", "t_p",
+      errors, "e_user", "t_e",
+      horizon = "5 minutes", watermark = "10 minutes")
       .select($"user_id", $"purchase_id", $"error_id")
 
     val q = joined.writeStream.outputMode("append")
