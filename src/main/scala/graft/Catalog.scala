@@ -56,4 +56,23 @@ object Catalog {
   def isAlive(spark: SparkSession): Boolean =
     try spark.sql("SELECT 1").collect().head.getInt(0) == 1
     catch { case _: Throwable => false }
+
+  /** Bucketed catalog table: pays the shuffle ONCE at write time so every
+    * later equi-join or aggregation keyed on `bucketCol` between tables
+    * with compatible bucketing is co-located — the scan itself is the
+    * exchange. At 100 TB this converts the recurring fact⋈fact shuffle
+    * (the single largest cost in a repeated join workload) into a
+    * write-time layout decision, exactly what MergeTree's ORDER BY key
+    * does for the reference. `sortCols` additionally sorts each bucket
+    * file so sort-merge join can skip its per-task sort.
+    * (BucketedJoinSpec asserts the no-Exchange plan.) */
+  def createBucketed(
+      df: org.apache.spark.sql.DataFrame, table: String,
+      bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

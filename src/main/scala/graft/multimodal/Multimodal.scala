@@ -72,8 +72,27 @@ object Multimodal extends QueryPack {
       .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames")
       .orderBy("doc_id")
 
+  /** Frame-sampling plumbing: ≤4 uniformly-spaced frame indices per media
+    * row plus their byte offsets — the seek table a video frame-sampler
+    * would hand the (stubbed) decoder before touching any frame bytes.
+    * Pure integer column math over the metadata (no decode), so the whole
+    * sampling plan is oracle-checkable end to end, and at scale the
+    * sampler reads only the sampled offsets instead of whole payloads. */
+  def mmFrameSample(spark: SparkSession, d: String): DataFrame =
+    mmMeta(spark, d)
+      .withColumn("step", expr("(n_frames + 3) div 4"))
+      .withColumn("frame_idx",
+        explode(expr("filter(sequence(0, n_frames - 1), x -> x % step = 0)")))
+      .select(
+        col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx").cast("long") * expr("n_bytes div n_frames")).as("frame_off"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "mm_meta" -> mmMeta)
+    "mm_meta" -> mmMeta,
+    "mm_frame_sample" -> mmFrameSample)
 
   val oracles = Map(
     "mm_meta" ->
@@ -82,5 +101,20 @@ object Multimodal extends QueryPack {
         |  CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (SELECT *, (n_frames + 3) // 4 AS step FROM meta),
+        |fx AS (
+        |  SELECT doc_id, n_frames, n_bytes,
+        |    unnest(list_filter(generate_series(0, n_frames - 1),
+        |                       x -> x % step = 0)) AS frame_idx
+        |  FROM s)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(frame_idx * (n_bytes // n_frames) AS BIGINT) AS frame_off
+        |FROM fx ORDER BY doc_id, frame_idx""".stripMargin)
 }
