@@ -227,7 +227,35 @@ object Extended extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Correlated-subquery semantics ("orders above their customer's
+    * average"), decorrelated the way Catalyst would: one window pass
+    * computing the per-customer sum and count, then the comparison in
+    * exact decimal arithmetic (`price × n > sum` ⟺ `price > avg` with
+    * no double rounding anywhere, so the oracle matches bitwise). */
+  def aboveAvgOrders(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    val tp = col("o_totalprice").cast(DecimalType(18, 2))
+    Tables.orders(spark, d)
+      .withColumn("s", sum(tp).over(w).cast(DecimalType(38, 2)))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(tp * col("n") > col("s"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Deterministic hash sample: a reproducible ~5% sample via a fixed
+    * multiplicative hash of the key — the same rows on any engine, any
+    * run, any partitioning, which TABLESAMPLE/`df.sample` cannot promise.
+    * Exact for keys below ~3.4e9 (the product stays inside a long). */
+  def sampleDet(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .filter((col("o_orderkey") * 2654435761L) % 4294967296L < 214748364L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "above_avg_orders" -> aboveAvgOrders,
+    "sample_det" -> sampleDet,
     "window_frames" -> windowFrames,
     "grouping_sets" -> groupingSets,
     "approx_distinct" -> approxDistinct,
@@ -243,6 +271,20 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "above_avg_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY o_custkey) AS DECIMAL(38,2)) AS s,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders) t
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > s
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sample_det" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
+        |ORDER BY o_orderkey""".stripMargin,
     "window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DECIMAL(38,2)) AS mov_sum,

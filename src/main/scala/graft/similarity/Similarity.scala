@@ -104,20 +104,52 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style ANN: a coarse quantizer (here: a deterministic sample of
-    * the corpus as centroids — a k-means fit would slot in identically)
-    * partitions vectors into `nlist` inverted lists; a query scans only
-    * its `nprobe` nearest lists. Same scale shape as [[annLsh]] — the
-    * probe is an equi-join on the list id — but with data-adaptive cells
-    * instead of fixed hyperplanes. Approximate ⇒ rows-only. */
+  /** Lloyd-iteration k-means training for the IVF coarse quantizer.
+    * Each iteration is one distributed pass: broadcast the centroids,
+    * assign every vector to its nearest (cosine), recompute each
+    * centroid as the element-wise mean of its members (posexplode →
+    * per-dimension sum/count → reassembled in dimension order). The
+    * centroid set itself is tiny model state (`nlist × dim` doubles), so
+    * it is collected and re-broadcast per iteration — the same
+    * driver-holds-the-model structure MLlib's KMeans uses, which keeps
+    * every iteration's plan flat instead of nesting joins. Deterministic:
+    * seeded from the first `nlist` vectors by id, ties broken by cid. */
+  def trainCentroids(spark: SparkSession, all: DataFrame,
+      nlist: Int, iters: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val seed = all.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cid"))
+      val assigned = all.join(broadcast(cents))
+        .withColumn("c_sim", expr("cosine_sim(v, cv)"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("cid"), col("v"))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx / n))), " +
+          "p -> p.col2)").as("cv"))
+      updated.select(col("cid"), col("cv")).as[(Long, Seq[Double])]
+        .collect().toSeq.toDF("cid", "cv")
+    }
+  }
+
+  /** IVF-style ANN: a k-means coarse quantizer ([[trainCentroids]], 2
+    * Lloyd iterations) partitions vectors into `nlist` inverted lists; a
+    * query scans only its `nprobe` nearest lists. Same scale shape as
+    * [[annLsh]] — the probe is an equi-join on the list id — but with
+    * data-adaptive cells instead of fixed hyperplanes. Approximate ⇒
+    * rows-only. */
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     val NList = 16
     val NProbe = 4
     VectorFunctions.register(spark)
     val all = vecs(spark, d)
-    // deterministic coarse centroids: the first NList vectors by id
-    val centroids = all.orderBy("vec_id").limit(NList)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centroids = trainCentroids(spark, all, NList, iters = 2)
     def nearestLists(df: DataFrame, vcol: String, n: Int, out: String) = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_sim").desc, col("cid"))

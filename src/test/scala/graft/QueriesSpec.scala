@@ -95,6 +95,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN (trained centroids): recall of exact top-5 stays useful") {
+    val exact = graft.similarity.Similarity.annTopK(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.similarity.Similarity.annIvf(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall vs exact top-5 fell to $recall")
+  }
+
   test("exact ANN equals its own re-ranking: rank column is 1..5 per query") {
     val r = graft.similarity.Similarity.annTopK(spark, sf0001)
       .groupBy("query_id").agg(collect_list("rank").as("ranks"))

@@ -17,7 +17,7 @@ class SqlParitySpec extends SparkSpec {
     "top_movers", "recent_events", "dedup_exact_stats",
     "dedup_exact_survivors", "topk_per_key", "pivot_daily",
     "time_buckets", "serve_status", "enrich_broadcast", "stats_agg",
-    "grouping_sets", "window_frames")
+    "grouping_sets", "window_frames", "above_avg_orders", "sample_det")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
