@@ -171,16 +171,20 @@ object Dedup extends QueryPack {
   }
 
   /** LSH candidate pairs: equal signature band (4 consecutive minhashes
-    * hashed together) in the same band index. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    * hashed together) in the same band index. Band keys come straight out
+    * of the fused [[graft.functions.MinHashAgg]] eval (`bands = 32`), so
+    * the only plan-side work is one `posexplode` — no 128-element_at
+    * banding expression tree. */
+  private def lshCandidatesFrom(sh: DataFrame): DataFrame = {
+    graft.functions.MinHashAgg.registerBands(sh.sparkSession, permA, permB, Bands)
+    val h = sh.schema("shingle").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("shingle & 4294967295")
+      case _ => expr("xxhash64(shingle) & 4294967295")
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = sh.withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(expr("minhash_bands(h)").as("bks"))
+      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bkey")))
     banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -200,7 +204,7 @@ object Dedup extends QueryPack {
     // verify-join sides) and three read the candidate pairs — cache both
     // so the explode+distinct and the banding pipeline run once each
     val sh = hashedShingles(docs).cache()
-    val candidates = lshCandidates(minhashSignaturesFrom(sh)).cache()
+    val candidates = lshCandidatesFrom(sh).cache()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")

@@ -25,6 +25,7 @@ case class MinHashAgg(
     child: Expression,
     permA: Array[Long],
     permB: Array[Long],
+    bands: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -65,7 +66,36 @@ case class MinHashAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  /** With `bands == 0`, emits the raw 128-minimum signature. With
+    * `bands > 0`, fuses LSH banding into the aggregate: each band key is
+    * a SplitMix64-chained hash of its `numPerms / bands` consecutive
+    * minima, so the per-doc banding projection (128 element_at + 32
+    * hash calls as a plan-side expression tree) disappears entirely —
+    * the aggregate's output IS the (band, key)-ready array. */
+  override def eval(buf: Array[Long]): Any =
+    if (bands == 0) new GenericArrayData(buf)
+    else {
+      val rpb = numPerms / bands
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0x9e3779b97f4a7c15L ^ b
+        var r = 0
+        while (r < rpb) { h = mix64(h + buf(b * rpb + r)); r += 1 }
+        keys(b) = h
+        b += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+  /** SplitMix64 finalizer — a well-mixed 64-bit hash step; only internal
+    * consistency matters (band keys never leave the engine). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(numPerms * 8)
@@ -89,7 +119,7 @@ case class MinHashAgg(
   // semanticEquals / aggregate dedup; compare contents instead.
   override def equals(other: Any): Boolean = other match {
     case m: MinHashAgg =>
-      child == m.child &&
+      child == m.child && bands == m.bands &&
       java.util.Arrays.equals(permA, m.permA) &&
       java.util.Arrays.equals(permB, m.permB) &&
       mutableAggBufferOffset == m.mutableAggBufferOffset &&
@@ -97,7 +127,7 @@ case class MinHashAgg(
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(child,
+    java.util.Objects.hash(child, Int.box(bands),
       Int.box(java.util.Arrays.hashCode(permA)),
       Int.box(java.util.Arrays.hashCode(permB)),
       Int.box(mutableAggBufferOffset), Int.box(inputAggBufferOffset))
@@ -120,4 +150,12 @@ object MinHashAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => MinHashAgg(exprs.head, permA, permB).toAggregateExpression(), "scala_udf")
+
+  /** Register `minhash_bands(h)` — same sketch, banding fused into eval. */
+  def registerBands(spark: SparkSession, permA: Array[Long], permB: Array[Long],
+      bands: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands",
+      exprs => MinHashAgg(exprs.head, permA, permB, bands).toAggregateExpression(),
+      "scala_udf")
 }

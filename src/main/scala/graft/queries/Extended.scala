@@ -243,6 +243,22 @@ object Extended extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Full outer join — daily purchase totals against daily error counts;
+    * days that only appear on one side survive with nulls on the other
+    * (the flavor left/semi/anti queries can't express). Keys coalesced
+    * into one output day column. */
+  def fullOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    def daily(et: String, out: String) =
+      Tables.events(spark, d).filter(col("event_type") === et)
+        .groupBy(date_trunc("day", col("ts")).as(s"day_$out"))
+        .agg(count(lit(1)).as(s"n_$out"))
+    daily("purchase", "p").join(daily("error", "e"),
+        col("day_p") === col("day_e"), "full_outer")
+      .select(coalesce(col("day_p"), col("day_e")).as("day"),
+        col("n_p"), col("n_e"))
+      .orderBy("day")
+  }
+
   /** Deterministic hash sample: a reproducible ~5% sample via a fixed
     * multiplicative hash of the key — the same rows on any engine, any
     * run, any partitioning, which TABLESAMPLE/`df.sample` cannot promise.
@@ -255,6 +271,7 @@ object Extended extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "above_avg_orders" -> aboveAvgOrders,
+    "full_outer_join" -> fullOuterJoin,
     "sample_det" -> sampleDet,
     "window_frames" -> windowFrames,
     "grouping_sets" -> groupingSets,
@@ -285,6 +302,16 @@ object Extended extends QueryPack {
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
         |ORDER BY o_orderkey""".stripMargin,
+    "full_outer_join" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS day_p, COUNT(*) AS n_p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (
+        |  SELECT date_trunc('day', ts) AS day_e, COUNT(*) AS n_e
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(day_p, day_e) AS day, n_p, n_e
+        |FROM p FULL OUTER JOIN e ON day_p = day_e
+        |ORDER BY day""".stripMargin,
     "window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DECIMAL(38,2)) AS mov_sum,

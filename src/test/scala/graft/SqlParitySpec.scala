@@ -17,7 +17,8 @@ class SqlParitySpec extends SparkSpec {
     "top_movers", "recent_events", "dedup_exact_stats",
     "dedup_exact_survivors", "topk_per_key", "pivot_daily",
     "time_buckets", "serve_status", "enrich_broadcast", "stats_agg",
-    "grouping_sets", "window_frames", "above_avg_orders", "sample_det")
+    "grouping_sets", "window_frames", "above_avg_orders", "sample_det",
+    "full_outer_join")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
