@@ -269,10 +269,54 @@ object Extended extends QueryPack {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Calendar-part extraction surface: year/quarter/month/day/hour/
+    * minute/second off the event timestamp — the scalar date functions a
+    * dashboard slices by, in the portable subset both engines define
+    * identically (no ISO-week / locale-dependent parts). */
+  def timeParts(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("y"),
+      quarter(col("ts")).cast("long").as("q"),
+      month(col("ts")).cast("long").as("mo"),
+      dayofmonth(col("ts")).cast("long").as("dom"),
+      hour(col("ts")).cast("long").as("h"),
+      minute(col("ts")).cast("long").as("mi"),
+      second(col("ts")).cast("long").as("s"))
+      .orderBy("event_id")
+
+  /** Collect-aggregation surface: the distinct event types a user
+    * produced, as a sorted comma-joined string (sorting then joining is
+    * what makes a collected set deterministic and engine-portable). */
+  def userEventProfile(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** The salted skew join ([[graft.operators.SkewJoin]]) as a
+    * driver-checked query: events (big side, salted on the unique
+    * event_id) joined to the customer dimension over 8 salt slots, then
+    * aggregated per segment — semantically a plain inner join, which is
+    * exactly what the oracle runs. */
+  def skewJoinAgg(spark: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(spark, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedEquiJoin(
+        Tables.events(spark, d), dim, "user_id", col("event_id"), salts = 8)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "above_avg_orders" -> aboveAvgOrders,
     "full_outer_join" -> fullOuterJoin,
     "sample_det" -> sampleDet,
+    "time_parts" -> timeParts,
+    "user_event_profile" -> userEventProfile,
+    "skew_join_agg" -> skewJoinAgg,
     "window_frames" -> windowFrames,
     "grouping_sets" -> groupingSets,
     "approx_distinct" -> approxDistinct,
@@ -302,6 +346,26 @@ object Extended extends QueryPack {
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
         |ORDER BY o_orderkey""".stripMargin,
+    "time_parts" ->
+      """SELECT event_id,
+        |  CAST(date_part('year', ts) AS BIGINT) AS y,
+        |  CAST(date_part('quarter', ts) AS BIGINT) AS q,
+        |  CAST(date_part('month', ts) AS BIGINT) AS mo,
+        |  CAST(date_part('day', ts) AS BIGINT) AS dom,
+        |  CAST(date_part('hour', ts) AS BIGINT) AS h,
+        |  CAST(date_part('minute', ts) AS BIGINT) AS mi,
+        |  CAST(date_part('second', ts) AS BIGINT) AS s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "user_event_profile" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "skew_join_agg" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "full_outer_join" ->
       """WITH p AS (
         |  SELECT date_trunc('day', ts) AS day_p, COUNT(*) AS n_p
