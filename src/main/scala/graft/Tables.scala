@@ -9,23 +9,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through the vectorized parquet reader with pushdown/pruning enabled.
   */
 object Tables {
+  /** Resolved-relation cache: the corpus under a given path is immutable,
+    * so the same DataFrame (and with it the file listing + parquet footer
+    * schema) is reused across the dozens of per-query calls instead of
+    * being re-resolved every time. Keyed by session so tests with fresh
+    * sessions never share state. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright. We read nanos as a long
     * (legacy knob, set dynamically — it is a runtime SQLConf) and truncate
     * to microseconds, exactly like DuckDB's parquet scan does, so oracle
     * comparisons see identical values. */
-  private def loadNanosAware(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, sfDir, name)
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
-      .getOrElse(df)
-  }
+  private def loadNanosAware(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, s"$name#nanos"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        .map(_ => df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))))
+        .getOrElse(df)
+    })
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
