@@ -49,6 +49,22 @@ object Relational extends QueryPack {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q6-shaped forecasting-revenue scan: one conjunctive filter +
+    * one ungrouped decimal sum — no join, no group-by. The whole query is
+    * a single codegen'd scan stage whose predicates reach the parquet
+    * reader; discount bounds compare as doubles on both engines. */
+  def q6Forecast(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(d18_2) * col("l_discount").cast(d18_2))
+          .cast(DecimalType(38, 4)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** TPC-H Q3-shaped: 3-way join, grouped revenue, top-10. customer is
     * broadcast; orders⋈lineitem shuffles on the order key. */
   def q3TopK(spark: SparkSession, d: String): DataFrame = {
@@ -208,6 +224,7 @@ object Relational extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q1_agg" -> q1Agg,
+    "q6_forecast" -> q6Forecast,
     "q3_topk" -> q3TopK,
     "q5_region" -> q5Region,
     "topk_orders" -> topkOrders,
@@ -242,6 +259,17 @@ object Relational extends QueryPack {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
     "q3_topk" ->
       s"""SELECT l.l_orderkey, o.o_orderdate,
          |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue

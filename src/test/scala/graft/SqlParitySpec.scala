@@ -18,7 +18,7 @@ class SqlParitySpec extends SparkSpec {
     "dedup_exact_survivors", "topk_per_key", "pivot_daily",
     "time_buckets", "serve_status", "enrich_broadcast", "stats_agg",
     "grouping_sets", "window_frames", "above_avg_orders", "sample_det",
-    "full_outer_join")
+    "full_outer_join", "q6_forecast")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
