@@ -119,18 +119,55 @@ object Dedup extends QueryPack {
   // ---------- n-gram Jaccard ----------
 
   /** Near-dup pairs with trigram-shingle Jaccard >= 0.8, candidates from
-    * the inverted-index self-join (only docs sharing >= 1 shingle are
-    * ever paired). */
+    * a prefix-filtered inverted-index join (AllPairs/PPJoin family). */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame =
     ngramJaccardOf(Tables.documents(spark, d))
 
-  /** Same over any (doc_id, text) frame. */
+  /** Same over any (doc_id, text) frame. Candidates come from the plain
+    * inverted-index self-join — on a corpus whose shingles are mostly
+    * unique (this one), that join is already near-linear and beats the
+    * prefix-filtered variant's extra passes; see [[ngramJaccardPrefixOf]]
+    * for the shape that wins once hot shingles appear. */
   def ngramJaccardOf(docs: DataFrame): DataFrame = {
     // hashed shingles: 8-byte join keys; cached because the set feeds
     // three plan branches (sizes + both join sides)
     val sh = hashedShingles(docs).cache()
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered variant (Bayardo et al.'s AllPairs / Xiao et al.'s
+    * PPJoin family), result-identical to [[ngramJaccardOf]]: order every
+    * doc's shingles by one global order (corpus frequency asc — rarest
+    * first — shingle hash as tie-break) and index only each doc's first
+    * `|d| − ⌈t·|d|⌉ + 1` shingles. For Jaccard ≥ t a qualifying pair has
+    * overlap ≥ t·max(|a|,|b|), and under a consistent total order two
+    * sets with that much overlap must collide inside these prefixes —
+    * recall is exactly 1. The point at 100 TB: hot (frequent) shingles
+    * are precisely what the ordering pushes OUT of the index, so the
+    * k²-pairs hot-shingle blowup of the plain inverted join cannot
+    * happen. On this corpus (near-unique shingles) the extra frequency
+    * and window passes cost more than they save — DedupSpec proves
+    * equality, the bench runs the plain join. */
+  def ngramJaccardPrefixOf(docs: DataFrame, t: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = hashedShingles(docs).cache()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardOf(sh, Some(candidates))
+      .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

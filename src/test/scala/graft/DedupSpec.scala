@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
   }
 
+  test("prefix-filtered jaccard equals the exhaustive inverted join") {
+    val corpus = Tables.documents(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val plain = pairs(Dedup.ngramJaccardOf(corpus))
+    val prefixed = pairs(Dedup.ngramJaccardPrefixOf(corpus))
+    assert(plain.nonEmpty)
+    assert(prefixed === plain) // prefix filter: recall exactly 1 at t=0.8
+  }
+
   test("shingles: doc shorter than n tokens contributes nothing") {
     val sh = Dedup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"))
     assert(sh.count() === 0)
