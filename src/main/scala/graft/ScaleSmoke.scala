@@ -58,6 +58,24 @@ object ScaleSmoke {
       time("dedup_minhash (no pre-dedup)") {
         graft.dedup.Dedup.minhashLshOf(docs).count()
       }
+      // Hot-shingle head-to-head on the shape prefix filtering is built
+      // for: DISSIMILAR docs sharing boilerplate (license-header style).
+      // The boilerplate shingles appear in every doc, so the plain
+      // inverted join emits ~|boilerplate| × n²/2 candidate pairs that
+      // all fail verification, while the frequency ordering evicts
+      // exactly those shingles from every prefix. (A corpus of true
+      // duplicates is NOT this case — there the output itself is
+      // quadratic and no candidate filter can help.)
+      val boiler = " copyright notice all rights reserved this document" +
+        " is provided as is without warranty of any kind express or implied"
+      val bdocs = Tables.documents(spark, d).limit(5000)
+        .withColumn("text", concat(col("text"), lit(boiler)))
+      time("ngram plain (boilerplate-hot)") {
+        graft.dedup.Dedup.ngramJaccardOf(bdocs).count()
+      }
+      time("ngram prefix-filtered (boilerplate-hot)") {
+        graft.dedup.Dedup.ngramJaccardPrefixOf(bdocs).count()
+      }
     }
     time("simhash fingerprints") {
       graft.dedup.Dedup.simhashFingerprints(docs).count()
