@@ -7,9 +7,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is materialized through the `noop` sink — unlike
   * `count()`, that computes every output column (no count-only plan
-  * pruning) without paying any write cost. One tiny warmup pass at
-  * sf0.001 first, so JVM/codegen warmup isn't billed to the first
-  * measured query. */
+  * pruning) without paying any write cost. Every query is warmed once
+  * at sf0.01 first, so JVM/codegen warmup isn't billed to the measured
+  * run (details at the warmup loop below). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,14 +26,15 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // Warmup: every query once at the smallest SF (JIT, codegen,
-    // classloading). Spark's generated-code cache is keyed on source
-    // text, which doesn't include the input path — so each sf0.001 pass
-    // compiles exactly the classes the measured sf run will reuse, and
-    // the measured numbers reflect steady-state throughput rather than
-    // one-off JVM cold-start (what matters for a long-lived cluster job).
-    // sf0.01 (not sf0.001): enough rows per operator that the generated
-    // loops cross the C2 JIT threshold during warmup, not mid-measurement.
+    // Warmup: every query once at sf0.01 (JIT, codegen, classloading).
+    // Spark's generated-code cache is keyed on source text, which doesn't
+    // include the input path — so each warmup pass compiles exactly the
+    // classes the measured run reuses, and the measured numbers reflect
+    // steady-state throughput rather than one-off JVM cold-start (what
+    // matters for a long-lived cluster job). sf0.01 rather than sf0.001:
+    // enough rows that the generated loops cross the C2 JIT threshold
+    // during warmup, not mid-measurement. A missing warmup dir degrades
+    // to a cold-start measurement (failures are swallowed per query).
     val warmDir = "/root/testdata/sf0.01"
     SparkEntry.queries.values.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => () }

@@ -39,8 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "minhash_bands(h) - 32 LSH band keys fused into the MinHash sketch"),
       (exprs: Seq[Expression]) =>
-        MinHashAgg(exprs.head, MinHashAgg.DefaultA, MinHashAgg.DefaultB, bands = 32)
-          .toAggregateExpression()))
+        MinHashAgg(exprs.head, MinHashAgg.DefaultA, MinHashAgg.DefaultB,
+          bands = MinHashAgg.DefaultBands).toAggregateExpression()))
   }
 }
 

@@ -12,30 +12,48 @@ object Tables {
   /** Resolved-relation cache: the corpus under a given path is immutable,
     * so the same DataFrame (and with it the file listing + parquet footer
     * schema) is reused across the dozens of per-query calls instead of
-    * being re-resolved every time. Keyed by session so tests with fresh
-    * sessions never share state. */
+    * being re-resolved every time. Outer map is WEAK on the session, so a
+    * stopped/discarded SparkSession (and every plan cached under it) is
+    * GC-able — a long-lived JVM creating many sessions never accumulates
+    * dead entries. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def cached(spark: SparkSession, key: (String, String))
+      (resolve: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(key, resolve)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+    cached(spark, (sfDir, name))(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright. We read nanos as a long
     * (legacy knob, set dynamically — it is a runtime SQLConf) and truncate
     * to microseconds, exactly like DuckDB's parquet scan does, so oracle
     * comparisons see identical values. */
-  private def loadNanosAware(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, s"$name#nanos"), {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def loadNanosAware(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // set on every call (not just the cache miss): execution of the plan
+    // needs the conf live, and a caller may have reset it since
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cached(spark, (sfDir, s"$name#nanos")) {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         .map(_ => df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000"))))
         .getOrElse(df)
-    })
+    }
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")

@@ -119,7 +119,8 @@ object Dedup extends QueryPack {
   // ---------- n-gram Jaccard ----------
 
   /** Near-dup pairs with trigram-shingle Jaccard >= 0.8, candidates from
-    * a prefix-filtered inverted-index join (AllPairs/PPJoin family). */
+    * the plain inverted-index self-join (see [[ngramJaccardOf]]; the
+    * prefix-filtered variant is [[ngramJaccardPrefixOf]]). */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame =
     ngramJaccardOf(Tables.documents(spark, d))
 
@@ -162,10 +163,14 @@ object Dedup extends QueryPack {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "shingle")
+    // cached: jaccardOf reads the candidate set from three plan branches,
+    // and the prefix pipeline (freq agg + two windows + self-join) is the
+    // expensive part worth computing once — same reason minhashLshOf
+    // caches its candidates
     val candidates = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b").distinct().cache()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
@@ -174,9 +179,9 @@ object Dedup extends QueryPack {
 
   // ---------- MinHash + LSH ----------
 
-  private val NumPerms = 128
-  private val Bands = 32
-  private val RowsPerBand = NumPerms / Bands
+  // 128 permutations / 32 bands × 4 rows — shared with the session
+  // extension surface through MinHashAgg.DefaultBands
+  private val Bands = graft.functions.MinHashAgg.DefaultBands
 
   /** Fixed affine permutation constants for `(h*a + b) mod p` (p =
     * 2^31-1, prime — the modulus is what makes each permutation reorder

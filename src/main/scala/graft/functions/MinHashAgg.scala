@@ -134,6 +134,12 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  /** Band count the engine uses everywhere (128 perms / 32 bands × 4
+    * rows): [[graft.dedup.Dedup]]'s LSH candidates and the session
+    * extensions' `minhash_bands` must agree on this or the same function
+    * name would mean two different sketches. */
+  val DefaultBands = 32
+
   /** Default permutation constants (fixed seeds; odd multipliers < 2^30
     * so `h*a + b` never overflows for 32-bit-masked inputs). */
   lazy val DefaultA: Array[Long] = {

@@ -113,7 +113,12 @@ object Similarity extends QueryPack {
     * it is collected and re-broadcast per iteration — the same
     * driver-holds-the-model structure MLlib's KMeans uses, which keeps
     * every iteration's plan flat instead of nesting joins. Deterministic:
-    * seeded from the first `nlist` vectors by id, ties broken by cid. */
+    * seeded from the first `nlist` vectors by id, ties broken by cid, and
+    * the per-dimension means are summed in exact decimal (the repo's
+    * never-sum-doubles policy) so the centroids are identical for any
+    * partitioning or core count. A cluster that loses every member drops
+    * out of the model (standard Lloyd behavior — nlist is an upper
+    * bound). */
   def trainCentroids(spark: SparkSession, all: DataFrame,
       nlist: Int, iters: Int): DataFrame = {
     val s = spark
@@ -129,10 +134,13 @@ object Similarity extends QueryPack {
         .select(col("cid"), col("v"))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+               .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("sx"),
+             count(lit(1)).as("n"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sx / n))), " +
-          "p -> p.col2)").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, " +
+          "CAST(sx AS DOUBLE) / n))), p -> p.col2)").as("cv"))
       updated.select(col("cid"), col("cv")).as[(Long, Seq[Double])]
         .collect().toSeq.toDF("cid", "cv")
     }
