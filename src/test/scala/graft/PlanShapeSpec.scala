@@ -26,6 +26,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!f.contains("l_orderkey"), "unused columns must be pruned from the scan")
   }
 
+  test("q6: all scan predicates pushed; single-stage scan + ungrouped agg") {
+    val f = formatted(queries.Relational.q6Forecast(spark, sf0001))
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound pushed")
+    assert(f.contains("LessThan(l_shipdate"), "shipdate upper bound pushed")
+    assert(f.contains("GreaterThanOrEqual(l_discount"), "discount bounds pushed")
+    assert(f.contains("LessThan(l_quantity"), "quantity bound pushed")
+    assert(!f.contains("Exchange hashpartitioning"),
+      "ungrouped agg needs only the final single-partition exchange")
+  }
+
   test("q3/q5: dimension joins broadcast, no shuffle on the small side") {
     val f3 = planOf(queries.Relational.q3TopK(spark, sf0001))
     assert(f3.contains("BroadcastHashJoin"), "customer side must broadcast")
