@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed goldens and partitioning-invariance checks for the
+  * round-2 query surface — properties the DuckDB oracle proves at
+  * sf0.01 but that deserve a pinpoint regression test on inputs small
+  * enough to verify by hand. */
+class NewQueryGoldensSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample_det: identical rows for any input partitioning") {
+    def keys(parts: Int) = Tables.orders(spark, sf0001)
+      .repartition(parts)
+      .filter((col("o_orderkey") * 2654435761L) % 4294967296L < 214748364L)
+      .select("o_orderkey").as[Long].collect().toSet
+    val a = keys(1)
+    assert(a.nonEmpty)
+    assert(keys(13) === a)
+  }
+
+  test("tfidf: hand-computed scores on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"), // tf(apple)=2, banana in 2 docs
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .select("doc_id", "term", "score")
+      .as[(Long, String, Double)].collect()
+      .map { case (d, t, s) => (d, t) -> s }.toMap
+    // apple: df=1 → tf*3/1; banana: df=2 → tf*3/2; cherry: df=2
+    assert(scored((1L, "apple")) === 6.0)   // tf 2 × 3 / 1
+    assert(scored((1L, "banana")) === 1.5)  // tf 1 × 3 / 2
+    assert(scored((3L, "cherry")) === 3.0)  // tf 2 × 3 / 2
+    assert(scored((3L, "date")) === 3.0)    // tf 1 × 3 / 1
+  }
+
+  test("window_frames golden: 5 orders for one customer") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Seq(
+      (1L, "2026-01-01", 10.0), (2L, "2026-01-02", 20.0), (3L, "2026-01-03", 30.0),
+      (4L, "2026-01-04", 40.0), (5L, "2026-01-05", 50.0))
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .select(lit(7L).as("o_custkey"), col("o_orderkey"),
+        col("d").cast("date").as("o_orderdate"), col("o_totalprice"))
+    val tp = col("o_totalprice").cast(DecimalType(18, 2))
+    val wo = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w3 = wo.rowsBetween(-3, Window.currentRow)
+    val got = orders.select(col("o_orderkey"),
+        sum(tp).over(w3).cast("double").as("mov_sum"),
+        count(lit(1)).over(w3).as("mov_n"),
+        (tp - lag(tp, 1, 0).over(wo)).cast("double").as("delta"),
+        percent_rank().over(wo).as("pr"))
+      .as[(Long, Double, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(10.0, 30.0, 60.0, 100.0, 140.0)) // 4-row frame
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L, 4L))
+    assert(got.map(_._4).toSeq === Seq(10.0, 10.0, 10.0, 10.0, 10.0))
+    assert(got.map(_._5).toSeq === Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+  }
+
+  test("minhash_bands: identical docs identical keys; 32 keys; near-dups collide") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy cat again and again"),
+      (2L, "completely different words nothing shared at all here truly"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    graft.functions.MinHashAgg.registerBands(spark,
+      graft.functions.MinHashAgg.DefaultA, graft.functions.MinHashAgg.DefaultB,
+      graft.functions.MinHashAgg.DefaultBands)
+    val bands = graft.dedup.Dedup.hashedShingles(docs)
+      .withColumn("h", expr("shingle & 4294967295"))
+      .groupBy("doc_id").agg(expr("minhash_bands(h)").as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(0L).length === 32)
+    assert(bands(0L) === bands(3L)) // identical docs → identical band keys
+    // near-dups (1 token differs) share at least one band at 32×4
+    assert(bands(0L).zip(bands(1L)).exists { case (a, b) => a == b })
+    // unrelated docs share no band (4 exact minima agreeing is ~impossible)
+    assert(!bands(0L).zip(bands(2L)).exists { case (a, b) => a == b })
+  }
+}
