@@ -37,6 +37,32 @@ object EventSink {
       .partitionBy("event_month")
       .parquet(path)
 
+  /** Compact one closed month partition into a Z-ordered layout:
+    * instead of the lexicographic (event_time, product_id) sort — whose
+    * min/max stats only skip on time — cluster rows along the Morton
+    * curve of (minute-bucketed time, product_id) so every file bounds
+    * BOTH dimensions and a product-only predicate also skips files
+    * ([[graft.operators.ZOrder]]; ZOrderSpec measures ~4× fewer files
+    * touched per product on a uniform grid). Use for read-heavy closed
+    * months where product-scoped queries matter. */
+  def compactMonthZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
+      month: String, targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val partDir = s"$path/event_month=$month"
+    val tmpDir = s"$path/.compacting_event_month=$month"
+    val zk = graft.operators.ZOrder.zkey(
+      (unix_micros(col("event_time")) / 60000000L).cast("long"), col("product_id"))
+    spark.read.parquet(partDir)
+      .withColumn("_zk", zk)
+      .repartitionByRange(targetFiles, col("_zk"))
+      .sortWithinPartitions("_zk")
+      .drop("_zk")
+      .write.mode("overwrite").parquet(tmpDir)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(partDir), true)
+    fs.rename(new Path(tmpDir), new Path(partDir))
+  }
+
   /** Compact one closed month partition: streaming appends leave one
     * small sorted file per micro-batch; this rewrites the partition as
     * few large files re-sorted on the table's sort key, restoring
