@@ -310,7 +310,23 @@ object Extended extends QueryPack {
       .orderBy("segment")
   }
 
+  /** Heavy hitters per user bucket via the Misra–Gries sketch aggregate
+    * ([[graft.functions.FreqItemsAgg]]): k=3 counters per group instead
+    * of a full (bucket, event_type) group-by — the sketch shape that
+    * replaces a cardinality-bound aggregation at 100 TB. Approximate ⇒
+    * rows-only (estimates depend on merge order; the guarantee itself is
+    * pinned in FreqItemsSpec). */
+  def freqItems(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.FreqItemsAgg.register(spark, 3)
+    Tables.events(spark, d)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(expr("freq_items(event_type)").as("m"))
+      .select(col("bucket"), explode(col("m")).as(Seq("item", "est_count")))
+      .orderBy("bucket", "item")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "freq_items" -> freqItems,
     "above_avg_orders" -> aboveAvgOrders,
     "full_outer_join" -> fullOuterJoin,
     "sample_det" -> sampleDet,

@@ -124,12 +124,33 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id", "rn")
   }
 
+  /** Repetition ratio — the duplicated-n-gram degeneracy signal a
+    * pretraining filter runs (loops, boilerplate spam, "aaaa..." text
+    * score high): the most frequent trigram's share of all trigram
+    * occurrences per document. Non-distinct trigrams, so repeats count;
+    * docs shorter than 3 tokens are excluded (no trigram exists). */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    val tri = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("tri"))
+    tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_trigrams"), max(col("c")).as("max_tri"))
+      .withColumn("rep_ratio", col("max_tri").cast("double") / col("n_trigrams"))
+      .select("doc_id", "n_trigrams", "max_tri", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "text_lang_confusion" -> langConfusion,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
     "text_fingerprint" -> fingerprints,
-    "text_tfidf" -> tfidfTopTerms)
+    "text_tfidf" -> tfidfTopTerms,
+    "text_repetition" -> repetition)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -197,5 +218,18 @@ object TextAnalysis extends QueryPack {
         |                 ORDER BY score DESC, term) AS BIGINT) AS rn
         |  FROM scored) t
         |WHERE rn <= 3
-        |ORDER BY doc_id, rn""".stripMargin)
+        |ORDER BY doc_id, rn""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams, MAX(c) AS max_tri,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
