@@ -144,13 +144,55 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Document chunking — overlapping token windows (window 50, stride
+    * 40), the context-window splitting stage of a training-data
+    * pipeline. Chunk count per doc: 1 if it fits one window, else
+    * 1 + ⌈(n−W)/S⌉; the final chunk may run short. Narrow projection +
+    * explode: no shuffle, scales with scan bandwidth. */
+  def docChunks(spark: SparkSession, d: String): DataFrame = {
+    val W = 50; val S = 40
+    Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(0, cast(ceil((n - $W) / $S.0) as int))), " +
+          s"i -> named_struct('idx', i, " +
+          s"'chunk', concat_ws(' ', slice(toks, i * $S + 1, $W))))")).as("c"))
+      .select(col("doc_id"),
+        col("c.idx").cast("long").as("chunk_idx"),
+        col("c.chunk").as("chunk_text"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Sequence packing — assign documents (in doc_id order, per source
+    * group) to fixed-budget token bins: pack_id = ⌊tokens-before / B⌋.
+    * This is the contiguous-fill packing a pretraining loader uses to
+    * batch documents into context windows; partitioned by `source` so
+    * the window parallelizes by group instead of one global sort. */
+  def docPacking(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before div $B"))
+      .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "text_lang_confusion" -> langConfusion,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
     "text_fingerprint" -> fingerprints,
     "text_tfidf" -> tfidfTopTerms,
-    "text_repetition" -> repetition)
+    "text_repetition" -> repetition,
+    "doc_chunks" -> docChunks,
+    "doc_packing" -> docPacking)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -231,5 +273,34 @@ object TextAnalysis extends QueryPack {
         |cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams, MAX(c) AS max_tri,
         |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
-        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      greatest(0, CAST(ceil((n - 50) / 40.0) AS INTEGER)))) AS chunk_idx,
+        |    t, n
+        |  FROM toks)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(t, chunk_idx * 40 + 1,
+        |    least(n, chunk_idx * 40 + 50)), ' ') AS chunk_text,
+        |  CAST(least(n, chunk_idx * 40 + 50) - chunk_idx * 40 AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "doc_packing" ->
+      """SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(SUM(len(string_split(text, ' ')))
+        |    OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS tokens_before,
+        |  CAST(coalesce(SUM(len(string_split(text, ' ')))
+        |    OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) // 512 AS pack_id
+        |FROM documents ORDER BY source, doc_id""".stripMargin)
 }
