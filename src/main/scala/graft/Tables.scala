@@ -12,25 +12,20 @@ object Tables {
   /** Resolved-relation cache: the corpus under a given path is immutable,
     * so the same DataFrame (and with it the file listing + parquet footer
     * schema) is reused across the dozens of per-query calls instead of
-    * being re-resolved every time. Outer map is WEAK on the session, so a
-    * stopped/discarded SparkSession (and every plan cached under it) is
-    * GC-able — a long-lived JVM creating many sessions never accumulates
-    * dead entries. */
+    * being re-resolved every time. Weak references don't work here — a
+    * DataFrame strongly references its session, which would pin a weak
+    * key forever — so eviction is explicit instead: every access purges
+    * entries whose session has been stopped, bounding the cache to live
+    * sessions. */
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def cached(spark: SparkSession, key: (String, String))
       (resolve: => DataFrame): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        cache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(key, resolve)
+    cache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(cache.remove)
+    cache.getOrElseUpdate((spark, key._1, key._2), resolve)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

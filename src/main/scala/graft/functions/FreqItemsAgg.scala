@@ -33,6 +33,8 @@ case class FreqItemsAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.LinkedHashMap[String, Long]] {
 
+  require(k >= 1, s"freq_items needs at least one counter, got k=$k")
+
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
   override def nullable: Boolean = false

@@ -33,6 +33,11 @@ case class MinHashAgg(
   private val numPerms = permA.length
   private val Prime = 2147483647L // 2^31 - 1
 
+  require(permA.length == permB.length, "permA/permB length mismatch")
+  require(bands >= 0 && (bands == 0 || numPerms % bands == 0),
+    s"bands ($bands) must divide the permutation count ($numPerms) — " +
+    "otherwise trailing minima would silently drop out of the banding")
+
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -37,6 +37,40 @@ object EventSink {
       .partitionBy("event_month")
       .parquet(path)
 
+  /** Rewrite one closed month partition through a transform, with a
+    * swap that never destroys data it hasn't replaced: write the new
+    * copy aside, move the live partition out of the way, move the new
+    * copy in, and only then delete the old. A crash mid-swap can leave
+    * the month temporarily invisible (dot-prefixed dirs are ignored by
+    * readers) but every row still exists in exactly one of the aside or
+    * tmp dirs — unlike delete-then-rename, which loses the partition if
+    * the rename never happens. */
+  private def rewriteMonth(spark: org.apache.spark.sql.SparkSession, path: String,
+      month: String)(transform: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val partDir = new Path(s"$path/event_month=$month")
+    val tmpDir = new Path(s"$path/.compacting_event_month=$month")
+    val asideDir = new Path(s"$path/.replaced_event_month=$month")
+    transform(spark.read.parquet(partDir.toString))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(asideDir, true) // leftovers from an earlier failed swap
+    require(fs.rename(partDir, asideDir), s"could not move $partDir aside")
+    require(fs.rename(tmpDir, partDir), s"could not move $tmpDir into place")
+    fs.delete(asideDir, true)
+  }
+
+  /** Compact one closed month partition: streaming appends leave one
+    * small sorted file per micro-batch; this rewrites the partition as
+    * few large files re-sorted on the table's sort key, restoring
+    * optimal row-group skipping. Closed months are immutable, so the
+    * rewrite is safe; run it per month as months roll over. */
+  def compactMonth(spark: org.apache.spark.sql.SparkSession, path: String,
+      month: String, targetFiles: Int = 1): Unit =
+    rewriteMonth(spark, path, month)(
+      _.repartition(targetFiles)
+        .sortWithinPartitions("event_time", "product_id"))
+
   /** Compact one closed month partition into a Z-ordered layout:
     * instead of the lexicographic (event_time, product_id) sort — whose
     * min/max stats only skip on time — cluster rows along the Morton
@@ -47,40 +81,12 @@ object EventSink {
     * months where product-scoped queries matter. */
   def compactMonthZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
       month: String, targetFiles: Int = 1): Unit = {
-    import org.apache.hadoop.fs.Path
-    val partDir = s"$path/event_month=$month"
-    val tmpDir = s"$path/.compacting_event_month=$month"
     val zk = graft.operators.ZOrder.zkey(
       (unix_micros(col("event_time")) / 60000000L).cast("long"), col("product_id"))
-    spark.read.parquet(partDir)
-      .withColumn("_zk", zk)
-      .repartitionByRange(targetFiles, col("_zk"))
-      .sortWithinPartitions("_zk")
-      .drop("_zk")
-      .write.mode("overwrite").parquet(tmpDir)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(partDir), true)
-    fs.rename(new Path(tmpDir), new Path(partDir))
-  }
-
-  /** Compact one closed month partition: streaming appends leave one
-    * small sorted file per micro-batch; this rewrites the partition as
-    * few large files re-sorted on the table's sort key, restoring
-    * optimal row-group skipping. Closed months are immutable, so the
-    * rewrite is safe; run it per month as months roll over. */
-  def compactMonth(spark: org.apache.spark.sql.SparkSession, path: String,
-      month: String, targetFiles: Int = 1): Unit = {
-    import org.apache.hadoop.fs.Path
-    val partDir = s"$path/event_month=$month"
-    val tmpDir = s"$path/.compacting_event_month=$month"
-    // write the compacted copy aside, then swap atomically-enough:
-    // never read and overwrite the same files in one job
-    spark.read.parquet(partDir)
-      .repartition(targetFiles)
-      .sortWithinPartitions("event_time", "product_id")
-      .write.mode("overwrite").parquet(tmpDir)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(partDir), true)
-    fs.rename(new Path(tmpDir), new Path(partDir))
+    rewriteMonth(spark, path, month)(
+      _.withColumn("_zk", zk)
+        .repartitionByRange(targetFiles, col("_zk"))
+        .sortWithinPartitions("_zk")
+        .drop("_zk"))
   }
 }

@@ -60,17 +60,21 @@ object Multimodal extends QueryPack {
       .mapPartitions(rows => rows.map(MediaCodec.decodeStub))
   }
 
-  /** Oracle-checked metadata query: the deterministic part of the decode
-    * (byte length → fake dimensions) expressed as pure columns, so the
-    * binary plumbing is verifiable end-to-end in SQL. */
-  def mmMeta(spark: SparkSession, d: String): DataFrame =
+  /** The deterministic metadata projection (byte length → fake
+    * dimensions), unsorted — the building block both queries share. */
+  private def metaProjection(spark: SparkSession, d: String): DataFrame =
     mediaTable(spark, d)
       .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
       .withColumn("width", (lit(64) + col("n_bytes") % 192).cast("int"))
       .withColumn("height", (lit(64) + (col("n_bytes") * 31) % 192).cast("int"))
       .withColumn("n_frames", (lit(1) + col("n_bytes") % 8).cast("int"))
       .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames")
-      .orderBy("doc_id")
+
+  /** Oracle-checked metadata query: the deterministic part of the decode
+    * expressed as pure columns, so the binary plumbing is verifiable
+    * end-to-end in SQL. */
+  def mmMeta(spark: SparkSession, d: String): DataFrame =
+    metaProjection(spark, d).orderBy("doc_id")
 
   /** Frame-sampling plumbing: ≤4 uniformly-spaced frame indices per media
     * row plus their byte offsets — the seek table a video frame-sampler
@@ -79,7 +83,7 @@ object Multimodal extends QueryPack {
     * sampling plan is oracle-checkable end to end, and at scale the
     * sampler reads only the sampled offsets instead of whole payloads. */
   def mmFrameSample(spark: SparkSession, d: String): DataFrame =
-    mmMeta(spark, d)
+    metaProjection(spark, d) // unsorted: the final orderBy is the only sort
       .withColumn("step", expr("(n_frames + 3) div 4"))
       .withColumn("frame_idx",
         explode(expr("filter(sequence(0, n_frames - 1), x -> x % step = 0)")))
