@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search"): split each (unit-normalized) vector into
+  * `M` subspaces, k-means each subspace to `K` codewords, store each
+  * vector as `M` small codes — 8 codes instead of 64 doubles is a 64×
+  * shuffle/memory reduction for the candidate set. Search is ADC
+  * (asymmetric distance): per query, one `M × K` lookup table of
+  * subspace distances, then each candidate's distance is a sum of `M`
+  * table entries — no float vectors touched at scan time.
+  *
+  * On unit vectors, squared L2 is `2 − 2·cosine`, so ADC ranking
+  * approximates the cosine ranking the exact operators use.
+  *
+  * All Lloyd training runs as ONE distributed pass per iteration over
+  * every subspace at once (subspace id `m` is just a column); centroid
+  * state is `M × K × subDim` doubles, collected per iteration exactly
+  * like [[Similarity.trainCentroids]]. Means are decimal-exact for
+  * run-to-run determinism. */
+object ProductQuantizer {
+
+  private val sqDist = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** (vec_id, m, sv): the M sub-vectors of each unit-normalized vector. */
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(u, i * $subDim + 1, $subDim))"))
+        .as(Seq("m", "sv")))
+
+  /** Nearest codeword per (vector, subspace); ties broken by cid. */
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cid"))
+    sub.join(broadcast(cents), "m")
+      .withColumn("d", expr(sqDist.format("sv", "cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("d"))
+  }
+
+  /** Train the `M × K` codebook with Lloyd iterations. Returns
+    * (m, cid, cv). Deterministic (decimal-exact means, id-seeded). */
+  def train(spark: SparkSession, vecs: DataFrame,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    trainFrom(spark, subVectors(vecs, m, subDim).cache(), k, iters)
+
+  /** Same, over an already-built (and ideally cached) sub-vector frame —
+    * lets [[adcTopK]] share one explode across train/encode/LUT. */
+  private def trainFrom(spark: SparkSession, sub: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val seed = sub.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val updated = assign(sub, cents)
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos")
+        .agg(sum(col("x").cast(DecimalType(28, 12)))
+               .cast(DecimalType(38, 12)).as("sx"),
+             count(lit(1)).as("n"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, " +
+          "CAST(sx AS DOUBLE) / n))), p -> p.col2)").as("cv"))
+      updated.select(col("m"), col("cid"), col("cv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq.toDF("m", "cid", "cv")
+    }
+  }
+
+  /** Encode every vector as its M codes: (vec_id, codes ARRAY<INT>). */
+  def encode(sub: DataFrame, cents: DataFrame): DataFrame =
+    assign(sub, cents)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)")
+        .as("codes"))
+
+  /** ADC top-k: query sub-vectors × codebook = the per-query lookup
+    * table; candidates join it on (m, code) and sum M entries. */
+  def adcTopK(spark: SparkSession, vecs: DataFrame,
+      m: Int, subDim: Int, k: Int, iters: Int,
+      isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    // one explode, cached: feeds every Lloyd pass, the encode, and the LUT
+    val sub = subVectors(vecs, m, subDim).cache()
+    val cents = trainFrom(spark, sub, k, iters)
+    val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
+    val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), "m")
+      .withColumn("d", expr(sqDist.format("sv", "cv")))
+      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(lut, Seq("m", "cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -183,11 +183,37 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantized ANN ([[ProductQuantizer]]): 8 subspaces × 16
+    * codewords over the unit-normalized 64-dim embeddings — each corpus
+    * vector becomes 8 small codes. Production shape: the ADC code scan
+    * produces a 40-candidate shortlist per query (2% of the corpus —
+    * the only stage that touches every vector, and it reads codes, not
+    * floats), then the shortlist alone is re-ranked with exact cosine.
+    * Approximate ⇒ rows-only. */
+  def annPq(spark: SparkSession, d: String): DataFrame = {
+    val v = vecs(spark, d)
+    val shortlist = ProductQuantizer.adcTopK(spark, v,
+      m = 8, subDim = 8, k = 16, iters = 2,
+      isQuery = col("vec_id") < 10, topK = 40)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and

@@ -105,6 +105,16 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs exact top-5 fell to $recall")
   }
 
+  test("PQ ANN (ADC shortlist + exact re-rank): recall stays useful") {
+    val exact = graft.similarity.Similarity.annTopK(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.similarity.Similarity.annPq(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall vs exact top-5 fell to $recall")
+  }
+
   test("exact ANN equals its own re-ranking: rank column is 1..5 per query") {
     val r = graft.similarity.Similarity.annTopK(spark, sf0001)
       .groupBy("query_id").agg(collect_list("rank").as("ranks"))
