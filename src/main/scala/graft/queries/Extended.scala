@@ -325,7 +325,76 @@ object Extended extends QueryPack {
       .orderBy("bucket", "item")
   }
 
+  /** Month-over-month revenue growth: aggregate to a monthly series,
+    * then LAG + exact-decimal delta and a double growth ratio — the
+    * time-series reporting shape layered on a grouped aggregate. */
+  def monthlyGrowth(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    val monthly = Tables.orders(spark, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .withColumn("growth_pct",
+        col("delta").cast("double") / col("prev_revenue").cast("double") * 100)
+      .orderBy("month")
+  }
+
+  /** RFM segmentation: per customer, days since last order (vs the
+    * corpus max date, so it's deterministic), order count, exact-decimal
+    * spend, and NTILE quartiles of each — the classic customer-scoring
+    * query (joins, window quartiles, decimal aggregates in one). */
+  def customerRfm(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+    val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val per = orders.crossJoin(maxDate)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        datediff(first(col("max_d")), max(col("o_orderdate"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+    def quartile(c: String, asc: Boolean) = ntile(4).over(
+      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey"))).cast("long")
+    per
+      .withColumn("r_q", quartile("recency_days", asc = true))
+      .withColumn("f_q", quartile("frequency", asc = false))
+      .withColumn("m_q", quartile("monetary", asc = false))
+      .select("o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q")
+      .orderBy("o_custkey")
+  }
+
+  /** Column profiling — the data-quality pass an ingest pipeline runs
+    * per table: row count, null count, distinct count, min/max per
+    * profiled column, as one narrow aggregate per column union'd into a
+    * tall report. Min/max are normalized per type (decimal scale for
+    * doubles, fixed format for timestamps) BEFORE the string cast, so
+    * both engines render identical bytes. */
+  def profileOrders(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val o = Tables.orders(spark, d)
+    def prof(c: String, norm: Column => Column) = o.agg(
+      lit(c).as("column_name"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      norm(min(col(c))).cast("string").as("min_val"),
+      norm(max(col(c))).cast("string").as("max_val"))
+    val ident = (x: Column) => x
+    Seq(
+      prof("o_custkey", ident),
+      prof("o_orderstatus", ident),
+      prof("o_totalprice", _.cast(DecimalType(18, 2))),
+      prof("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
+      .reduce(_ unionByName _)
+      .orderBy("column_name")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "monthly_growth" -> monthlyGrowth,
+    "customer_rfm" -> customerRfm,
+    "profile_orders" -> profileOrders,
     "freq_items" -> freqItems,
     "above_avg_orders" -> aboveAvgOrders,
     "full_outer_join" -> fullOuterJoin,
@@ -362,6 +431,60 @@ object Extended extends QueryPack {
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
         |ORDER BY o_orderkey""".stripMargin,
+    "monthly_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        |  LAG(revenue, 1) OVER w AS prev_revenue,
+        |  revenue - LAG(revenue, 1) OVER w AS delta,
+        |  CAST(revenue - LAG(revenue, 1) OVER w AS DOUBLE)
+        |    / CAST(LAG(revenue, 1) OVER w AS DOUBLE) * 100 AS growth_pct
+        |FROM m WINDOW w AS (ORDER BY month) ORDER BY month""".stripMargin,
+    "customer_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate), (SELECT max_d FROM mx)) AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+        |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+        |  CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_q
+        |FROM per ORDER BY o_custkey""".stripMargin,
+    "profile_orders" ->
+      """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_totalprice),
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderdate),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
     "time_parts" ->
       """SELECT event_id,
         |  CAST(date_part('year', ts) AS BIGINT) AS y,
