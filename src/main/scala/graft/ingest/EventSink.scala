@@ -51,10 +51,15 @@ object EventSink {
     val partDir = new Path(s"$path/event_month=$month")
     val tmpDir = new Path(s"$path/.compacting_event_month=$month")
     val asideDir = new Path(s"$path/.replaced_event_month=$month")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery from a crash between the two renames of an earlier run:
+    // the data then lives only in asideDir — put it back before redoing
+    // the rewrite, so re-running the compactor always self-heals
+    if (!fs.exists(partDir) && fs.exists(asideDir))
+      require(fs.rename(asideDir, partDir), s"could not restore $asideDir")
     transform(spark.read.parquet(partDir.toString))
       .write.mode("overwrite").parquet(tmpDir.toString)
-    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(asideDir, true) // leftovers from an earlier failed swap
+    fs.delete(asideDir, true) // leftovers from an earlier completed swap
     require(fs.rename(partDir, asideDir), s"could not move $partDir aside")
     require(fs.rename(tmpDir, partDir), s"could not move $tmpDir into place")
     fs.delete(asideDir, true)

@@ -373,21 +373,28 @@ object Extended extends QueryPack {
     * both engines render identical bytes. */
   def profileOrders(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Column
-    val o = Tables.orders(spark, d)
-    def prof(c: String, norm: Column => Column) = o.agg(
-      lit(c).as("column_name"),
-      count(lit(1)).as("n_rows"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      norm(min(col(c))).cast("string").as("min_val"),
-      norm(max(col(c))).cast("string").as("max_val"))
     val ident = (x: Column) => x
-    Seq(
-      prof("o_custkey", ident),
-      prof("o_orderstatus", ident),
-      prof("o_totalprice", _.cast(DecimalType(18, 2))),
-      prof("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
-      .reduce(_ unionByName _)
+    val cols: Seq[(String, Column => Column)] = Seq(
+      ("o_custkey", ident),
+      ("o_orderstatus", ident),
+      ("o_totalprice", _.cast(DecimalType(18, 2))),
+      ("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
+    // ONE scan: all per-column measures in a single aggregate (Spark
+    // plans the multiple COUNT(DISTINCT)s via one Expand), then unpivot
+    // to the tall report shape
+    val measures = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, norm) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      norm(min(col(c))).cast("string").as(s"${c}__min"),
+      norm(max(col(c))).cast("string").as(s"${c}__max"))
+    }
+    val wide = Tables.orders(spark, d).agg(measures.head, measures.tail: _*)
+    wide.select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}__null").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"))
+      }: _*)).as("p"))
+      .select("p.*")
       .orderBy("column_name")
   }
 

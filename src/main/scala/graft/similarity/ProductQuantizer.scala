@@ -59,8 +59,14 @@ object ProductQuantizer {
       k: Int, iters: Int): DataFrame = {
     val s = spark
     import s.implicits._
-    val seed = sub.filter(col("vec_id") < k)
-      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    // seed from the first k vectors IN RANK ORDER (not `vec_id < k`,
+    // which breaks for non-zero-based or sparse id spaces)
+    val seedIds = sub.select(col("vec_id")).distinct()
+      .orderBy("vec_id").limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    val seed = sub.join(seedIds, "vec_id")
+      .select(col("m"), col("cid"), col("sv").as("cv"))
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val updated = assign(sub, cents)
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -99,11 +105,15 @@ object ProductQuantizer {
       .select(col("query_id"), col("m"), col("cid"), col("d"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
+    // decimal-exact sum of the M table entries: a double sum's merge
+    // order follows shuffle fetch order, and a last-ulp difference at
+    // the shortlist boundary would make the result run-dependent
     codes.select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "cid")))
       .join(lut, Seq("m", "cid"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d")).as("adc_dist"))
+      .agg(sum(col("d").cast(DecimalType(20, 14)))
+        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id", "adc_dist", "rank")

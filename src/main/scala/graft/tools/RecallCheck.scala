@@ -11,8 +11,10 @@ object RecallCheck {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(graft.similarity.Similarity.annTopK(spark, d))
-    val ivf = pairs(graft.similarity.Similarity.annIvf(spark, d))
-    println(f"RECALL=${exact.intersect(ivf).size.toDouble / exact.size}%.3f")
+    def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(f"${name}_RECALL=${exact.intersect(pairs(df)).size.toDouble / exact.size}%.3f")
+    recall("IVF", graft.similarity.Similarity.annIvf(spark, d))
+    recall("PQ", graft.similarity.Similarity.annPq(spark, d))
     spark.stop()
   }
 }
