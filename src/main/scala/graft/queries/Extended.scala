@@ -344,7 +344,14 @@ object Extended extends QueryPack {
   /** RFM segmentation: per customer, days since last order (vs the
     * corpus max date, so it's deterministic), order count, exact-decimal
     * spend, and NTILE quartiles of each — the classic customer-scoring
-    * query (joins, window quartiles, decimal aggregates in one). */
+    * query (joins, window quartiles, decimal aggregates in one).
+    *
+    * Scale note: exact global NTILE is inherently a single-partition
+    * window over one row per customer (the plan's only non-parallel
+    * step — the heavy per-order aggregation underneath is fully
+    * distributed). Beyond ~10^8 customers, swap the exact quartiles for
+    * `approx_percentile`-derived bucket boundaries broadcast to a
+    * parallel bucketing pass. */
   def customerRfm(spark: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(spark, d)
     val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
