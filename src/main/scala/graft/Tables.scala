@@ -31,6 +31,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, (sfDir, name))(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Drop every cached relation touching `path`. The cache assumes
+    * corpus dirs are immutable; any writer that rewrites files in place
+    * (e.g. [[graft.ingest.EventSink]] compaction) must call this so
+    * later loads re-list the directory instead of serving stale file
+    * names. Prefix match in both directions: `path` may be the table
+    * root above a cached dir or a subdirectory inside one. */
+  def invalidate(path: String): Unit = {
+    val p = path.stripSuffix("/")
+    cache.keysIterator
+      .filter { k =>
+        val d = k._2.stripSuffix("/")
+        d == p || d.startsWith(p + "/") || p.startsWith(d + "/")
+      }
+      .foreach(cache.remove)
+  }
+
   /** The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright. We read nanos as a long
     * (legacy knob, set dynamically — it is a runtime SQLConf) and truncate

@@ -63,6 +63,10 @@ object EventSink {
     require(fs.rename(partDir, asideDir), s"could not move $partDir aside")
     require(fs.rename(tmpDir, partDir), s"could not move $tmpDir into place")
     fs.delete(asideDir, true)
+    // the files under this table just changed identity — drop any cached
+    // relation so later Tables.load calls re-list instead of reading
+    // file names that no longer exist
+    graft.Tables.invalidate(path)
   }
 
   /** Compact one closed month partition: streaming appends leave one

@@ -262,10 +262,14 @@ object Extended extends QueryPack {
   /** Deterministic hash sample: a reproducible ~5% sample via a fixed
     * multiplicative hash of the key — the same rows on any engine, any
     * run, any partitioning, which TABLESAMPLE/`df.sample` cannot promise.
-    * Exact for keys below ~3.4e9 (the product stays inside a long). */
+    * Lehmer mix with the key pre-reduced mod 2³¹−1: the product is at
+    * most (2³¹−2)·48271 ≈ 1.0e14, far inside a long, so the arithmetic
+    * can never overflow (ANSI mode would throw, not wrap) at ANY key
+    * scale — unlike a raw Knuth multiply, which leaves long range once
+    * keys pass ~3.4e9. */
   def sampleDet(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
-      .filter((col("o_orderkey") * 2654435761L) % 4294967296L < 214748364L)
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
@@ -443,7 +447,7 @@ object Extended extends QueryPack {
     "sample_det" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
+        |WHERE (o_orderkey % 2147483647) * 48271 % 2147483647 < 107374182
         |ORDER BY o_orderkey""".stripMargin,
     "monthly_growth" ->
       """WITH m AS (

@@ -27,11 +27,14 @@ object ProductQuantizer {
   private val sqDist = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
     "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
-  /** (vec_id, m, sv): the M sub-vectors of each unit-normalized vector. */
+  /** (vec_id, m, sv): the M sub-vectors of each unit-normalized vector.
+    * The norm is floored at a tiny positive value so an all-zero vector
+    * maps to the zero sub-vectors instead of NaNs (0/0) that would
+    * poison every distance they touch. */
   private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
     vecs
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+      .withColumn("nrm", greatest(lit(1e-300), expr(
+        "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")))
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), i -> slice(u, i * $subDim + 1, $subDim))"))
@@ -50,8 +53,13 @@ object ProductQuantizer {
   /** Train the `M × K` codebook with Lloyd iterations. Returns
     * (m, cid, cv). Deterministic (decimal-exact means, id-seeded). */
   def train(spark: SparkSession, vecs: DataFrame,
-      m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
-    trainFrom(spark, subVectors(vecs, m, subDim).cache(), k, iters)
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val sub = subVectors(vecs, m, subDim).cache()
+    // training is eager (each Lloyd pass collects its centroids), so the
+    // cache has done its work by the time trainFrom returns — release it
+    // rather than leak a cached relation until the caller's clearCache
+    try trainFrom(spark, sub, k, iters) finally sub.unpersist()
+  }
 
   /** Same, over an already-built (and ideally cached) sub-vector frame —
     * lets [[adcTopK]] share one explode across train/encode/LUT. */
@@ -94,9 +102,14 @@ object ProductQuantizer {
   def adcTopK(spark: SparkSession, vecs: DataFrame,
       m: Int, subDim: Int, k: Int, iters: Int,
       isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    // one explode, cached: feeds every Lloyd pass, the encode, and the LUT
+    // one explode, cached through training (every Lloyd pass is an eager
+    // collect over it); unpersisted before the lazy search plan is built,
+    // so no cached relation outlives this call. The encode + LUT scans
+    // below then recompute the explode once each — cheap next to the ADC
+    // join, and a leak-free default matters more than saving it: callers
+    // embed ann_pq in long-lived sessions where leaked cache accumulates.
     val sub = subVectors(vecs, m, subDim).cache()
-    val cents = trainFrom(spark, sub, k, iters)
+    val cents = try trainFrom(spark, sub, k, iters) finally sub.unpersist()
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
     val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
       .withColumnRenamed("vec_id", "query_id")

@@ -12,11 +12,21 @@ class NewQueryGoldensSpec extends SparkSpec {
   test("sample_det: identical rows for any input partitioning") {
     def keys(parts: Int) = Tables.orders(spark, sf0001)
       .repartition(parts)
-      .filter((col("o_orderkey") * 2654435761L) % 4294967296L < 214748364L)
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
       .select("o_orderkey").as[Long].collect().toSet
     val a = keys(1)
     assert(a.nonEmpty)
     assert(keys(13) === a)
+  }
+
+  test("sample_det mix never overflows ANSI arithmetic at huge key scales") {
+    // raw Knuth multiply (key * 2654435761) leaves long range past
+    // ~3.4e9; the Lehmer pre-mod mix must keep working up there
+    val huge = Seq(3500000000L, Long.MaxValue, Long.MaxValue - 1).toDF("o_orderkey")
+    val n = huge
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
+      .count()
+    assert(n >= 0) // executing without an ANSI overflow error is the assertion
   }
 
   test("tfidf: hand-computed scores on a 3-doc corpus") {

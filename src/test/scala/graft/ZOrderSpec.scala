@@ -19,6 +19,21 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (z, a, b) => assert(z === ZOrder.zkeyRef(a, b)) }
   }
 
+  test("zkey stays non-negative for bit-31-set and negative inputs") {
+    // bit 31 of the second dimension would land in the long's sign bit
+    // if inputs were truncated to 32 bits; the 31-bit mask prevents it
+    val hot = Seq(
+      (0x80000000L, 0x80000000L), (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0L),
+      (-1L, -1L), (Long.MaxValue, Long.MaxValue), (-42L, 7L))
+    val got = hot.toDF("a", "b")
+      .select(ZOrder.zkey(col("a"), col("b")).as("z"), col("a"), col("b"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (z, a, b) =>
+      assert(z >= 0L, s"zkey($a,$b)=$z must be non-negative")
+      assert(z === ZOrder.zkeyRef(a, b))
+    }
+  }
+
   test("compactMonthZOrdered preserves the partition's rows exactly") {
     val dir = tmpDir("zcompact")
     val rows = (1 to 500).map(i =>
