@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All query packs, in registration order. */
   def packs: Seq[QueryPack] = Seq(
-    Dashboard, Relational, Extended, graft.serving.Serving,
+    Dashboard, Relational, TpcH, Extended, graft.serving.Serving,
     graft.dedup.Dedup, graft.similarity.Similarity,
     graft.text.TextAnalysis, graft.multimodal.Multimodal)
 
