@@ -329,6 +329,25 @@ object Extended extends QueryPack {
       .orderBy("bucket", "item")
   }
 
+  /** Bloom-pruned semi join ([[graft.operators.BloomPrune]]) as a
+    * driver-checked query: lineitem rows kept only if their order is
+    * urgent-priority. The Bloom of urgent order keys turns away
+    * non-matching lines at the map side BEFORE any shuffle; the exact
+    * semi join then runs on the survivors, so the result equals the
+    * plain EXISTS the oracle runs — the filter moves work, never
+    * answers. */
+  def bloomSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.operators.BloomPrune.prunedSemiJoin(
+        Tables.lineitem(spark, d), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 1000000L)
+      .groupBy("l_returnflag")
+      .agg(decSum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Month-over-month revenue growth: aggregate to a monthly series,
     * then LAG + exact-decimal delta and a double growth ratio — the
     * time-series reporting shape layered on a grouped aggregate. */
@@ -410,6 +429,7 @@ object Extended extends QueryPack {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
     "profile_orders" -> profileOrders,
@@ -435,6 +455,16 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    "bloom_semi_join" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "above_avg_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -110,4 +110,10 @@ object GraftPlanBridge {
     * nodes alive into the physical plan). */
   def expr(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Reverse direction: wrap a catalyst Expression as a public Column
+    * (for operators built on Spark-internal expressions, e.g. the Bloom
+    * filter sketch pair). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomPrune
+
+/** Bloom join pruning: no false negatives ever, false-positive rate in
+  * the configured ballpark, and the pruned semi join is exactly the
+  * plain semi join. */
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyBloom + mightContain: every inserted key passes") {
+    val keys = (1L to 5000L).map(_ * 37)
+    val bloom = BloomPrune.keyBloom(keys.toDF("k"), "k", expectedItems = 5000)
+    val misses = keys.toDF("k")
+      .filter(!BloomPrune.mightContain(bloom, col("k")))
+      .count()
+    assert(misses === 0, "a Bloom filter must never reject an inserted key")
+  }
+
+  test("false-positive rate is near the configured fpp") {
+    val inserted = (1L to 10000L)
+    val bloom = BloomPrune.keyBloom(inserted.toDF("k"), "k",
+      expectedItems = 10000, fpp = 0.03)
+    // probe disjoint keys; fp rate should be ~3%, allow generous slack
+    val probes = (1000001L to 1020000L).toDF("k")
+    val fp = probes.filter(BloomPrune.mightContain(bloom, col("k"))).count()
+    val rate = fp.toDouble / 20000
+    assert(rate < 0.09, s"fp rate $rate should be near 0.03")
+  }
+
+  test("prunedSemiJoin returns exactly the plain semi join") {
+    val big = Tables.lineitem(spark, sf0001)
+    val small = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.prunedSemiJoin(big, "l_orderkey", small, "o_orderkey",
+        expectedItems = 10000)
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().toSet
+    val plain = big
+      .join(small, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().toSet
+    assert(pruned === plain)
+    assert(plain.nonEmpty)
+  }
+}
