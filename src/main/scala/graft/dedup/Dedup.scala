@@ -253,6 +253,65 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- cluster assignment (connected components) ----------
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts as its own label; each round, a node adopts the smallest
+    * label among itself and its neighbors; fixpoint when nothing
+    * changes. The component id is the smallest doc_id in the component —
+    * the same "keep-first" survivor exact dedup uses.
+    *
+    * Each round is one shuffle join (edges ⋈ labels) + one min
+    * aggregate, fully distributed; `localCheckpoint` truncates the plan
+    * between rounds so the lineage doesn't grow with iteration count.
+    * Rounds needed = component diameter. Near-dup graphs are
+    * overwhelmingly tiny cliques and short chains (diameter ≤ ~3), so
+    * this settles in a handful of rounds; for adversarial long-chain
+    * graphs the alternating large-star/small-star formulation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") drops to
+    * O(log d) rounds at the cost of two joins per round — not needed for
+    * dedup workloads. */
+  def clusterLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    try {
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("src"), "left_outer")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev"))
+          .count()
+        labels = next
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Cluster assignment for every document: near-dup pairs from the
+    * MinHash/LSH + exact-verify path (identical to the exhaustive ≥0.8
+    * Jaccard pair set), closed into components, singletons keeping their
+    * own id. The oracle computes the same thing as a recursive
+    * transitive closure over the exact pair set. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    clusterLabels(docs.select("doc_id"), pairs).orderBy("doc_id")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per doc over distinct word features: bit b is set iff
@@ -295,7 +354,8 @@ object Dedup extends QueryPack {
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram" -> ngramJaccard,
     "dedup_minhash" -> minhashLsh,
-    "dedup_simhash" -> simhashPairs)
+    "dedup_simhash" -> simhashPairs,
+    "dedup_clusters" -> dedupClusters)
 
   /** Oracle for the shingle-Jaccard queries — mirrors the guard, the
     * trigram construction, the distinct, and the inverted-index
@@ -332,5 +392,39 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
-    "dedup_minhash" -> jaccardSql)
+    "dedup_minhash" -> jaccardSql,
+    // transitive closure of the exact >= 0.8 pair set; every doc gets
+    // the smallest doc_id it can reach (itself when isolated)
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz x ON x.doc_id = doc_a
+        |  JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

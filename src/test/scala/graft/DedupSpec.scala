@@ -63,4 +63,17 @@ class DedupSpec extends SparkSpec {
       .select("shingle").as[String].collect().sorted
     assert(sh.toSeq === Seq("a b a", "b a b"))
   }
+
+  test("clusterLabels: components, singletons, and a multi-round chain") {
+    val nodes = (1L to 10L).toDF("doc_id")
+    // triangle {1,2,3}; pair {5,6}; chain 7-8-9-10 whose min label needs
+    // several propagation rounds to reach the far end; 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterLabels(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L)
+    assert(got === want)
+  }
 }
