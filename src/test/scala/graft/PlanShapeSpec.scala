@@ -93,6 +93,32 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(q.queryExecution.executedPlan.toString).isDefined)
   }
 
+  test("q19 disjunctive predicates still plan as a hash join, not nested-loop") {
+    val p = planOf(queries.TpcH.q19Disjunctive(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"),
+      s"common l_partkey=p_partkey must be extracted as the equi-key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q18 HAVING pre-aggregation runs below the semi join") {
+    val p = planOf(queries.TpcH.q18LargeOrders(spark, sf0001))
+    assert(p.contains("LeftSemi"), "the qualifying-key set must be a semi join")
+    // the quantity pre-agg appears as its own hash agg pair feeding the join
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-order pre-agg + final agg must both be partial+final:\n$p")
+  }
+
+  test("bloom_semi_join probes the filter before the join") {
+    val p = planOf(queries.Extended.bloomSemiJoin(spark, sf0001))
+    assert(p.contains("might_contain"), s"Bloom probe must be in the plan:\n$p")
+    assert(p.contains("LeftSemi"), "exact semi join must still run after the Bloom")
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(probeIdx > joinIdx,
+      "probe filter must sit below (printed after) the semi join in the plan tree")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
