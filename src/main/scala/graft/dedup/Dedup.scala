@@ -277,10 +277,22 @@ object Dedup extends QueryPack {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     try {
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      // propagate only over docs that have at least one edge — at corpus
+      // scale the pair graph is a sliver of the node set, and singletons
+      // (their own cluster by definition) need no iterations at all
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
+      // labels only ever decrease, so the exact decimal sum of all labels
+      // is strictly monotone until the fixpoint: one cheap aggregate per
+      // round instead of a join-and-count change detection (decimal, not
+      // long — a corpus of big doc_ids would overflow a 64-bit sum)
+      def labelSum(df: DataFrame): java.math.BigDecimal = df
+        .agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val nbrMin = edges
           .join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src"))
@@ -291,13 +303,15 @@ object Dedup extends QueryPack {
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"))
           .localCheckpoint()
-        changed = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev"))
-          .count()
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels = next
       }
-      labels
+      val singletons = nodes
+        .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      labels.union(singletons)
     } finally edges.unpersist()
   }
 
