@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE>"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sq_dist"),
+      info("sq_dist", "sq_dist(a, b) - squared Euclidean distance of two ARRAY<DOUBLE>"),
+      (exprs: Seq[Expression]) => SqEuclidean(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - polynomial rolling hash mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)))

@@ -24,14 +24,19 @@ import org.apache.spark.sql.types.DecimalType
   * run-to-run determinism. */
 object ProductQuantizer {
 
-  private val sqDist = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
-    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  // codegen'd native squared-L2 ([[graft.functions.SqEuclidean]]):
+  // identical sequential accumulation to the aggregate(zip_with(...))
+  // fold it replaced, so every distance is bit-for-bit unchanged —
+  // but the loop runs inside whole-stage codegen instead of an
+  // interpreted lambda per element
+  private val sqDist = "sq_dist(%s, %s)"
 
   /** (vec_id, m, sv): the M sub-vectors of each unit-normalized vector.
     * The norm is floored at a tiny positive value so an all-zero vector
     * maps to the zero sub-vectors instead of NaNs (0/0) that would
     * poison every distance they touch. */
-  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(vecs.sparkSession) // sq_dist
     vecs
       .withColumn("nrm", greatest(lit(1e-300), expr(
         "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")))
@@ -39,6 +44,7 @@ object ProductQuantizer {
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), i -> slice(u, i * $subDim + 1, $subDim))"))
         .as(Seq("m", "sv")))
+  }
 
   /** Nearest codeword per (vector, subspace); ties broken by cid. */
   private def assign(sub: DataFrame, cents: DataFrame): DataFrame = {

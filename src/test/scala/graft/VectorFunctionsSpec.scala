@@ -55,4 +55,29 @@ class VectorFunctionsSpec extends SparkSpec {
       assert(s1 == s2, s"codegen $s1 != interpreted $s2 for ($a1,$b1)")
     }
   }
+
+  test("sq_dist: hand values and bit-identity with the aggregate fold") {
+    VectorFunctions.register(spark)
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 0.0, 7.0))).toDF("a", "b")
+      .select(expr("sq_dist(a, b)")).as[Double].head()
+    assert(r === 4.0 + 16.0)
+    // the expression replaced this exact fold in ProductQuantizer — the
+    // sequential accumulation must match it bit-for-bit on real data
+    val e = Tables.embeddings(spark, sf0001).limit(40)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.select($"vec_id".as("ia"), $"v".as("va"))
+      .crossJoin(e.select($"vec_id".as("ib"), $"v".as("vb")))
+      .filter($"ia" < $"ib")
+    val native = pairs.select($"ia", $"ib", expr("sq_dist(va, vb)").as("d"))
+      .orderBy("ia", "ib").as[(Long, Long, Double)].collect()
+    val folded = pairs.select($"ia", $"ib",
+        expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("d"))
+      .orderBy("ia", "ib").as[(Long, Long, Double)].collect()
+    assert(native.length == folded.length && native.nonEmpty)
+    native.zip(folded).foreach { case ((a1, b1, d1), (a2, b2, d2)) =>
+      assert(a1 == a2 && b1 == b2)
+      assert(d1 == d2, s"native $d1 != folded $d2 for ($a1,$b1)")
+    }
+  }
 }
