@@ -262,16 +262,39 @@ object Extended extends QueryPack {
   /** Deterministic hash sample: a reproducible ~5% sample via a fixed
     * multiplicative hash of the key — the same rows on any engine, any
     * run, any partitioning, which TABLESAMPLE/`df.sample` cannot promise.
-    * Lehmer mix with the key pre-reduced mod 2³¹−1: the product is at
-    * most (2³¹−2)·48271 ≈ 1.0e14, far inside a long, so the arithmetic
-    * can never overflow (ANSI mode would throw, not wrap) at ANY key
-    * scale — unlike a raw Knuth multiply, which leaves long range once
-    * keys pass ~3.4e9. */
+    * Two Lehmer mix steps with the key pre-reduced mod 2³¹−1: each
+    * product is at most (2³¹−2)·48271 ≈ 1.0e14, far inside a long, so
+    * the arithmetic can never overflow (ANSI mode would throw, not
+    * wrap) at ANY key scale — unlike a raw Knuth multiply, which leaves
+    * long range once keys pass ~3.4e9. Two steps, not one: a single
+    * multiply leaves keys below ~44k un-wrapped (k·48271 < 2³¹−1), so
+    * the smallest keys would be selected wholesale instead of hashed. */
   def sampleDet(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
-      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L
+        * 48271L % 2147483647L < 107374182L)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
+
+  /** Stratified deterministic sample: per-segment sampling fractions
+    * (20% for BUILDING, 5% elsewhere) via the overflow-safe Lehmer mix
+    * of [[sampleDet]] applied twice — one step leaves keys below
+    * ~44k un-wrapped (k·48271 < 2³¹−1), i.e. not mixed at all on a
+    * small-key dimension; the second multiply wraps every key.
+    * `df.stat.sampleBy` cannot promise the same rows across engines or
+    * partitionings, this can. The per-row decision is pure
+    * hash-vs-threshold: one codegen'd filter over the scan at any
+    * scale. */
+  def sampleStratified(spark: SparkSession, d: String): DataFrame = {
+    val h1 = (col("c_custkey") % 2147483647L) * 48271L % 2147483647L
+    val h = h1 * 48271L % 2147483647L
+    val threshold = when(col("c_mktsegment") === "BUILDING", 429496729L)
+      .otherwise(107374182L)
+    Tables.customer(spark, d)
+      .filter(h < threshold)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
 
   /** Calendar-part extraction surface: year/quarter/month/day/hour/
     * minute/second off the event timestamp — the scalar date functions a
@@ -437,6 +460,7 @@ object Extended extends QueryPack {
     "above_avg_orders" -> aboveAvgOrders,
     "full_outer_join" -> fullOuterJoin,
     "sample_det" -> sampleDet,
+    "sample_stratified" -> sampleStratified,
     "time_parts" -> timeParts,
     "user_event_profile" -> userEventProfile,
     "skew_join_agg" -> skewJoinAgg,
@@ -477,8 +501,14 @@ object Extended extends QueryPack {
     "sample_det" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE (o_orderkey % 2147483647) * 48271 % 2147483647 < 107374182
+        |WHERE (o_orderkey % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 < 107374182
         |ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE ((c_custkey % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 <
+        |      CASE WHEN c_mktsegment = 'BUILDING' THEN 429496729 ELSE 107374182 END
+        |ORDER BY c_custkey""".stripMargin,
     "monthly_growth" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,

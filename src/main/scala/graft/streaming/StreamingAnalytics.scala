@@ -61,6 +61,17 @@ object StreamingAnalytics {
           col(rightTime) > col(leftTime) &&
           col(rightTime) <= col(leftTime) + expr(s"INTERVAL $horizon"))
 
+  /** Stream-static enrichment join (SURVEY.md §2.3's natural extension):
+    * a streaming fact joined to a batch dimension. The static side is
+    * re-resolved per micro-batch (so a dimension refresh is picked up
+    * without restarting the query) and broadcast when small — the plan
+    * inside every micro-batch is the same BroadcastHashJoin the batch
+    * `enrich_broadcast` query runs. Stateless: no watermark, no join
+    * state, unlike the stream-stream [[intervalJoin]]. */
+  def enrichStream(stream: DataFrame, streamKey: String,
+      dim: DataFrame, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
   case class SessionEvent(user_id: String, event_time: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: String, session_start: Timestamp,

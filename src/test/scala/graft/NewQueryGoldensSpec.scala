@@ -12,7 +12,8 @@ class NewQueryGoldensSpec extends SparkSpec {
   test("sample_det: identical rows for any input partitioning") {
     def keys(parts: Int) = Tables.orders(spark, sf0001)
       .repartition(parts)
-      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L
+        * 48271L % 2147483647L < 107374182L)
       .select("o_orderkey").as[Long].collect().toSet
     val a = keys(1)
     assert(a.nonEmpty)
@@ -24,9 +25,25 @@ class NewQueryGoldensSpec extends SparkSpec {
     // ~3.4e9; the Lehmer pre-mod mix must keep working up there
     val huge = Seq(3500000000L, Long.MaxValue, Long.MaxValue - 1).toDF("o_orderkey")
     val n = huge
-      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L < 107374182L)
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L
+        * 48271L % 2147483647L < 107374182L)
       .count()
     assert(n >= 0) // executing without an ANSI overflow error is the assertion
+  }
+
+  test("deterministic sampling mixes small keys too (no un-wrapped prefix)") {
+    // one Lehmer step leaves k < ~44k below the modulus: the sample
+    // would then be "every key below the threshold/48271" — a prefix,
+    // not a sample. Two steps must select a scattered subset.
+    val small = (1L to 2000L).toDF("o_orderkey")
+    val picked = small
+      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L
+        * 48271L % 2147483647L < 107374182L)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(picked.nonEmpty && picked.length < 400,
+      s"~5% of 2000 expected, got ${picked.length}")
+    assert(picked.last > 1000, "sample must reach into the upper key range")
+    assert(picked.head > 1 || picked.length < 100, "not a dense prefix")
   }
 
   test("tfidf: hand-computed scores on a 3-doc corpus") {

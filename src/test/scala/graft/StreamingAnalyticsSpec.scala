@@ -50,6 +50,26 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set("2026-08-12 10:00:00", "2026-08-12 11:00:00"))
   }
 
+  test("stream-static enrichment: every micro-batch row joined to the dimension") {
+    val in = tmpDir("es-in"); val ckpt = tmpDir("es-ckpt")
+    val lines = Seq(
+      sale("a", "2026-08-12 10:05:00", "10.00", 1),
+      sale("b", "2026-08-12 10:55:00", "5.50", 2))
+    Files.write(Paths.get(in, "b1.json"), String.join("\n", lines: _*).getBytes)
+    val dim = Seq((1L, "gadgets"), (2L, "gizmos")).toDF("dim_id", "dept")
+    val typed = graft.ingest.IngestTransform.salesFromJson(spark.readStream.text(in))
+    val q = StreamingAnalytics.enrichStream(typed, "product_id", dim, "dim_id")
+      .select("event_id", "dept")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "gadgets"), ("b", "gadgets")))
+  }
+
   test("dedupKeyed drops duplicate event_ids across micro-batches (ST1 exactly-once upgrade)") {
     val in = tmpDir("dk-in"); val ckpt = tmpDir("dk-ckpt")
     // same event_id delivered twice (at-least-once redelivery), second batch
