@@ -185,6 +185,17 @@ object Relational extends QueryPack {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Unpivot (melt): the daily per-type count matrix back to tall
+    * (day, event_type, n) rows via the dedicated `unpivot` operator —
+    * plans as one Expand over the aggregate, no join, no union of
+    * re-scans. Round-trips [[pivotDaily]]'s reshape. */
+  def unpivotDaily(spark: SparkSession, d: String): DataFrame =
+    pivotDaily(spark, d)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("day", "event_type")
+
   /** ROLLUP with grouping_id: per (day, type), per day, grand total. */
   def rollupEvents(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -237,6 +248,7 @@ object Relational extends QueryPack {
     "set_union" -> setUnion,
     "distinct_users" -> distinctUsers,
     "pivot_daily" -> pivotDaily,
+    "unpivot_daily" -> unpivotDaily,
     "rollup_events" -> rollupEvents,
     "time_buckets" -> timeBuckets,
     "sessionize" -> sessionize)
@@ -343,6 +355,21 @@ object Relational extends QueryPack {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unpivot_daily" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |    COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT day, 'click' AS event_type, click AS n FROM p
+        |UNION ALL SELECT day, 'error', error FROM p
+        |UNION ALL SELECT day, 'purchase', purchase FROM p
+        |UNION ALL SELECT day, 'signup', signup FROM p
+        |UNION ALL SELECT day, 'view', view FROM p
+        |ORDER BY day, event_type""".stripMargin,
     "rollup_events" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |       CAST(GROUPING(date_trunc('day', ts), event_type) AS BIGINT) AS gid
