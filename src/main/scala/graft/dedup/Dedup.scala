@@ -287,9 +287,14 @@ object Dedup extends QueryPack {
       // is strictly monotone until the fixpoint: one cheap aggregate per
       // round instead of a join-and-count change detection (decimal, not
       // long — a corpus of big doc_ids would overflow a 64-bit sum)
-      def labelSum(df: DataFrame): java.math.BigDecimal = df
-        .agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0)
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val s = df
+          .agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head().getDecimal(0)
+        // SUM over zero rows is NULL — an empty pair set must converge
+        // on the first check, not NPE
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
       var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -159,8 +158,11 @@ object TpcH extends QueryPack {
   }
 
   /** Q15 — top supplier(s) by quarterly revenue: pre-aggregate revenue
-    * per supplier, then keep the max via an unpartitioned window max —
-    * exact decimal equality, so ties are kept like TPC-H's view form. */
+    * per supplier, then keep rows equal to the broadcast scalar max —
+    * exact decimal equality, so ties are kept like TPC-H's view form.
+    * (A windowed max over an unpartitioned window would funnel every
+    * supplier row into one partition; the one-row aggregate broadcast
+    * keeps the comparison fully parallel.) */
   def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(spark, d)
       .filter(col("l_shipdate") >= ts("1997-01-01") &&
@@ -168,7 +170,7 @@ object TpcH extends QueryPack {
       .groupBy("l_suppkey")
       .agg(sum(discPrice).cast(DecimalType(38, 4)).as("total_revenue"))
     rev
-      .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+      .crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
       .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")

@@ -29,6 +29,13 @@ class BloomPruneSpec extends SparkSpec {
     assert(rate < 0.09, s"fp rate $rate should be near 0.03")
   }
 
+  test("empty build side: Bloom is null-safe and the join returns nothing") {
+    val big = (1L to 100L).toDF("k")
+    val small = Seq.empty[Long].toDF("j")
+    val out = BloomPrune.prunedSemiJoin(big, "k", small, "j", expectedItems = 10)
+    assert(out.count() === 0)
+  }
+
   test("prunedSemiJoin returns exactly the plain semi join") {
     val big = Tables.lineitem(spark, sf0001)
     val small = Tables.orders(spark, sf0001)

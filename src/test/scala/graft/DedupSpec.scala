@@ -76,4 +76,11 @@ class DedupSpec extends SparkSpec {
       6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L)
     assert(got === want)
   }
+
+  test("clusterLabels: empty pair set leaves every doc its own cluster") {
+    val nodes = (1L to 5L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.clusterLabels(nodes, pairs).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 5L).map(i => i -> i).toMap)
+  }
 }
