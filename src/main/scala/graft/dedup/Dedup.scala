@@ -331,6 +331,28 @@ object Dedup extends QueryPack {
     clusterLabels(docs.select("doc_id"), pairs).orderBy("doc_id")
   }
 
+  /** The production dedup composition, end to end: exact dedup first
+    * (one hash aggregate — handles the quadratic-output case of
+    * many-way exact copies), then MinHash/LSH near-dup on the exact
+    * survivors only, components closed, and one survivor (smallest
+    * doc_id) kept per cluster. Returns the surviving (doc_id, text)
+    * rows. This is the composition ScaleSmoke measures: the sketch
+    * passes scale with the corpus, the near-dup verify scales with the
+    * survivor set. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val exactSurvivors = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val pairs = minhashLshOf(exactSurvivors)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    val keep = clusterLabels(exactSurvivors.select("doc_id"), pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    exactSurvivors.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per doc over distinct word features: bit b is set iff

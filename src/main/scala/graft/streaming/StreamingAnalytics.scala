@@ -64,10 +64,12 @@ object StreamingAnalytics {
   /** Stream-static enrichment join (SURVEY.md §2.3's natural extension):
     * a streaming fact joined to a batch dimension. The static side is
     * re-resolved per micro-batch (so a dimension refresh is picked up
-    * without restarting the query) and broadcast when small — the plan
+    * without restarting the query) and broadcast-hinted — the plan
     * inside every micro-batch is the same BroadcastHashJoin the batch
-    * `enrich_broadcast` query runs. Stateless: no watermark, no join
-    * state, unlike the stream-stream [[intervalJoin]]. */
+    * `enrich_broadcast` query runs; for a dimension too big to
+    * broadcast, call with the hint stripped and let AQE pick the
+    * shuffle join. Stateless: no watermark, no join state, unlike the
+    * stream-stream [[intervalJoin]]. */
   def enrichStream(stream: DataFrame, streamKey: String,
       dim: DataFrame, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")

@@ -83,4 +83,18 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.clusterLabels(nodes, pairs).as[(Long, Long)].collect().toMap
     assert(got === (1L to 5L).map(i => i -> i).toMap)
   }
+
+  test("dedupCorpus: exact copies, near-dups, and uniques end to end") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base.replace("tonight", "today") // high trigram overlap
+    val docs = Seq(
+      (1L, base), (2L, base),          // exact copies → survivor 1
+      (3L, near),                      // near-dup of 1 → same cluster, dropped
+      (4L, "completely different text about distributed query engines and shuffles here"),
+      (5L, "completely different text about distributed query engines and shuffles here"),
+      (6L, "an unrelated singleton document speaking of nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 6L))
+  }
 }
