@@ -387,6 +387,20 @@ object Extended extends QueryPack {
       .orderBy("month")
   }
 
+  /** Per-customer RFM base aggregates, shared by the exact-quartile
+    * query and the approx-boundary scale variant. */
+  private def rfmBase(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+    val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
+    orders.crossJoin(maxDate)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        datediff(first(col("max_d")), max(col("o_orderdate"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+  }
+
   /** RFM segmentation: per customer, days since last order (vs the
     * corpus max date, so it's deterministic), order count, exact-decimal
     * spend, and NTILE quartiles of each — the classic customer-scoring
@@ -395,25 +409,45 @@ object Extended extends QueryPack {
     * Scale note: exact global NTILE is inherently a single-partition
     * window over one row per customer (the plan's only non-parallel
     * step — the heavy per-order aggregation underneath is fully
-    * distributed). Beyond ~10^8 customers, swap the exact quartiles for
-    * `approx_percentile`-derived bucket boundaries broadcast to a
-    * parallel bucketing pass. */
+    * distributed). Beyond ~10^8 customers use [[customerRfmApprox]],
+    * which replaces the window with broadcast sketch boundaries. */
   def customerRfm(spark: SparkSession, d: String): DataFrame = {
-    val orders = Tables.orders(spark, d)
-    val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
-    val per = orders.crossJoin(maxDate)
-      .groupBy(col("o_custkey"))
-      .agg(
-        max(col("o_orderdate")).as("last_order"),
-        datediff(first(col("max_d")), max(col("o_orderdate"))).cast("long").as("recency_days"),
-        count(lit(1)).as("frequency"),
-        decSum(col("o_totalprice")).as("monetary"))
+    val per = rfmBase(spark, d)
     def quartile(c: String, asc: Boolean) = ntile(4).over(
       Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey"))).cast("long")
     per
       .withColumn("r_q", quartile("recency_days", asc = true))
       .withColumn("f_q", quartile("frequency", asc = false))
       .withColumn("m_q", quartile("monetary", asc = false))
+      .select("o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q")
+      .orderBy("o_custkey")
+  }
+
+  /** The RFM scale path the exact query's scaladoc promises: quartile
+    * BOUNDARIES from one `approx_percentile` aggregate (GK sketch,
+    * mergeable, one row out), broadcast, and every customer bucketed by
+    * comparison — no single-partition window anywhere, so the plan is
+    * flat at any customer cardinality. Sketch-based boundaries are
+    * merge-order-dependent ⇒ rows-only check; the spec pins the bucket
+    * balance instead. */
+  def customerRfmApprox(spark: SparkSession, d: String): DataFrame = {
+    val per = rfmBase(spark, d)
+    val bounds = per.agg(
+      expr("approx_percentile(recency_days, array(0.25, 0.5, 0.75), 10000)").as("rb"),
+      expr("approx_percentile(frequency, array(0.25, 0.5, 0.75), 10000)").as("fb"),
+      expr("approx_percentile(monetary, array(0.25, 0.5, 0.75), 10000)").as("mb"))
+    def ascBucket(c: String, b: String) = // smallest value → bucket 1
+      (lit(1L) + (col(c) > expr(s"$b[0]")).cast("long")
+        + (col(c) > expr(s"$b[1]")).cast("long")
+        + (col(c) > expr(s"$b[2]")).cast("long"))
+    def descBucket(c: String, b: String) = // largest value → bucket 1
+      (lit(1L) + (col(c) <= expr(s"$b[2]")).cast("long")
+        + (col(c) <= expr(s"$b[1]")).cast("long")
+        + (col(c) <= expr(s"$b[0]")).cast("long"))
+    per.crossJoin(broadcast(bounds))
+      .withColumn("r_q", ascBucket("recency_days", "rb"))
+      .withColumn("f_q", descBucket("frequency", "fb"))
+      .withColumn("m_q", descBucket("monetary", "mb"))
       .select("o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q")
       .orderBy("o_custkey")
   }
@@ -455,6 +489,7 @@ object Extended extends QueryPack {
     "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
+    "customer_rfm_approx" -> customerRfmApprox,
     "profile_orders" -> profileOrders,
     "freq_items" -> freqItems,
     "above_avg_orders" -> aboveAvgOrders,

@@ -46,6 +46,25 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(picked.head > 1 || picked.length < 100, "not a dense prefix")
   }
 
+  test("customer_rfm_approx: buckets balanced and close to exact quartiles") {
+    val exact = queries.Extended.customerRfm(spark, sf0001)
+      .select("o_custkey", "m_q").as[(Long, Long)].collect().toMap
+    val approx = queries.Extended.customerRfmApprox(spark, sf0001)
+      .select("o_custkey", "m_q").as[(Long, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    val n = exact.size
+    // each approx bucket holds roughly a quarter (sketch accuracy 1e4
+    // on a small corpus ⇒ boundaries are near-exact; ties at the
+    // boundary may shift a few rows)
+    (1L to 4L).foreach { q =>
+      val share = approx.values.count(_ == q).toDouble / n
+      assert(share > 0.15 && share < 0.35, s"bucket $q share $share")
+    }
+    // and the assignments mostly agree with the exact NTILE
+    val agree = exact.count { case (k, v) => approx(k) == v }.toDouble / n
+    assert(agree > 0.9, s"only ${agree * 100}%% of assignments agree")
+  }
+
   test("tfidf: hand-computed scores on a 3-doc corpus") {
     val docs = Seq(
       (1L, "apple banana apple"), // tf(apple)=2, banana in 2 docs
