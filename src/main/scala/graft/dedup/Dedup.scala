@@ -396,7 +396,9 @@ object Dedup extends QueryPack {
     "dedup_ngram" -> ngramJaccard,
     "dedup_minhash" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_corpus" -> ((s: SparkSession, d: String) =>
+      dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
 
   /** Oracle for the shingle-Jaccard queries — mirrors the guard, the
     * trigram construction, the distinct, and the inverted-index
@@ -467,5 +469,45 @@ object Dedup extends QueryPack {
         |       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // full composition: exact survivors → near-dup closure over them →
+    // keep docs that are their own component minimum
+    "dedup_corpus" ->
+      """WITH RECURSIVE ex AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM ex
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz x ON x.doc_id = doc_a
+        |  JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT e.doc_id,
+        |         LEAST(e.doc_id, COALESCE(MIN(r.b), e.doc_id)) AS cluster_id
+        |  FROM ex e LEFT JOIN reach r ON r.a = e.doc_id
+        |  GROUP BY e.doc_id)
+        |SELECT e.doc_id, e.text
+        |FROM ex e JOIN labels l ON e.doc_id = l.doc_id
+        |WHERE l.doc_id = l.cluster_id
+        |ORDER BY e.doc_id""".stripMargin)
 }
