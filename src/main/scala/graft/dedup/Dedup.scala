@@ -311,6 +311,11 @@ object Dedup extends QueryPack {
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
+        // the superseded round's checkpoint blocks are dead the moment
+        // `next` is materialized — drop them now rather than waiting for
+        // GC-driven cleanup (long sessions would otherwise accumulate a
+        // round's worth of blocks per iteration)
+        labels.unpersist()
         labels = next
       }
       val singletons = nodes

@@ -46,15 +46,19 @@ object ProductQuantizer {
         .as(Seq("m", "sv")))
   }
 
-  /** Nearest codeword per (vector, subspace); ties broken by cid. */
-  private def assign(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cid"))
+  /** Nearest codeword per (vector, subspace); ties broken by cid.
+    * Argmin as a hash aggregate — `min` over (d, cid, sv) structs picks
+    * the same row the old (d, cid)-ordered window row_number did, but
+    * partial+final aggregation replaces the window's per-partition full
+    * sort (at scale: shuffle carries one row per (vector, subspace),
+    * not K). */
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
     sub.join(broadcast(cents), "m")
       .withColumn("d", expr(sqDist.format("sv", "cv")))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("d"))
-  }
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cid"), col("sv"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
+        col("w.sv").as("sv"), col("w.d").as("d"))
 
   /** Train the `M × K` codebook with Lloyd iterations. Returns
     * (m, cid, cv). Deterministic (decimal-exact means, id-seeded). */

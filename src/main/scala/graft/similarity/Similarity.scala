@@ -126,12 +126,15 @@ object Similarity extends QueryPack {
     val seed = all.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     (1 to iters).foldLeft(seed) { (cents, _) =>
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cid"))
+      // argmax similarity as a hash aggregate: min over (-sim, cid, v)
+      // structs = max sim with min-cid tie-break, exactly the row the
+      // old descending window row_number picked — without the window's
+      // per-partition sort (negation is an exact IEEE sign flip)
       val assigned = all.join(broadcast(cents))
         .withColumn("c_sim", expr("cosine_sim(v, cv)"))
-        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("cid"), col("v"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("c_sim")).as("ns"), col("cid"), col("v"))).as("w"))
+        .select(col("w.cid").as("cid"), col("w.v").as("v"))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -159,13 +162,24 @@ object Similarity extends QueryPack {
     val all = vecs(spark, d)
     val centroids = trainCentroids(spark, all, NList, iters = 2)
     def nearestLists(df: DataFrame, vcol: String, n: Int, out: String) = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cid"))
-      df.join(broadcast(centroids))
+      val scored = df.join(broadcast(centroids))
         .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-        .select(df.columns.map(col) :+ col("cid").as(out): _*)
+      if (n == 1)
+        // the corpus-wide single-assignment path: argmax as a hash
+        // aggregate (same trick as trainCentroids), no window sort
+        scored.groupBy(col("vec_id"))
+          .agg(min(struct((-col("c_sim")).as("ns"), col("cid"),
+            struct(df.columns.map(col): _*).as("row"))).as("w"))
+          .select((df.columns.map(c => col(s"w.row.$c")) :+ col("w.cid").as(out)): _*)
+      else {
+        // the n-probe path runs only over the query rows — window is fine
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("cid"))
+        scored
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= n)
+          .select(df.columns.map(col) :+ col("cid").as(out): _*)
+      }
     }
     val assigned = nearestLists(all, "v", 1, "list_id")        // nlist=1 per vector
     val q = nearestLists(all.filter(col("vec_id") < 10), "v", NProbe, "list_id")
