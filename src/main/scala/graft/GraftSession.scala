@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sq_dist"),
       info("sq_dist", "sq_dist(a, b) - squared Euclidean distance of two ARRAY<DOUBLE>"),
       (exprs: Seq[Expression]) => SqEuclidean(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("json_int"),
+      info("json_int", "json_int(s, key) - first \"key\": integer field by byte scan"),
+      (exprs: Seq[Expression]) => JsonIntExpr(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - polynomial rolling hash mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)))
