@@ -345,6 +345,10 @@ object Dedup extends QueryPack {
     * passes scale with the corpus, the near-dup verify scales with the
     * survivor set. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // the LSH banding underneath is calibrated for j >= 0.8 (32 bands ×
+    // 4 rows); a lower threshold would need a different banding to keep
+    // recall, so reject it instead of silently missing pairs
+    require(threshold >= 0.8, s"threshold $threshold below the 0.8 LSH calibration")
     val exactSurvivors = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))

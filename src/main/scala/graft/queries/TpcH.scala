@@ -15,7 +15,10 @@ import OracleSafe._
   * -predicate workloads every warehouse is judged on.
   *
   * Scale notes (the plans Catalyst produces, verified via explain):
-  *  - nation/region/supplier are tiny at any SF → always broadcast.
+  *  - nation/region/supplier are tiny at any SF → always broadcast;
+  *    customer SCALES with SF, so it carries no broadcast hint — the
+  *    size-based/AQE choice broadcasts it locally and switches to a
+  *    shuffle join once it outgrows the threshold on a real cluster.
   *  - part is filtered before its join wherever possible (brand/type
   *    predicates push to the scan) and broadcast when filtered.
   *  - fact⋈fact (orders⋈lineitem) shuffles on the key both sides; the
@@ -66,7 +69,7 @@ object TpcH extends QueryPack {
               col("l_shipdate") < ts("1998-01-01"))
       .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -89,7 +92,7 @@ object TpcH extends QueryPack {
       .join(broadcast(Tables.part(spark, d).filter(col("p_type") === "PROMO")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -119,7 +122,7 @@ object TpcH extends QueryPack {
           .filter(col("o_orderdate") >= ts("1996-01-01") &&
                   col("o_orderdate") < ts("1996-04-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"))
@@ -208,7 +211,7 @@ object TpcH extends QueryPack {
       .select("k")
     Tables.orders(spark, d)
       .join(big, col("o_orderkey") === col("k"), "left_semi")
-      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
       .agg(sum(col("l_quantity").cast(d18_2)).cast(DecimalType(38, 2)).as("sum_qty"))
