@@ -129,6 +129,26 @@ object TpcH extends QueryPack {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q12 (adapted: l_linestatus stands in for the absent l_shipmode;
+    * the late-receipt window predicate becomes the same >60-day late-
+    * ship test q4 uses): per line status, how many late-shipped lines
+    * belong to critical-priority orders vs the rest — the classic
+    * join + dual conditional-count shape, both counts in one hash
+    * aggregate. */
+  def q12Shipmode(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+                 col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+                 col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+
   /** Q13 — customer order-count distribution: outer join so zero-order
     * customers count, then a second aggregation over the counts. The
     * join-side filter stands in for TPC-H's o_comment NOT LIKE. */
@@ -263,6 +283,7 @@ object TpcH extends QueryPack {
     "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
     "q10_returned" -> q10Returned,
+    "q12_shipmode" -> q12Shipmode,
     "q13_distribution" -> q13Distribution,
     "q14_promo" -> q14Promo,
     "q15_top_supplier" -> q15TopSupplier,
@@ -333,6 +354,16 @@ object TpcH extends QueryPack {
          |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "q13_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -42,6 +42,26 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("json_int kernel: matches the oracle regex on arbitrary JSON-ish strings") {
+    import graft.functions.JsonIntExpr
+    val rx = """"k": *(-?[0-9]+)""".r
+    def reference(s: String): Option[Int] =
+      rx.findFirstMatchIn(s).flatMap { m =>
+        val digits = m.group(1)
+        try Some(digits.toInt) catch { case _: NumberFormatException => None }
+      }
+    // fragments that stress the scanner: key-ish tokens, partial
+    // matches, spaces, signs, digit runs, quotes, non-ASCII
+    val frag = Gen.oneOf("\"k\":", "\"k\"", "k:", "\"kk\":", " ", "  ", "-",
+      "12", "7", "0", "{", "}", ",", "\"", "x", "é", "\"k\": ", ":", "99999999999")
+    val jsonish = Gen.listOf(frag).map(_.mkString)
+    check(Prop.forAll(jsonish) { s =>
+      val got = Option(JsonIntExpr.extract(
+        UTF8String.fromString(s), UTF8String.fromString("k"))).map(_.intValue)
+      got == reference(s)
+    })
+  }
+
   test("simhash buffer algebra: merge == sequential update; serde round-trips") {
     import graft.functions.SimHashAgg
     val agg = SimHashAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L))
