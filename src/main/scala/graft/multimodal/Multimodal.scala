@@ -76,6 +76,35 @@ object Multimodal extends QueryPack {
   def mmMeta(spark: SparkSession, d: String): DataFrame =
     metaProjection(spark, d).orderBy("doc_id")
 
+  /** Resize planning: fit each media row into a `box`×`box` target
+    * preserving aspect ratio, in pure integer math (scale only when the
+    * longer edge exceeds the box; `new = old * box div longer_edge`) —
+    * the metadata half of a resize stage, oracle-checkable end to end.
+    * The pixel half is [[resizeFeatures]]. */
+  def mmResize(spark: SparkSession, d: String): DataFrame =
+    metaProjection(spark, d)
+      .withColumn("mx", greatest(col("width"), col("height")))
+      .withColumn("new_w", when(col("mx") <= 128, col("width"))
+        .otherwise(expr("(width * 128) div mx")).cast("int"))
+      .withColumn("new_h", when(col("mx") <= 128, col("height"))
+        .otherwise(expr("(height * 128) div mx")).cast("int"))
+      .select("doc_id", "width", "height", "new_w", "new_h")
+      .orderBy("doc_id")
+
+  /** The decode-side resize stage: same `mapPartitions` batch contract
+    * as [[extractFeatures]] (codec init amortized per partition), pixel
+    * work stubbed, dimension math identical to [[mmResize]] — the spec
+    * proves the Dataset stage and the column plan agree row for row. */
+  def resizeFeatures(ds: Dataset[MediaFeatures], box: Int): Dataset[MediaFeatures] = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions(_.map { f =>
+      val mx = math.max(f.width, f.height)
+      if (mx <= box) f
+      else f.copy(width = f.width * box / mx, height = f.height * box / mx)
+    })
+  }
+
   /** Frame-sampling plumbing: ≤4 uniformly-spaced frame indices per media
     * row plus their byte offsets — the seek table a video frame-sampler
     * would hand the (stubbed) decoder before touching any frame bytes.
@@ -96,6 +125,7 @@ object Multimodal extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "mm_meta" -> mmMeta,
+    "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles = Map(
@@ -106,6 +136,17 @@ object Multimodal extends QueryPack {
         |  CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS width,
+        |    CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height
+        |  FROM documents),
+        |m AS (SELECT *, greatest(width, height) AS mx FROM meta)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN mx <= 128 THEN width ELSE (width * 128) // mx END AS INTEGER) AS new_w,
+        |  CAST(CASE WHEN mx <= 128 THEN height ELSE (height * 128) // mx END AS INTEGER) AS new_h
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH meta AS (
         |  SELECT doc_id,

@@ -67,6 +67,25 @@ class QueriesSpec extends SparkSpec {
     assert(feats.map(_.width).toSeq === again.map(_.width).toSeq)
   }
 
+  test("multimodal resize: Dataset stage agrees with the column plan") {
+    import org.apache.spark.sql.functions.col
+    val viaDs = Multimodal.resizeFeatures(
+        Multimodal.extractFeatures(spark, sf0001), box = 128)
+      .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    val viaCols = Multimodal.mmResize(spark, sf0001)
+      .select(col("doc_id"), col("new_w"), col("new_h"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(viaDs.size === 500)
+    assert(viaDs === viaCols)
+    // the box constraint holds everywhere and actually binds somewhere
+    assert(viaDs.values.forall { case (w, h) => w <= 128 && h <= 128 })
+    val originals = Multimodal.mmResize(spark, sf0001)
+      .select(col("doc_id"), col("width"), col("height"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(originals.exists { case (id, wh) => viaDs(id) != wh },
+      "some row must have been downscaled")
+  }
+
   test("window_frames: frame arithmetic is internally consistent") {
     val r = graft.queries.Extended.windowFrames(spark, sf0001)
       .select($"mov_sum".cast("double"), $"mov_n", $"mov_avg", $"quartile", $"pr")
