@@ -84,6 +84,31 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 5L).map(i => i -> i).toMap)
   }
 
+  test("clusterLabels matches a union-find reference on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // compress to the minimum id per component
+      (1L to n.toLong).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(rnd.nextInt(25))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val got = Dedup.clusterLabels(
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(n, edges), s"n=$n edges=$edges")
+    }
+  }
+
   test("dedupCorpus: exact copies, near-dups, and uniques end to end") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val near = base.replace("tonight", "today") // high trigram overlap
