@@ -59,8 +59,13 @@ object Bench {
       // stall once inflated a 0.6 s query to 14 s). For anything whose
       // first measurement isn't trivially fast, measure once more and
       // report the min — the standard steady-state statistic; both runs
-      // do the full work, nothing is cached between them.
-      val dt = if (ok && t1 > 1.0) math.min(t1, once()._1) else t1
+      // do the full work, nothing is cached between them. A FAILED
+      // second run contributes no time (its short elapsed would
+      // otherwise be billed as a fast success).
+      val dt = if (ok && t1 > 1.0) {
+        val (t2, ok2) = once()
+        if (ok2) math.min(t1, t2) else t1
+      } else t1
       // a failed query reports -1 so it can never masquerade as fast
       (name, if (ok) dt else -1.0, ok)
     }

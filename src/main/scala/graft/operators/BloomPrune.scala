@@ -53,6 +53,13 @@ object BloomPrune {
   def prunedSemiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    // xxhash64 is type-sensitive (hashInt and hashLong differ for equal
+    // numeric values) while join equality coerces — mismatched key types
+    // would make every probe miss and silently drop all matches, so
+    // reject them loudly instead
+    val (bt, st) = (big.schema(bigKey).dataType, small.schema(smallKey).dataType)
+    require(bt == st,
+      s"join key types must match for Bloom hashing: $bigKey is $bt, $smallKey is $st")
     val bloom = keyBloom(small, smallKey, expectedItems, fpp)
     big.filter(mightContain(bloom, big(bigKey)))
       .join(small.select(smallKey), big(bigKey) === small(smallKey), "left_semi")
