@@ -39,6 +39,167 @@ object TpcH extends QueryPack {
 
   private def ts(s: String) = lit(s + " 00:00:00").cast("timestamp")
 
+  /** Q2 (adapted: the corpus has no partsupp, so "supply cost" of a
+    * (part, supplier) pair is the cheapest extended price that supplier
+    * ever charged for the part): for small STANDARD parts, the ASIA
+    * supplier(s) matching the per-part regional minimum. The correlated
+    * MIN subquery decorrelates to a per-part aggregate joined back on
+    * (partkey, cost) — exact decimal equality keeps ties like the spec.
+    *
+    * Scale: the selective part filter is applied BEFORE the cost
+    * aggregation (broadcast semi shape), so both aggregates run over
+    * only qualifying parts' lines — the min-join carries ~|parts kept|
+    * rows, not |partsupp|. */
+  def q2MinCost(spark: SparkSession, d: String): DataFrame = {
+    val suppRegion = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val parts = Tables.part(spark, d)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+    val costs = Tables.lineitem(spark, d)
+      .join(broadcast(parts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice").cast(d18_2)).as("supp_cost"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+    val minc = costs.groupBy(col("l_partkey").as("mp"))
+      .agg(min(col("supp_cost")).as("min_cost"))
+    costs
+      .join(minc, col("l_partkey") === col("mp") && col("supp_cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supp_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9 (adapted: no ps_supplycost — cost proxy is 20% of the part's
+    * retail price per unit): profit by supplier nation and order year
+    * over red-named parts. The profit expression stays decimal end to
+    * end (4 exact fractional digits), so the per-group sums are
+    * order-independent. */
+  def q9ProductProfit(spark: SparkSession, d: String): DataFrame = {
+    val cost = lit("0.2").cast(DecimalType(2, 1)) *
+      col("p_retailprice").cast(d18_2) * col("l_quantity").cast(d18_2)
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum((discPrice - cost).cast(d18_4)).cast(DecimalType(38, 4)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 (adapted: "stock value" = revenue booked through NATION_1's
+    * suppliers per part): parts whose value exceeds 0.1% of the total.
+    * The total is a one-row aggregate broadcast to every comparison
+    * (same shape as q15's max) and the threshold test is the exact
+    * cross-multiplied form `value·1000 > total` — no double rounding,
+    * and the share threshold is SF-invariant because both sides scale
+    * together. */
+  def q11ImportantValue(spark: SparkSession, d: String): DataFrame = {
+    val n1supp = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, d)
+      .join(broadcast(n1supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(decSum(col("l_extendedprice")).as("value"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(sum(col("value")).cast(DecimalType(38, 2)).as("tot"))))
+      .filter(col("value") * 1000 > col("tot"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q16 (adapted: the supplies relation is the observed (part,
+    * supplier) pairs in lineitem; the complaint-supplier exclusion is
+    * the negative-balance suppliers): distinct supplier count per
+    * (brand, type, size) bucket. NOT IN decorrelates to a broadcast
+    * anti join before the aggregation; COUNT(DISTINCT) dedups the
+    * repeated ship lines, so no separate pre-distinct shuffle. */
+  def q16SupplierCnt(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.supplier(spark, d)
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+                  col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Q20 (adapted: "has excess stock to promote" becomes "shipped more
+    * than half of the part's 1997 volume"): NATION_2 suppliers dominating
+    * any red-prefix part. Both volume aggregates run over lines
+    * pre-pruned to qualifying parts (broadcast semi), the >50% test is
+    * cross-multiplied exact (`2·sq > tq`), and the supplier list is the
+    * final semi join — nothing materializes wider than the candidate
+    * (part, supplier) pairs. */
+  def q20PromoSupplier(spark: SparkSession, d: String): DataFrame = {
+    val l97 = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(Tables.part(spark, d)
+          .filter(col("p_name").startsWith("red")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPS = l97.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(d18_2)).cast(DecimalType(38, 2)).as("sq"))
+    val perP = l97.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("l_quantity").cast(d18_2)).cast(DecimalType(38, 2)).as("tq"))
+    val dominant = perPS.join(perP, col("l_partkey") === col("tp"))
+      .filter(col("sq") * 2 > col("tq"))
+      .select("l_suppkey")
+    Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d).filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 (adapted late test as in q4/q12): NATION_1 suppliers whose late
+    * line was the ONLY late one in a multi-supplier finished order.
+    * The classic EXISTS / NOT-EXISTS pair decorrelates to ONE per-order
+    * aggregate — `countDistinct(supplier)` and `countDistinct(late
+    * supplier)` in the same hash agg — instead of two lineitem
+    * self-joins; the order keys that survive (`n_supp > 1 AND
+    * n_late_supp = 1`) semi-join back against the late lines. At scale
+    * that is two shuffles of lineitem on the same key (join +
+    * aggregate) rather than three full self-join passes. */
+  def q21WaitingSupplier(spark: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val only = lines.groupBy(col("l_orderkey").as("k"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select("k")
+    lines.filter(col("late"))
+      .join(only, col("l_orderkey") === col("k"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, d).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Q4 (adapted: "late ship" = shipped >60 days after order date, since
     * the corpus has no commit/receipt dates): order-priority checking —
     * count of Q1-1996 orders with at least one late-shipped line.
@@ -279,6 +440,12 @@ object TpcH extends QueryPack {
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q2_min_cost" -> q2MinCost,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_value" -> q11ImportantValue,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_promo_supplier" -> q20PromoSupplier,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q4_priority" -> q4Priority,
     "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
@@ -297,6 +464,102 @@ object TpcH extends QueryPack {
   private val vol4Sql = s"CAST($discPriceSql AS DECIMAL(18,4))"
 
   val oracles = Map(
+    "q2_min_cost" ->
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supp_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD' AND p_size <= 10)
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
+        |FROM costs
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE r_name = 'ASIA'
+        |  AND supp_cost = (
+        |    SELECT MIN(c2.supp_cost) FROM costs c2
+        |    JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE r2.r_name = 'ASIA' AND c2.l_partkey = costs.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  CAST(SUM(CAST($discPriceSql
+         |    - CAST(0.2 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2))
+         |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4))
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_value" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_1')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM per_part
+        |WHERE value * 1000 > (SELECT CAST(SUM(value) AS DECIMAL(38,2)) FROM per_part)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < CAST(0 AS DOUBLE))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promo_supplier" ->
+      """WITH l97 AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')),
+        |per_ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sq
+        |  FROM l97 GROUP BY 1, 2),
+        |per_p AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tq
+        |  FROM l97 GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (SELECT per_ps.l_suppkey
+        |                    FROM per_ps JOIN per_p ON per_ps.l_partkey = per_p.l_partkey
+        |                    WHERE sq * 2 > tq)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
