@@ -119,6 +119,59 @@ class PlanShapeSpec extends SparkSpec {
       "probe filter must sit below (printed after) the semi join in the plan tree")
   }
 
+  test("q2 prunes lineitem to qualifying parts before the cost aggregation") {
+    val f = formatted(queries.TpcH.q2MinCost(spark, sf0001))
+    assert(f.contains("EqualTo(p_type,STANDARD)") &&
+      f.contains("LessThanOrEqual(p_size,10)"),
+      s"part predicates must reach the part scan:\n$f")
+    val p = planOf(queries.TpcH.q2MinCost(spark, sf0001))
+    assert(p.contains("LeftSemi"), "lineitem must be semi-pruned to qualifying parts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q9 pushes the part-name predicate and broadcasts every dimension") {
+    val f = formatted(queries.TpcH.q9ProductProfit(spark, sf0001))
+    assert(f.contains("StringContains(p_name,red)"),
+      s"LIKE '%red%' must push to the part scan:\n$f")
+    val p = planOf(queries.TpcH.q9ProductProfit(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q11 semi-prunes lineitem to NATION_1 suppliers; the total is a broadcast scalar") {
+    val p = planOf(queries.TpcH.q11ImportantValue(spark, sf0001))
+    assert(p.contains("LeftSemi"), "supplier restriction must be a semi join")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row total must broadcast, never a cartesian product")
+  }
+
+  test("q16 plans NOT IN as a broadcast anti join under the distinct aggregation") {
+    val p = planOf(queries.TpcH.q16SupplierCnt(spark, sf0001))
+    assert(p.contains("LeftAnti"), "the exclusion set must be an anti join")
+    assert(p.contains("BroadcastHashJoin"), "part and the exclusion set broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "COUNT(DISTINCT) must run partial+final")
+  }
+
+  test("q20 aggregates only over red-part lines; final supplier check is a semi join") {
+    val p = planOf(queries.TpcH.q20PromoSupplier(spark, sf0001))
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"both the part pre-prune and the supplier membership must be semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q21 decorrelates both EXISTS into one per-order aggregate, no self-joins") {
+    val p = planOf(queries.TpcH.q21WaitingSupplier(spark, sf0001))
+    assert(p.contains("LeftSemi"),
+      "qualifying orders must come back as a semi join")
+    // lineitem is scanned for the late lines and for the per-order
+    // aggregate — the EXISTS/NOT-EXISTS pair must NOT add two more
+    // self-join scans of it (the naive decorrelation's shape)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected 2 lineitem scans, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
