@@ -272,9 +272,15 @@ object Dedup extends QueryPack {
     * O(log d) rounds at the cost of two joins per round — not needed for
     * dedup workloads. */
   def clusterLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // materialize the pair set ONCE before fanning it into the two union
+    // branches: edges.cache() alone still plans the (possibly expensive —
+    // LSH + verify) pair pipeline into both branches, and the round loop
+    // would pay its final stages twice. The checkpointed pair set is tiny
+    // (the near-dup sliver), the pipeline above it is not.
+    val p = pairs.localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     try {
       // propagate only over docs that have at least one edge — at corpus
@@ -349,10 +355,14 @@ object Dedup extends QueryPack {
     // 4 rows); a lower threshold would need a different banding to keep
     // recall, so reject it instead of silently missing pairs
     require(threshold >= 0.8, s"threshold $threshold below the 0.8 LSH calibration")
+    // cached: the survivor frame feeds the shingle pipeline, the cluster
+    // node set, and the final semi join — three full re-aggregations of
+    // the corpus text without it
     val exactSurvivors = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
+      .cache()
     val pairs = minhashLshOf(exactSurvivors)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc stage profiler: times labeled sub-pipelines of the hot bench
+  * queries inside one JVM (3 repeats, min) so host-contention noise
+  * doesn't masquerade as a regression. Not part of the driver contract.
+  *
+  * Usage: `sbt "runMain graft.tools.Profile /root/testdata/sf0.1"`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-profile").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[profile] $name%-28s min=${ts.map(_._1).min}%6.2fs  rows=${ts.head._2}")
+    }
+
+    val docs = graft.Tables.documents(spark, d)
+    time("lsh_pairs") {
+      graft.dedup.Dedup.minhashLshOf(docs).select("doc_a", "doc_b").count()
+    }
+    time("cluster_labels_only") {
+      val pairs = graft.dedup.Dedup.minhashLshOf(docs)
+        .select("doc_a", "doc_b").localCheckpoint()
+      graft.dedup.Dedup.clusterLabels(docs.select("doc_id"), pairs).count()
+    }
+    time("dedup_clusters_full") {
+      graft.dedup.Dedup.dedupClusters(spark, d).count()
+    }
+    time("dedup_corpus_full") {
+      graft.dedup.Dedup.dedupCorpus(docs).count()
+    }
+    spark.stop()
+  }
+}
