@@ -83,8 +83,12 @@ object ProductQuantizer {
       .orderBy("vec_id").limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    // collect the M×K seed immediately: every iteration then starts from
+    // a local centroid frame, so the first Lloyd pass doesn't re-plan the
+    // distinct + rank + join seed pipeline inside its own collect
     val seed = sub.join(seedIds, "vec_id")
       .select(col("m"), col("cid"), col("sv").as("cv"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq.toDF("m", "cid", "cv")
     (1 to iters).foldLeft(seed) { (cents, _) =>
       val updated = assign(sub, cents)
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))

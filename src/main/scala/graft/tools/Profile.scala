@@ -42,6 +42,24 @@ object Profile {
     time("dedup_corpus_full") {
       graft.dedup.Dedup.dedupCorpus(docs).count()
     }
+
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    time("pq_train_only") {
+      graft.similarity.ProductQuantizer.train(spark, vecs, 8, 8, 16, 2).count()
+    }
+    time("ann_pq_full") {
+      graft.similarity.Similarity.annPq(spark, d).count()
+    }
+    time("ivf_train_only") {
+      graft.similarity.Similarity.trainCentroids(spark, vecs, 16, 2).count()
+    }
+    time("ann_ivf_full") {
+      graft.similarity.Similarity.annIvf(spark, d).count()
+    }
     spark.stop()
   }
 }
