@@ -184,7 +184,54 @@ object TextAnalysis extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** The whole training-corpus build, end to end in ONE lazy plan — the
+    * composition a pretraining data pipeline actually ships: quality
+    * gate (same predicate as [[quality]]) → exact + near-dup dedup with
+    * cluster survivors ([[graft.dedup.Dedup.dedupCorpus]]) → overlapping
+    * token chunks ([[docChunks]]'s window/stride) → fixed-budget
+    * sequence packing ([[docPacking]]'s bin rule, here over chunks).
+    *
+    * Scale shape: the gate is a stateless scan filter; everything
+    * downstream (sketches, verify joins, components, chunk explode) runs
+    * over the filtered sliver only — order the stages cheapest-first and
+    * each stage shrinks the next one's input. The per-source packing
+    * window parallelizes by source group. */
+  def corpusBuild(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 50; val S = 40; val B = 512
+    val good = withToks(Tables.documents(spark, d))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", markerScore("en").cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 10 && col("ttr") >= 0.15 && col("stop_ratio") <= 0.5)
+      .select("doc_id", "text", "source")
+    val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
+      .join(good.select("doc_id", "source"), "doc_id")
+    val chunks = kept
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(0, greatest(0, cast(ceil((n - $W) / $S.0) as int))), " +
+          s"i -> named_struct('idx', i, " +
+          s"'chunk', concat_ws(' ', slice(toks, i * $S + 1, $W))))")).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.idx").cast("long").as("chunk_idx"),
+        col("c.chunk").as("chunk_text"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("tokens_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before div $B"))
+      .select("source", "doc_id", "chunk_idx", "chunk_text",
+        "n_chunk_tokens", "tokens_before", "pack_id")
+      .orderBy("source", "doc_id", "chunk_idx")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "corpus_build" -> corpusBuild,
     "text_lang_confusion" -> langConfusion,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
@@ -200,6 +247,82 @@ object TextAnalysis extends QueryPack {
   }
 
   val oracles = Map(
+    // the full pipeline: quality gate → exact dedup → near-dup closure →
+    // surviving docs → chunk → pack; assembled from the same fragments
+    // the per-stage oracles use
+    "corpus_build" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 10
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) >= 0.15
+         |    AND CAST(${markerSql("en")} AS DOUBLE)
+         |        / len(string_split(text, ' ')) <= 0.5),
+         |ex AS (SELECT MIN(doc_id) AS doc_id, text FROM q GROUP BY text),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM ex
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, len(t) - 2),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |  FROM toks),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz x ON x.doc_id = doc_a
+         |  JOIN sz y ON y.doc_id = doc_b
+         |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (
+         |  SELECT e.doc_id,
+         |         LEAST(e.doc_id, COALESCE(MIN(r.b), e.doc_id)) AS cluster_id
+         |  FROM ex e LEFT JOIN reach r ON r.a = e.doc_id
+         |  GROUP BY e.doc_id),
+         |kept AS (
+         |  SELECT e.doc_id, e.text, q.source
+         |  FROM ex e
+         |  JOIN labels l ON e.doc_id = l.doc_id
+         |  JOIN q ON e.doc_id = q.doc_id
+         |  WHERE l.doc_id = l.cluster_id),
+         |tk AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM kept),
+         |ch AS (
+         |  SELECT doc_id, source,
+         |    unnest(generate_series(0,
+         |      greatest(0, CAST(ceil((n - 50) / 40.0) AS INTEGER)))) AS chunk_idx,
+         |    t, n
+         |  FROM tk),
+         |chunks AS (
+         |  SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |    array_to_string(list_slice(t, chunk_idx * 40 + 1,
+         |      least(n, chunk_idx * 40 + 50)), ' ') AS chunk_text,
+         |    CAST(least(n, chunk_idx * 40 + 50) - chunk_idx * 40 AS BIGINT)
+         |      AS n_chunk_tokens
+         |  FROM ch)
+         |SELECT source, doc_id, chunk_idx, chunk_text, n_chunk_tokens,
+         |  CAST(coalesce(SUM(n_chunk_tokens)
+         |    OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tokens_before,
+         |  CAST(coalesce(SUM(n_chunk_tokens)
+         |    OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) // 512 AS pack_id
+         |FROM chunks ORDER BY source, doc_id, chunk_idx""".stripMargin,
     "text_lang_confusion" ->
       s"""WITH scored AS (
          |  SELECT lang,
