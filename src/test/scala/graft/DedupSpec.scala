@@ -109,6 +109,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusterLabelsStar matches union-find on random graphs and label propagation on a chain") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to n.toLong).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(rnd.nextInt(25))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val got = Dedup.clusterLabelsStar(
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(n, edges), s"n=$n edges=$edges")
+    }
+    // the case star contraction exists for: a 256-node chain has
+    // diameter 255 (label propagation: ~255 rounds) but star
+    // contraction closes it in O(log n) alternating rounds
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.clusterLabelsStarWithRounds(
+      (1L to n).toDF("doc_id"), chain.toDF("doc_a", "doc_b"))
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      (1L to n).map(_ -> 1L).toMap)
+    assert(rounds <= 12, s"star contraction needed $rounds rounds on a ${n}-chain")
+  }
+
   test("dedupCorpus: exact copies, near-dups, and uniques end to end") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val near = base.replace("tonight", "today") // high trigram overlap
