@@ -352,6 +352,33 @@ object Extended extends QueryPack {
       .orderBy("bucket", "item")
   }
 
+  /** Sketch-candidates + exact-verify heavy hitters — the pattern that
+    * makes the Misra–Gries sketch EXACTLY checkable: MG(k=7) guarantees
+    * every item with true frequency > n/(k+1) survives the sketch, so
+    * re-counting just the surviving candidates and filtering with the
+    * exact cross-multiplied test `cnt·8 > n` returns precisely the
+    * heavy-hitter set — same answer as a full group-by, but the first
+    * pass shuffles k counters per bucket instead of every distinct item
+    * (the LSH-then-verify shape, applied to frequency). Unlike
+    * [[freqItems]] (rows-only, estimated counts), this one
+    * hash-matches a plain SQL oracle. */
+  def freqItemsVerified(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.FreqItemsAgg.register(spark, 7)
+    val ev = Tables.events(spark, d)
+      .select((col("user_id") % 10).as("bucket"), col("event_type"))
+    val cand = ev.groupBy("bucket")
+      .agg(expr("freq_items(event_type)").as("m"))
+      .select(col("bucket"), explode(map_keys(col("m"))).as("event_type"))
+    val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("cnt"))
+    val totals = ev.groupBy("bucket").agg(count(lit(1)).as("n"))
+    counts
+      .join(cand, Seq("bucket", "event_type"), "left_semi")
+      .join(totals, "bucket")
+      .filter(col("cnt") * 8 > col("n"))
+      .select("bucket", "event_type", "cnt")
+      .orderBy("bucket", "event_type")
+  }
+
   /** Bloom-pruned semi join ([[graft.operators.BloomPrune]]) as a
     * driver-checked query: lineitem rows kept only if their order is
     * urgent-priority. The Bloom of urgent order keys turns away
@@ -492,6 +519,7 @@ object Extended extends QueryPack {
     "customer_rfm_approx" -> customerRfmApprox,
     "profile_orders" -> profileOrders,
     "freq_items" -> freqItems,
+    "freq_items_verified" -> freqItemsVerified,
     "above_avg_orders" -> aboveAvgOrders,
     "full_outer_join" -> fullOuterJoin,
     "sample_det" -> sampleDet,
@@ -514,6 +542,16 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    // exact heavy hitters: the MG candidate set provably contains every
+    // item with cnt·8 > n, so the verified query equals this plain SQL
+    "freq_items_verified" ->
+      """WITH ev AS (SELECT user_id % 10 AS bucket, event_type FROM events),
+        |counts AS (SELECT bucket, event_type, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |totals AS (SELECT bucket, COUNT(*) AS n FROM ev GROUP BY 1)
+        |SELECT bucket, event_type, cnt
+        |FROM counts JOIN totals USING (bucket)
+        |WHERE cnt * 8 > n
+        |ORDER BY bucket, event_type""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
