@@ -116,14 +116,15 @@ object ProductQuantizer {
   def adcTopK(spark: SparkSession, vecs: DataFrame,
       m: Int, subDim: Int, k: Int, iters: Int,
       isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    // one explode, cached through training (every Lloyd pass is an eager
-    // collect over it); unpersisted before the lazy search plan is built,
-    // so no cached relation outlives this call. The encode + LUT scans
-    // below then recompute the explode once each — cheap next to the ADC
-    // join, and a leak-free default matters more than saving it: callers
-    // embed ann_pq in long-lived sessions where leaked cache accumulates.
-    val sub = subVectors(vecs, m, subDim).cache()
-    val cents = try trainFrom(spark, sub, k, iters) finally sub.unpersist()
+    // one explode, materialized ONCE via localCheckpoint: training (every
+    // Lloyd pass is an eager collect), encode, and the LUT all read the
+    // materialized sub-vector blocks instead of re-running the normalize +
+    // explode pipeline. Unlike an explicit cache (which would have to
+    // outlive this call to benefit the lazy search plan, i.e. leak until
+    // the caller's clearCache), checkpoint blocks are released by the
+    // ContextCleaner as soon as the returned plan is GC'd.
+    val sub = subVectors(vecs, m, subDim).localCheckpoint()
+    val cents = trainFrom(spark, sub, k, iters)
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
     val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
       .withColumnRenamed("vec_id", "query_id")
