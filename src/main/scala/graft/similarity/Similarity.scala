@@ -123,8 +123,12 @@ object Similarity extends QueryPack {
       nlist: Int, iters: Int): DataFrame = {
     val s = spark
     import s.implicits._
+    // collect the seed immediately (same as ProductQuantizer): the first
+    // Lloyd pass then starts from a local centroid frame instead of
+    // re-planning the TakeOrdered seed inside its own collect
     val seed = all.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cv")
     (1 to iters).foldLeft(seed) { (cents, _) =>
       // argmax similarity as a hash aggregate: min over (-sim, cid, v)
       // structs = max sim with min-cid tie-break, exactly the row the
