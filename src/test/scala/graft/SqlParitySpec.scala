@@ -18,7 +18,13 @@ class SqlParitySpec extends SparkSpec {
     "dedup_exact_survivors", "topk_per_key", "pivot_daily",
     "time_buckets", "serve_status", "enrich_broadcast", "stats_agg",
     "grouping_sets", "window_frames", "above_avg_orders", "sample_det",
-    "full_outer_join", "q6_forecast")
+    "full_outer_join", "q6_forecast",
+    "q2_min_cost", "q4_priority", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned", "q11_important_value",
+    "q12_shipmode", "q13_distribution", "q14_promo", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty", "q18_large_orders",
+    "q19_disjunctive", "q20_promo_supplier", "q21_waiting_supplier",
+    "q22_idle_capital", "freq_items_verified")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
