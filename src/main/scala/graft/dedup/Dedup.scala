@@ -130,9 +130,15 @@ object Dedup extends QueryPack {
     * prefix-filtered variant's extra passes; see [[ngramJaccardPrefixOf]]
     * for the shape that wins once hot shingles appear. */
   def ngramJaccardOf(docs: DataFrame): DataFrame = {
-    // hashed shingles: 8-byte join keys; cached because the set feeds
-    // three plan branches (sizes + both join sides)
-    val sh = hashedShingles(docs).cache()
+    // hashed shingles: 8-byte join keys; materialized once via
+    // localCheckpoint because the set feeds three plan branches (sizes +
+    // both join sides). Checkpoint, not cache: cached relations live in
+    // the cache manager until an explicit unpersist/clearCache (a leak
+    // for a lazy returned plan — the PQ lesson from the round-3 advice),
+    // while checkpoint blocks are released when the plan is GC'd. The
+    // cost is lineage truncation: on a real cluster an executor loss
+    // re-runs the checkpointed stage instead of replaying lineage.
+    val sh = hashedShingles(docs).localCheckpoint()
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -154,7 +160,7 @@ object Dedup extends QueryPack {
     * equality, the bench runs the plain join. */
   def ngramJaccardPrefixOf(docs: DataFrame, t: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = hashedShingles(docs).cache()
+    val sh = hashedShingles(docs).localCheckpoint()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
@@ -163,14 +169,14 @@ object Dedup extends QueryPack {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "shingle")
-    // cached: jaccardOf reads the candidate set from three plan branches,
-    // and the prefix pipeline (freq agg + two windows + self-join) is the
-    // expensive part worth computing once — same reason minhashLshOf
-    // caches its candidates
+    // materialized once: jaccardOf reads the candidate set from three
+    // plan branches, and the prefix pipeline (freq agg + two windows +
+    // self-join) is the expensive part worth computing once — same
+    // reason minhashLshOf checkpoints its candidates
     val candidates = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct().cache()
+      .select("doc_a", "doc_b").distinct().localCheckpoint()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
@@ -243,10 +249,11 @@ object Dedup extends QueryPack {
   /** Same over any (doc_id, text) frame. */
   def minhashLshOf(docs: DataFrame): DataFrame = {
     // four plan branches read the shingles (signatures, sizes, both
-    // verify-join sides) and three read the candidate pairs — cache both
-    // so the explode+distinct and the banding pipeline run once each
-    val sh = hashedShingles(docs).cache()
-    val candidates = lshCandidatesFrom(sh).cache()
+    // verify-join sides) and three read the candidate pairs — checkpoint
+    // both so the explode+distinct and the banding pipeline run once
+    // each (see ngramJaccardOf for the checkpoint-vs-cache rationale)
+    val sh = hashedShingles(docs).localCheckpoint()
+    val candidates = lshCandidatesFrom(sh).localCheckpoint()
     jaccardOf(sh, Some(candidates))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -430,14 +437,15 @@ object Dedup extends QueryPack {
     // 4 rows); a lower threshold would need a different banding to keep
     // recall, so reject it instead of silently missing pairs
     require(threshold >= 0.8, s"threshold $threshold below the 0.8 LSH calibration")
-    // cached: the survivor frame feeds the shingle pipeline, the cluster
-    // node set, and the final semi join — three full re-aggregations of
-    // the corpus text without it
+    // materialized once: the survivor frame feeds the shingle pipeline,
+    // the cluster node set, and the final semi join — three full
+    // re-aggregations of the corpus text without it (checkpoint, not
+    // cache, so nothing leaks past the returned plan's lifetime)
     val exactSurvivors = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
-      .cache()
+      .localCheckpoint()
     val pairs = minhashLshOf(exactSurvivors)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
