@@ -455,6 +455,32 @@ object Dedup extends QueryPack {
     exactSurvivors.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  // ---------- decontamination ----------
+
+  /** Benchmark decontamination — the eval-overlap check a training
+    * pipeline runs before shipping a corpus (the C4/Dolma n-gram rule):
+    * for every training document, how many of its distinct trigram
+    * shingles also appear anywhere in the held-out eval set (here:
+    * source `src0` stands in for the benchmark suite). Downstream, docs
+    * with n_shared above a policy threshold get dropped or masked.
+    *
+    * Scale shape: eval sets are bounded (benchmarks, not corpora), so
+    * the distinct eval-shingle set is BROADCAST and the whole check is
+    * one map-side semi join over the training shingle stream + one
+    * count aggregate — the 100 TB side never shuffles on the shingle.
+    * Same 64-bit hashed shingles as the dedup family (string oracle;
+    * 2^-64 collision caveat accepted and documented there). */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val evalSh = hashedShingles(docs.filter(col("source") === "src0"))
+      .select("shingle").distinct()
+    hashedShingles(docs.filter(col("source") =!= "src0"))
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per doc over distinct word features: bit b is set iff
@@ -498,6 +524,7 @@ object Dedup extends QueryPack {
     "dedup_ngram" -> ngramJaccard,
     "dedup_minhash" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
+    "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
@@ -537,6 +564,20 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
+    // string-shingle mirror of the hashed-shingle semi join
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                     || ' ' || string_split(text, ' ')[i+2])) AS shingle
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> jaccardSql,
     // transitive closure of the exact >= 0.8 pair set; every doc gets
     // the smallest doc_id it can reach (itself when isolated)
