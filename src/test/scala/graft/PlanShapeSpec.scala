@@ -172,6 +172,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontaminate: eval shingles broadcast into a map-side semi join") {
+    val p = planOf(dedup.Dedup.decontaminate(spark, sf0001))
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined ||
+      (p.contains("LeftSemi") && p.contains("BroadcastExchange")),
+      s"the eval shingle set must broadcast; training shingles must not shuffle for the join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle of the training shingle stream before the semi join")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
