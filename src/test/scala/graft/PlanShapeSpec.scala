@@ -172,6 +172,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asof_join plans with NO join operator at all (union + window trick)") {
+    val p = planOf(queries.Extended.asofJoin(spark, sf0001))
+    assert(!p.contains("Join"), s"the as-of must be a union + last-value window, not a join:\n$p")
+    assert(p.contains("Window"), "the last-value window must be present")
+  }
+
+  test("corpus_build and dedup_minhash never fall back to all-pairs joins") {
+    for (q <- Seq(text.TextAnalysis.corpusBuild(spark, sf0001),
+                  dedup.Dedup.minhashLsh(spark, sf0001))) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"every candidate-generation step must be an equi-join:\n$p")
+    }
+  }
+
   test("decontaminate: eval shingles broadcast into a map-side semi join") {
     val p = planOf(dedup.Dedup.decontaminate(spark, sf0001))
     assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined ||
