@@ -170,13 +170,13 @@ object TpcH extends QueryPack {
 
   /** Q21 (adapted late test as in q4/q12): NATION_1 suppliers whose late
     * line was the ONLY late one in a multi-supplier finished order.
-    * The classic EXISTS / NOT-EXISTS pair decorrelates to ONE per-order
-    * aggregate — `countDistinct(supplier)` and `countDistinct(late
-    * supplier)` in the same hash agg — instead of two lineitem
-    * self-joins; the order keys that survive (`n_supp > 1 AND
-    * n_late_supp = 1`) semi-join back against the late lines. At scale
-    * that is two shuffles of lineitem on the same key (join +
-    * aggregate) rather than three full self-join passes. */
+    * The classic EXISTS / NOT-EXISTS pair decorrelates to per-order
+    * supplier counts — a (order, supplier) flag aggregate cascaded into
+    * a per-order count — instead of two lineitem self-joins; the order
+    * keys that survive (`n_supp > 1 AND n_late_supp = 1`) semi-join
+    * back against the late lines. At scale that is two shuffles of
+    * lineitem (join + aggregate) rather than three full self-join
+    * passes, with map-side combine at every step. */
   def q21WaitingSupplier(spark: SparkSession, d: String): DataFrame = {
     val lines = Tables.lineitem(spark, d)
       .join(Tables.orders(spark, d)
@@ -184,9 +184,16 @@ object TpcH extends QueryPack {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val only = lines.groupBy(col("l_orderkey").as("k"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    // two cascaded narrow aggregates instead of a countDistinct pair:
+    // the Expand a 2-way distinct aggregate plans would double the rows
+    // entering the shuffle; per-(order, supplier) flags reduce map-side
+    // first, and the second aggregate runs over the already-tiny
+    // distinct pairs
+    val only = lines.groupBy(col("l_orderkey").as("k"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
       .select("k")
     lines.filter(col("late"))
