@@ -50,6 +50,16 @@ object Dedup extends QueryPack {
     * shingles agree iff their token triples agree, exactly the equality
     * the string form encodes, modulo the same 2^-64 collision caveat. */
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    docs.select(col("doc_id"),
+      explode(GraftPlanBridge.column(graft.functions.ShingleHashesExpr(
+        GraftPlanBridge.expr(col("text")), n))).as("shingle"))
+  }
+
+  /** The pre-expression formulation of [[hashedShingles]] via built-in
+    * higher-order functions — kept as the reference implementation the
+    * native kernel is equality-tested against (DedupSpec). */
+  private[graft] def hashedShinglesHof(docs: DataFrame, n: Int = 3): DataFrame = {
     val win = (0 until n).map(k => s"th[i+${k - 1}]").mkString(", ") // [] is 0-based
     docs
       .select(col("doc_id"), expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))

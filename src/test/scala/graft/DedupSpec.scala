@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 12, s"star contraction needed $rounds rounds on a ${n}-chain")
   }
 
+  test("native shingle_hashes equals the built-in HOF pipeline bit-for-bit") {
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val edge = Seq(
+      (9001L, ""), (9002L, " "), (9003L, "a b"), (9004L, "a b c"),
+      (9005L, "a  b   c d"),            // runs of spaces → empty tokens
+      (9006L, " leading and trailing "),
+      (9007L, "päivää тест 言葉 emoji🙂 mix a b"), // multi-byte UTF-8
+      (9008L, "dup dup dup dup dup"))   // repeated shingles → distinct
+      .toDF("doc_id", "text")
+    for (df <- Seq(corpus, edge); n <- Seq(2, 3)) {
+      val native = Dedup.hashedShingles(df, n)
+        .as[(Long, Long)].collect().toSet
+      val hof = Dedup.hashedShinglesHof(df, n)
+        .as[(Long, Long)].collect().toSet
+      assert(native === hof, s"n=$n divergence")
+    }
+  }
+
   test("dedupCorpus: exact copies, near-dups, and uniques end to end") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val near = base.replace("tonight", "today") // high trigram overlap
