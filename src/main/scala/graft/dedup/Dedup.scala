@@ -499,9 +499,14 @@ object Dedup extends QueryPack {
     * buffer, partial+final) instead of 64 separate conditional sums. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.SimHashAgg.register(docs.sparkSession)
+    // n=1 shingle_hashes = distinct raw token hashes in one pass —
+    // value-identical to array_distinct(split) + xxhash64 per token
+    // (distinct by hash vs by string: 2^-64 caveat as everywhere)
     docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.execution.graft.GraftPlanBridge.column(
+          graft.functions.ShingleHashesExpr(
+            org.apache.spark.sql.execution.graft.GraftPlanBridge.expr(col("text")), 1))).as("h"))
       .groupBy("doc_id")
       .agg(expr("simhash_agg(h)").as("simhash"))
   }

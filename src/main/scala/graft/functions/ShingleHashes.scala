@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `xxhash64(t)`, computed in place over the parent string's bytes
   *    (no per-token allocation);
   *  - shingle hash chains the `n` token hashes through `XXH64.hashLong`
-  *    from seed 42 — exactly `xxhash64(h1, …, hn)`;
+  *    from seed 42 — exactly `xxhash64(h1, …, hn)`; for `n = 1` the raw
+  *    token hash is emitted UNchained, i.e. exactly `xxhash64(token)` —
+  *    the distinct-token-feature primitive SimHash consumes (distinct
+  *    by hash ≡ distinct by string modulo the 2^-64 collision caveat
+  *    documented on [[graft.dedup.Dedup.hashedShingles]]);
   *  - distinct keeps first occurrence, like `array_distinct`.
   *
   * Fewer than `n` tokens → empty array (the explode then drops the doc,
@@ -83,9 +87,12 @@ object ShingleHashesExpr {
     var nOut = 0
     var j = 0
     while (j <= nTok - n) {
-      var h = Seed
-      var k = 0
-      while (k < n) { h = XXH64.hashLong(tokens(j + k), h); k += 1 }
+      var h = tokens(j) // n = 1: the raw token hash, unchained
+      if (n > 1) {
+        h = XXH64.hashLong(tokens(j), Seed)
+        var k = 1
+        while (k < n) { h = XXH64.hashLong(tokens(j + k), h); k += 1 }
+      }
       if (seen.add(h)) { out(nOut) = h; nOut += 1 }
       j += 1
     }

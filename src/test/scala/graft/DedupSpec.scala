@@ -159,6 +159,16 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(native === hof, s"n=$n divergence")
     }
+    // n = 1 emits raw token hashes — the SimHash feature primitive
+    for (df <- Seq(corpus, edge)) {
+      val native = Dedup.hashedShingles(df, 1)
+        .as[(Long, Long)].collect().toSet
+      val builtin = df
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        .as[(Long, Long)].collect().toSet
+      assert(native === builtin, "n=1 divergence from distinct-token xxhash64")
+    }
   }
 
   test("dedupCorpus: exact copies, near-dups, and uniques end to end") {
