@@ -434,6 +434,16 @@ object Dedup extends QueryPack {
     clusterLabels(docs.select("doc_id"), pairs).orderBy("doc_id")
   }
 
+  /** [[dedupClusters]] computed by [[clusterLabelsStar]] instead of
+    * label propagation — driver-checked against the SAME recursive
+    * transitive-closure oracle, so both component algorithms are proven
+    * equal on the real near-dup graph, not just unit-test graphs. */
+  def dedupClustersStar(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    clusterLabelsStar(docs.select("doc_id"), pairs).orderBy("doc_id")
+  }
+
   /** The production dedup composition, end to end: exact dedup first
     * (one hash aggregate — handles the quadratic-output case of
     * many-way exact copies), then MinHash/LSH near-dup on the exact
@@ -541,6 +551,7 @@ object Dedup extends QueryPack {
     "dedup_simhash" -> simhashPairs,
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_star" -> dedupClustersStar,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
 
@@ -597,6 +608,38 @@ object Dedup extends QueryPack {
     // transitive closure of the exact >= 0.8 pair set; every doc gets
     // the smallest doc_id it can reach (itself when isolated)
     "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz x ON x.doc_id = doc_a
+        |  JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_clusters_star" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
