@@ -124,6 +124,31 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs exact top-5 fell to $recall")
   }
 
+  test("LSH ANN (multi-table hyperplanes): recall of exact top-5 stays useful") {
+    // exact top-5 for the SAME query/candidate split annLsh uses
+    // (queries < 100, candidates >= 100), computed locally with the
+    // identical sequential dot-product fold the codegen'd expression runs
+    val all = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qs, cs) = all.partition(_._1 < 100)
+    val exact = qs.flatMap { case (qid, qv) =>
+      cs.map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, s) => (-s, nid) }.take(5)
+        .map { case (qid2, nid, _) => (qid2, nid) }
+    }.toSet
+    val lsh = graft.similarity.Similarity.annLsh(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall vs exact top-5 fell to $recall")
+  }
+
   test("PQ ANN (ADC shortlist + exact re-rank): recall stays useful") {
     val exact = graft.similarity.Similarity.annTopK(spark, sf0001)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
