@@ -40,6 +40,25 @@ object StreamingAnalytics {
         count(lit(1)).as("n_sales"))
       .select(col("w.start").as("hour"), col("revenue"), col("units"), col("n_sales"))
 
+  /** Keyed Misra–Gries heavy hitters over a stream — the sketch
+    * (`functions/FreqItemsAgg`) is mergeable, so it runs as a normal
+    * incremental streaming aggregate: each micro-batch's partial
+    * buffers merge into the k-counter state per key, and state stays
+    * k counters per key FOREVER, no matter how many items flow
+    * through — the bounded-state form of "what's trending per key".
+    * Works on a batch frame too (one logical plan, like
+    * [[hourlyRevenue]]). Estimates depend on merge order (standard
+    * MG), but the guarantee does not: any item with true frequency
+    * > n/(k+1) is in the map, undercounted by at most n/(k+1) —
+    * StreamingAnalyticsSpec drives multiple micro-batches and asserts
+    * exactly that. */
+  def freqItemsStream(events: DataFrame, key: String, item: String,
+      k: Int = 7): DataFrame = {
+    graft.functions.FreqItemsAgg.register(events.sparkSession, k)
+    events.groupBy(col(key))
+      .agg(expr(s"freq_items($item)").as("heavy_hitters"))
+  }
+
   /** Stream-stream interval join as a library operator — the streaming
     * mirror of the batch `range_join` query: each left row pairs with
     * right rows of the same key whose event time falls in

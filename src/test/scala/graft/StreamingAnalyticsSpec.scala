@@ -15,6 +15,43 @@ class StreamingAnalyticsSpec extends SparkSpec {
   private def sale(id: String, t: String, total: String, qty: Int) =
     s"""{"event_id":"$id","event_type":"sale","event_time":"$t","product_id":1,"product_name":"p","category":"c","quantity":$qty,"price":10.00,"discount":0.0,"total":$total,"store_id":1,"cashier_id":1,"customer_id":"u"}"""
 
+  test("streaming Misra-Gries: heavy-hitter guarantee holds across micro-batches") {
+    val in = tmpDir("mg-in")
+    // skew: per bucket, item "hot" dominates; lots of one-off noise items
+    def batchLines(tag: String): Seq[String] =
+      (0 until 2).flatMap { b =>
+        Seq.fill(40)(s"$b,hot") ++ Seq.fill(10)(s"$b,warm") ++
+          (0 until 10).map(i => s"$b,noise-$tag-$i")
+      }
+    Files.write(Paths.get(in, "b1.csv"), String.join("\n", batchLines("x"): _*).getBytes)
+    val stream = spark.readStream
+      .schema("bucket LONG, item STRING").csv(in)
+    val out = StreamingAnalytics.freqItemsStream(stream, "bucket", "item", k = 7)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch arrives later — state must merge, not reset
+      Files.write(Paths.get(in, "b2.csv"), String.join("\n", batchLines("y"): _*).getBytes)
+      q.processAllAvailable()
+      val got = spark.table("mg_out")
+        .select($"bucket", $"heavy_hitters").as[(Long, Map[String, Long])]
+        .collect().toMap
+      val n = 120L // rows per bucket across both batches
+      val truth = Map("hot" -> 80L, "warm" -> 20L)
+      (0L until 2L).foreach { b =>
+        val m = got(b)
+        truth.foreach { case (item, cnt) =>
+          if (cnt > n / 8) { // k=7 → guarantee threshold n/(k+1)
+            assert(m.contains(item), s"bucket $b lost heavy hitter $item: $m")
+            assert(m(item) <= cnt, "MG estimates never overcount")
+            assert(cnt - m(item) <= n / 8, s"undercount bound broken for $item: $m")
+          }
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming hourly revenue == batch hourly revenue on the same data") {
     val in = tmpDir("sa-in"); val ckpt = tmpDir("sa-ckpt")
     val lines = Seq(
