@@ -521,17 +521,27 @@ object Dedup extends QueryPack {
       .agg(expr("simhash_agg(h)").as("simhash"))
   }
 
+  /** The 64-bit fingerprint split into `nBands` equal bands: by the
+    * pigeonhole principle, a pair within Hamming distance `nBands − 1`
+    * must agree (collide) on at least one band — the SimHash analog of
+    * MinHash LSH banding. */
+  private def simhashBanded(fp: DataFrame, nBands: Int): DataFrame = {
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * width}) & $mask").as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** SimHash near-dup pairs: 4 × 16-bit band join (a pair within Hamming
     * distance 3 of each other must agree on at least one band), then
     * exact Hamming filter via bit_count(xor). Sketch-based → rows-only
-    * check (no SQL oracle). */
+    * check (no SQL oracle); the exact-verified form with a hash-matched
+    * oracle is [[simhashVerified]]. */
   def simhashPairs(spark: SparkSession, d: String): DataFrame = {
-    val fp = simhashFingerprints(Tables.documents(spark, d))
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          expr(s"(simhash >> ${b * 16}) & 65535").as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = simhashBanded(simhashFingerprints(Tables.documents(spark, d)), 4)
     banded.select(col("doc_id").as("doc_a"), col("simhash").as("fa"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -543,12 +553,45 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash candidates + exact verify — the `freq_items_verified`
+    * pattern applied to the SimHash sketch, giving the one sketch query
+    * that had no driver-visible quality gate a hash-matched oracle:
+    * candidate pairs from an 8 × 8-bit band join (every pair within
+    * Hamming distance 7 collides somewhere — wider net than
+    * [[simhashPairs]]'s 4 × 16), then each candidate re-scored with the
+    * EXACT trigram-shingle Jaccard and thresholded at 0.8. The oracle is
+    * the exhaustive Jaccard join ([[jaccardSql]]); equality holds
+    * because every ≥ 0.8 pair lands within Hamming 7 on this corpus
+    * (token-unigram fingerprints of 80 %-overlapping trigram sets differ
+    * in a handful of bits) — the same corpus-verified recall contract
+    * [[minhashLsh]] ships under, here additionally floor-checked in
+    * DedupSpec. At 100 TB the shape is the scale story: banding prunes
+    * the candidate space to near-linear, exact scoring touches only
+    * candidates, and nothing all-pairs ever materializes. */
+  def simhashVerified(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val banded = simhashBanded(simhashFingerprints(docs), 8)
+    // candidates materialized once: the pair set feeds the three-branch
+    // exact-verify join (same reason the prefix-filter variant checkpoints)
+    val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().localCheckpoint()
+    val sh = hashedShingles(docs).localCheckpoint()
+    jaccardOf(sh, Some(candidates))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram" -> ngramJaccard,
     "dedup_minhash" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
+    "dedup_simhash_verified" -> simhashVerified,
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
@@ -605,6 +648,7 @@ object Dedup extends QueryPack {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> jaccardSql,
+    "dedup_simhash_verified" -> jaccardSql,
     // transitive closure of the exact >= 0.8 pair set; every doc gets
     // the smallest doc_id it can reach (itself when isolated)
     "dedup_clusters" ->

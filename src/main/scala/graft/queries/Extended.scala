@@ -419,7 +419,10 @@ object Extended extends QueryPack {
   private def rfmBase(spark: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(spark, d)
     val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
-    orders.crossJoin(maxDate)
+    // broadcast the 1-row aggregate: without the hint, pre-AQE planning
+    // (no stats on an agg output) can pick CartesianProduct over the
+    // full orders table — mirror of the hint on the approx variant
+    orders.crossJoin(broadcast(maxDate))
       .groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("last_order"),
@@ -493,23 +496,30 @@ object Extended extends QueryPack {
       ("o_orderstatus", ident),
       ("o_totalprice", _.cast(DecimalType(18, 2))),
       ("o_orderdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
-    // ONE scan: all per-column measures in a single aggregate (Spark
-    // plans the multiple COUNT(DISTINCT)s via one Expand), then unpivot
-    // to the tall report shape
-    val measures = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, norm) => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      norm(min(col(c))).cast("string").as(s"${c}__min"),
-      norm(max(col(c))).cast("string").as(s"${c}__max"))
+    // One branch per profiled column, unioned into the tall report.
+    // NOT one wide aggregate: multiple COUNT(DISTINCT)s in one agg plan
+    // a single Expand that replays every input row once per distinct
+    // column (a ~5× scan multiplier over ALL profiled columns at once).
+    // Here each branch scans only its own column (pruned to the parquet
+    // reader), counts distinct as the classic two-phase group-by —
+    // partial agg per value, then one row per distinct value into a
+    // 1-row final agg — and the branches run as independent stages of
+    // one job. n_rows = sum of the per-value counts, so no shared
+    // full-table branch is needed.
+    val perCol = cols.map { case (c, norm) =>
+      Tables.orders(spark, d)
+        .groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          norm(min(col("v"))).cast("string").as("min_val"),
+          norm(max(col("v"))).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
     }
-    val wide = Tables.orders(spark, d).agg(measures.head, measures.tail: _*)
-    wide.select(explode(array(cols.map { case (c, _) =>
-        struct(lit(c).as("column_name"), col("n_rows"),
-          col(s"${c}__null").as("n_null"), col(s"${c}__nd").as("n_distinct"),
-          col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"))
-      }: _*)).as("p"))
-      .select("p.*")
-      .orderBy("column_name")
+    perCol.reduce(_ union _).orderBy("column_name")
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](

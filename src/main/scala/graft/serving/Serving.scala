@@ -16,15 +16,19 @@ import graft.queries.{Dashboard, QueryPack}
 object Serving extends QueryPack {
 
   /** Hourly chart feed with presentation labels: `strftime('%H:%M')` →
-    * `date_format(hour, 'HH:mm')`, revenue rounded at the edge. */
+    * `date_format(hour, 'HH:mm')`, revenue rounded at the edge.
+    *
+    * Row order is the underlying `hour` order: [[Dashboard.salesByHour]]
+    * already ends in a total sort on the unique `hour` key, and the
+    * label projection on top preserves it — HH:mm labels repeat across
+    * days, so re-sorting on the label would need extra tie-break keys
+    * (and a second full sort) to stay deterministic. */
   def salesChart(spark: SparkSession, d: String): DataFrame =
     Dashboard.salesByHour(spark, d)
       .select(
         date_format(col("hour"), "HH:mm").as("label"),
         round(col("revenue").cast("double"), 2).as("revenue"),
         col("n_sales"))
-      // HH:mm labels repeat across days — revenue+count break the ties
-      .orderBy("label", "revenue", "n_sales")
 
   /** Latest-events feed with full timestamp labels
     * (`'%Y-%m-%d %H:%M:%S'`). */
@@ -71,7 +75,7 @@ object Serving extends QueryPack {
         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
         |         COUNT(*) AS n_sales
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1) t
-        |ORDER BY label, revenue, n_sales""".stripMargin,
+        |ORDER BY hour""".stripMargin,
     "serve_recent_feed" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_label,
         |       event_type, round(value, 2) AS value

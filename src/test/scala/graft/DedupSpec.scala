@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(prefixed === plain) // prefix filter: recall exactly 1 at t=0.8
   }
 
+  test("simhash-verified equals the exhaustive jaccard join (recall 1 here)") {
+    val corpus = Tables.documents(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.ngramJaccardOf(corpus))
+    val verified = pairs(Dedup.simhashVerified(spark, sf0001))
+    assert(exact.nonEmpty)
+    // 8×8 banding catches every Hamming≤7 pair; on this corpus that nets
+    // every jaccard≥0.8 pair, so exact-verify reproduces the full answer
+    assert(verified === exact)
+  }
+
   test("shingles: doc shorter than n tokens contributes nothing") {
     val sh = Dedup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"))
     assert(sh.count() === 0)

@@ -196,6 +196,23 @@ class PlanShapeSpec extends SparkSpec {
       "no shuffle of the training shingle stream before the semi join")
   }
 
+  test("customer_rfm: 1-row max-date side broadcasts, never a cartesian") {
+    // without the broadcast hint the statless agg output can plan
+    // CartesianProduct against the full orders table pre-AQE
+    for (q <- Seq(queries.Extended.customerRfm(spark, sf0001),
+                  queries.Extended.customerRfmApprox(spark, sf0001))) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"scalar cross join must broadcast the 1-row side:\n$p")
+    }
+  }
+
+  test("profile_orders: per-column two-phase distinct, no Expand multiplier") {
+    val p = planOf(queries.Extended.profileOrders(spark, sf0001))
+    assert(!p.contains("Expand"),
+      s"multi-countDistinct must not plan an Expand that replays the scan per column:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
