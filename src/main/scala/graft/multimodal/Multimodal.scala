@@ -1,100 +1,192 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.QueryPack
 
-/** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
-  * typed metadata struct, plus the partition-level decode / feature-
-  * extract stage a real image/audio pipeline would run.
+/** Multimodal-column plumbing with a REAL codec: media as opaque
+  * `BINARY` payloads (actual PNG/BMP images, encoded and decoded with
+  * the JDK's `javax.imageio` — no external dependency), plus the
+  * partition-level decode / feature-extract / resize stages an
+  * image/video pipeline runs.
   *
-  * The decode itself is STUBBED (no codec libraries in this container —
-  * see [[MediaCodec.decodeStub]]), but everything Spark-side is real and
-  * tested: the schema contract, the binary column handling, the
-  * `mapPartitions` batch shape (one iterator pass, constant memory, no
-  * per-row task overhead — the Scala analog of `mapInPandas` batches),
-  * and the deterministic metadata derivation.
+  * The synthetic corpus carries no image files, so the payloads are
+  * GENERATED — but generated as real compressed image bytes whose
+  * ground truth is a closed-form function of `doc_id`: dimensions
+  * `8 + (doc_id·7) mod 56 × 8 + (doc_id·13) mod 56`, gray pixel
+  * `(x·7 + y·13 + doc_id) mod 256`, PNG for even ids / BMP for odd.
+  * Every decoded value the queries emit (width, height, pixel sums —
+  * including the sum over a real nearest-neighbor resize) is therefore
+  * oracle-checkable in SQL while still having passed through an actual
+  * encoder and decoder: a corrupted codec path cannot hash-match.
+  *
+  * Everything Spark-side is the shape a real deployment uses: binary
+  * column + typed metadata, one `mapPartitions` pass per stage (codec
+  * and model init amortized per partition — the Scala analog of a
+  * Pandas-UDF batch), and at scale the sampler/seek stages plan over
+  * metadata only, never payload bytes.
   */
 object Multimodal extends QueryPack {
 
-  /** One media row: payload + the metadata a real pipeline would carry. */
-  case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String)
+  /** One media row: real image payload + the container metadata a
+    * pipeline carries alongside (`n_frames` plays the video frame
+    * count; the still image stands in for one frame's plane). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String, n_frames: Int)
 
-  /** Extracted features; `embedding` stands in for a model output. */
+  /** Decode output: true dimensions + pixel checksum from the codec. */
+  case class Decoded(doc_id: Long, kind: String, width: Int, height: Int,
+      px_sum: Long, n_frames: Int)
+
+  /** Real resize output: decoded dims, target dims, and the pixel sum
+    * of the actually-resized raster. */
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, new_px_sum: Long)
+
+  /** Extracted features; `embedding` stands in for a model output but
+    * is computed from real decoded pixels. */
   case class MediaFeatures(
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, embedding: Array[Float])
 
   object MediaCodec {
-    /** STUB — deterministic fake decode. A real deployment links an
-      * image/audio codec here (the batch/iterator contract is the part
-      * under test; this container ships no codec libraries). Derives
-      * plausible dimensions from the payload bytes so downstream logic
-      * has real-shaped data to chew on. */
-    def decodeStub(row: MediaRow): MediaFeatures = {
-      val n = row.payload.length
-      val w = 64 + (n % 192)
-      val h = 64 + ((n * 31) % 192)
-      val emb = Array.tabulate(8)(i =>
-        ((row.payload(i % math.max(n, 1)) & 0xFF) / 255.0f))
-      MediaFeatures(row.doc_id, n.toLong, w, h, 1 + n % 8, emb)
+    /** Ground-truth dimensions for `doc_id` (the generator contract the
+      * oracle mirrors): small enough that a 5000-doc corpus encodes in
+      * milliseconds, wide enough that the resize box binds sometimes. */
+    def dims(docId: Long): (Int, Int) =
+      ((8 + (docId * 7) % 56).toInt, (8 + (docId * 13) % 56).toInt)
+
+    /** Ground-truth gray value at (x, y). */
+    def grayAt(docId: Long, x: Int, y: Int): Int =
+      ((x * 7L + y * 13L + docId) % 256).toInt
+
+    def formatOf(docId: Long): String = if (docId % 2 == 0) "png" else "bmp"
+
+    /** Encode the ground-truth raster as real PNG/BMP bytes. */
+    def encode(docId: Long): MediaRow = {
+      val (w, h) = dims(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grayAt(docId, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val fmt = formatOf(docId)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      MediaRow(docId, bos.toByteArray, s"image/$fmt", (1 + docId % 8).toInt)
+    }
+
+    def decodeImage(payload: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(payload))
+
+    /** Sum of the gray (low) channel over a raster — both PNG and BMP
+      * are lossless, so this must reproduce the generator's values. */
+    def pxSum(img: BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+        y += 1
+      }
+      s
+    }
+
+    def decode(row: MediaRow): Decoded = {
+      val img = decodeImage(row.payload)
+      Decoded(row.doc_id, row.kind, img.getWidth, img.getHeight,
+        pxSum(img), row.n_frames)
+    }
+
+    /** Nearest-neighbor resize with the exact integer mapping
+      * `src((i·w) div nw, (j·h) div nh)` — implementation-defined
+      * Graphics2D sampling would not be oracle-checkable. */
+    def resizeNearest(img: BufferedImage, nw: Int, nh: Int): BufferedImage = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      var j = 0
+      while (j < nh) {
+        var i = 0
+        while (i < nw) {
+          out.setRGB(i, j, img.getRGB(i * w / nw, j * h / nh))
+          i += 1
+        }
+        j += 1
+      }
+      out
     }
   }
 
-  /** documents.text encoded as a UTF-8 binary payload — the stand-in
-    * media bytes column (schema-identical to a real image/audio column). */
-  def mediaTable(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("text/utf-8").as("kind"))
+  /** The media column: one real encoded image per document. Generated
+    * per partition (encoder state amortized), payload is genuine
+    * compressed bytes — schema-identical to an ingested image column. */
+  def mediaTable(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    val s = spark
+    import s.implicits._
+    Tables.documents(spark, d).select("doc_id").as[Long]
+      .mapPartitions(_.map(MediaCodec.encode))
+  }
 
-  /** The decode / feature-extract stage: one `mapPartitions` pass so a
-    * real codec could amortize model/codec init per partition (the
-    * Spark-native analog of a Pandas-UDF batch). */
+  /** The decode stage: one `mapPartitions` pass, real `ImageIO` reads. */
+  def decodedTable(spark: SparkSession, d: String): Dataset[Decoded] = {
+    val s = spark
+    import s.implicits._
+    mediaTable(spark, d).mapPartitions(_.map(MediaCodec.decode))
+  }
+
+  /** The decode / feature-extract stage: true byte length and decoded
+    * dimensions; the embedding is the first image row's first 8 gray
+    * values scaled to [0,1] (a stand-in model head over real pixels). */
   def extractFeatures(spark: SparkSession, d: String): Dataset[MediaFeatures] = {
     val s = spark
     import s.implicits._
-    mediaTable(spark, d).as[MediaRow]
-      .mapPartitions(rows => rows.map(MediaCodec.decodeStub))
+    mediaTable(spark, d).mapPartitions(_.map { row =>
+      val img = MediaCodec.decodeImage(row.payload)
+      val emb = Array.tabulate(8)(i =>
+        (img.getRGB(i % img.getWidth, 0) & 0xFF) / 255.0f)
+      MediaFeatures(row.doc_id, row.payload.length.toLong,
+        img.getWidth, img.getHeight, row.n_frames, emb)
+    })
   }
 
-  /** The deterministic metadata projection (byte length → fake
-    * dimensions), unsorted — the building block both queries share. */
-  private def metaProjection(spark: SparkSession, d: String): DataFrame =
-    mediaTable(spark, d)
-      .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
-      .withColumn("width", (lit(64) + col("n_bytes") % 192).cast("int"))
-      .withColumn("height", (lit(64) + (col("n_bytes") * 31) % 192).cast("int"))
-      .withColumn("n_frames", (lit(1) + col("n_bytes") % 8).cast("int"))
-      .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames")
-
-  /** Oracle-checked metadata query: the deterministic part of the decode
-    * expressed as pure columns, so the binary plumbing is verifiable
-    * end-to-end in SQL. */
+  /** Oracle-checked decode query: kind, codec-read dimensions, and the
+    * decoded pixel checksum — if the encoder or decoder corrupted one
+    * pixel anywhere, `px_sum` misses the oracle's closed form. */
   def mmMeta(spark: SparkSession, d: String): DataFrame =
-    metaProjection(spark, d).orderBy("doc_id")
-
-  /** Resize planning: fit each media row into a `box`×`box` target
-    * preserving aspect ratio, in pure integer math (scale only when the
-    * longer edge exceeds the box; `new = old * box div longer_edge`) —
-    * the metadata half of a resize stage, oracle-checkable end to end.
-    * The pixel half is [[resizeFeatures]]. */
-  def mmResize(spark: SparkSession, d: String): DataFrame =
-    metaProjection(spark, d)
-      .withColumn("mx", greatest(col("width"), col("height")))
-      .withColumn("new_w", when(col("mx") <= 128, col("width"))
-        .otherwise(expr("(width * 128) div mx")).cast("int"))
-      .withColumn("new_h", when(col("mx") <= 128, col("height"))
-        .otherwise(expr("(height * 128) div mx")).cast("int"))
-      .select("doc_id", "width", "height", "new_w", "new_h")
+    decodedTable(spark, d).toDF()
+      .select("doc_id", "kind", "width", "height", "px_sum", "n_frames")
       .orderBy("doc_id")
 
-  /** The decode-side resize stage: same `mapPartitions` batch contract
-    * as [[extractFeatures]] (codec init amortized per partition), pixel
-    * work stubbed, dimension math identical to [[mmResize]] — the spec
-    * proves the Dataset stage and the column plan agree row for row. */
+  /** Real resize, oracle-checked end to end: decode, fit into a 32×32
+    * box preserving aspect ratio (scale only when the longer edge
+    * exceeds the box), nearest-neighbor resample the actual raster, and
+    * emit the resized pixel sum alongside both geometries. */
+  def mmResize(spark: SparkSession, d: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    mediaTable(spark, d).mapPartitions(_.map { row =>
+      val img = MediaCodec.decodeImage(row.payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val mx = math.max(w, h)
+      val (nw, nh) = if (mx <= 32) (w, h) else (w * 32 / mx, h * 32 / mx)
+      val out = if (nw == w && nh == h) img else MediaCodec.resizeNearest(img, nw, nh)
+      Resized(row.doc_id, w, h, nw, nh, MediaCodec.pxSum(out))
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** The dims-only resize plan over an already-decoded feature frame —
+    * same integer math as [[mmResize]], kept for pipelines that only
+    * need target geometry (no pixel work, no payload reads). */
   def resizeFeatures(ds: Dataset[MediaFeatures], box: Int): Dataset[MediaFeatures] = {
     val s = ds.sparkSession
     import s.implicits._
@@ -105,14 +197,14 @@ object Multimodal extends QueryPack {
     })
   }
 
-  /** Frame-sampling plumbing: ≤4 uniformly-spaced frame indices per media
-    * row plus their byte offsets — the seek table a video frame-sampler
-    * would hand the (stubbed) decoder before touching any frame bytes.
-    * Pure integer column math over the metadata (no decode), so the whole
-    * sampling plan is oracle-checkable end to end, and at scale the
-    * sampler reads only the sampled offsets instead of whole payloads. */
+  /** Frame-sampling plumbing: ≤4 uniformly-spaced frame indices per
+    * media row plus their plane offsets (`frame_idx · width · height`
+    * pixels — the seek table a video sampler hands the decoder). The
+    * geometry comes from the real decode; the sampling plan itself is
+    * pure column math over metadata, so at scale the sampler reads only
+    * sampled planes, never whole payloads. */
   def mmFrameSample(spark: SparkSession, d: String): DataFrame =
-    metaProjection(spark, d) // unsorted: the final orderBy is the only sort
+    decodedTable(spark, d).toDF()
       .withColumn("step", expr("(n_frames + 3) div 4"))
       .withColumn("frame_idx",
         explode(expr("filter(sequence(0, n_frames - 1), x -> x % step = 0)")))
@@ -120,7 +212,7 @@ object Multimodal extends QueryPack {
         col("doc_id"),
         col("n_frames").cast("long").as("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"),
-        (col("frame_idx").cast("long") * expr("n_bytes div n_frames")).as("frame_off"))
+        (col("frame_idx").cast("long") * col("width") * col("height")).as("frame_off"))
       .orderBy("doc_id", "frame_idx")
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -128,38 +220,52 @@ object Multimodal extends QueryPack {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample)
 
+  // ground-truth geometry shared by all three oracles
+  private val dimsSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS kind,
+      |  CAST(8 + (doc_id * 7) % 56 AS INTEGER) AS width,
+      |  CAST(8 + (doc_id * 13) % 56 AS INTEGER) AS height,
+      |  CAST(1 + doc_id % 8 AS INTEGER) AS n_frames
+      |FROM documents""".stripMargin
+
   val oracles = Map(
     "mm_meta" ->
-      """SELECT doc_id, 'text/utf-8' AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height,
-        |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS ($dimsSql),
+         |xs AS (SELECT doc_id, height, unnest(generate_series(0, width - 1)) AS x FROM m),
+         |xys AS (SELECT doc_id, x, unnest(generate_series(0, height - 1)) AS y FROM xs),
+         |ps AS (SELECT doc_id, SUM((x * 7 + y * 13 + doc_id) % 256) AS px_sum
+         |       FROM xys GROUP BY doc_id)
+         |SELECT m.doc_id, m.kind, m.width, m.height,
+         |       CAST(ps.px_sum AS BIGINT) AS px_sum, m.n_frames
+         |FROM m JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
-      """WITH meta AS (
-        |  SELECT doc_id,
-        |    CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS width,
-        |    CAST(64 + (octet_length(encode(text)) * 31) % 192 AS INTEGER) AS height
-        |  FROM documents),
-        |m AS (SELECT *, greatest(width, height) AS mx FROM meta)
-        |SELECT doc_id, width, height,
-        |  CAST(CASE WHEN mx <= 128 THEN width ELSE (width * 128) // mx END AS INTEGER) AS new_w,
-        |  CAST(CASE WHEN mx <= 128 THEN height ELSE (height * 128) // mx END AS INTEGER) AS new_h
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS ($dimsSql),
+         |r AS (SELECT doc_id, width, height, greatest(width, height) AS mx FROM m),
+         |rr AS (SELECT doc_id, width, height,
+         |  CAST(CASE WHEN mx <= 32 THEN width ELSE (width * 32) // mx END AS INTEGER) AS new_w,
+         |  CAST(CASE WHEN mx <= 32 THEN height ELSE (height * 32) // mx END AS INTEGER) AS new_h
+         |  FROM r),
+         |xs AS (SELECT doc_id, width, height, new_w, new_h,
+         |       unnest(generate_series(0, new_w - 1)) AS i FROM rr),
+         |xys AS (SELECT doc_id, width, height, new_w, new_h, i,
+         |       unnest(generate_series(0, new_h - 1)) AS j FROM xs),
+         |ps AS (SELECT doc_id,
+         |       SUM((((i * width) // new_w) * 7 + ((j * height) // new_h) * 13 + doc_id) % 256) AS s
+         |       FROM xys GROUP BY doc_id)
+         |SELECT rr.doc_id, rr.width, rr.height, rr.new_w, rr.new_h,
+         |       CAST(ps.s AS BIGINT) AS new_px_sum
+         |FROM rr JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      """WITH meta AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
-        |  FROM documents),
-        |s AS (SELECT *, (n_frames + 3) // 4 AS step FROM meta),
-        |fx AS (
-        |  SELECT doc_id, n_frames, n_bytes,
-        |    unnest(list_filter(generate_series(0, n_frames - 1),
-        |                       x -> x % step = 0)) AS frame_idx
-        |  FROM s)
-        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |       CAST(frame_idx * (n_bytes // n_frames) AS BIGINT) AS frame_off
-        |FROM fx ORDER BY doc_id, frame_idx""".stripMargin)
+      s"""WITH m AS ($dimsSql),
+         |s AS (SELECT *, (CAST(n_frames AS BIGINT) + 3) // 4 AS step FROM m),
+         |fx AS (
+         |  SELECT doc_id, n_frames, width, height,
+         |    unnest(list_filter(generate_series(0, CAST(n_frames AS BIGINT) - 1),
+         |                       x -> x % step = 0)) AS frame_idx
+         |  FROM s)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |       CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(frame_idx * width * height AS BIGINT) AS frame_off
+         |FROM fx ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.awt.image.BufferedImage
+import graft.multimodal.Multimodal.MediaCodec
+
+/** The codec itself, driver-side: real `javax.imageio` encode/decode
+  * round-trips with known-answer images (no Spark involved — the
+  * cluster-side contract is covered by the mm_* oracle queries and
+  * QueriesSpec). */
+class MultimodalSpec extends SparkSpec {
+
+  test("encode emits genuine PNG/BMP container bytes") {
+    val png = MediaCodec.encode(4L)
+    assert(png.kind === "image/png")
+    // PNG signature: 89 50 4E 47
+    assert((png.payload(0) & 0xFF) === 0x89)
+    assert(new String(png.payload.slice(1, 4), "US-ASCII") === "PNG")
+    val bmp = MediaCodec.encode(5L)
+    assert(bmp.kind === "image/bmp")
+    assert(new String(bmp.payload.take(2), "US-ASCII") === "BM")
+  }
+
+  test("decode round-trips the generator's dimensions and every pixel") {
+    for (docId <- Seq(0L, 1L, 7L, 123L, 500L)) {
+      val dec = MediaCodec.decode(MediaCodec.encode(docId))
+      val (w, h) = MediaCodec.dims(docId)
+      assert((dec.width, dec.height) === ((w, h)))
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield MediaCodec.grayAt(docId, x, y).toLong).sum
+      assert(dec.px_sum === expected, s"pixel checksum for doc $docId")
+    }
+  }
+
+  test("decode of a hand-built image returns its known pixels") {
+    // 3×2 gray ramp: 10 20 30 / 40 50 60
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val g = 10 * (y * 3 + x + 1)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val back = MediaCodec.decodeImage(bos.toByteArray)
+      assert((back.getWidth, back.getHeight) === ((3, 2)), fmt)
+      assert(MediaCodec.pxSum(back) === 210L, fmt)
+      assert((back.getRGB(2, 1) & 0xFF) === 60, fmt)
+    }
+  }
+
+  test("nearest-neighbor resize uses the exact integer mapping") {
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val g = y * 4 + x // 0..15
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = MediaCodec.resizeNearest(img, 2, 2)
+    // dst(i,j) = src((i*4) div 2, (j*4) div 2) = src(2i, 2j)
+    assert((out.getRGB(0, 0) & 0xFF) === 0)
+    assert((out.getRGB(1, 0) & 0xFF) === 2)
+    assert((out.getRGB(0, 1) & 0xFF) === 8)
+    assert((out.getRGB(1, 1) & 0xFF) === 10)
+  }
+}

@@ -52,12 +52,13 @@ class QueriesSpec extends SparkSpec {
     assert(s.count() <= Tables.events(spark, sf0001).count())
   }
 
-  test("multimodal extractFeatures: deterministic stub, real batch shape") {
+  test("multimodal extractFeatures: real decode, deterministic, batch shape") {
     val feats = Multimodal.extractFeatures(spark, sf0001).collect()
     assert(feats.length === 500)
     feats.foreach { f =>
       assert(f.n_bytes > 0)
-      assert(f.width >= 64 && f.width < 256)
+      // codec-read dimensions must equal the generator's ground truth
+      assert((f.width, f.height) === Multimodal.MediaCodec.dims(f.doc_id))
       assert(f.embedding.length === 8)
       assert(f.embedding.forall(v => v >= 0f && v <= 1f))
     }
@@ -67,18 +68,18 @@ class QueriesSpec extends SparkSpec {
     assert(feats.map(_.width).toSeq === again.map(_.width).toSeq)
   }
 
-  test("multimodal resize: Dataset stage agrees with the column plan") {
+  test("multimodal resize: dims-only stage agrees with the pixel resize") {
     import org.apache.spark.sql.functions.col
     val viaDs = Multimodal.resizeFeatures(
-        Multimodal.extractFeatures(spark, sf0001), box = 128)
+        Multimodal.extractFeatures(spark, sf0001), box = 32)
       .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
-    val viaCols = Multimodal.mmResize(spark, sf0001)
+    val viaPixels = Multimodal.mmResize(spark, sf0001)
       .select(col("doc_id"), col("new_w"), col("new_h"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(viaDs.size === 500)
-    assert(viaDs === viaCols)
+    assert(viaDs === viaPixels)
     // the box constraint holds everywhere and actually binds somewhere
-    assert(viaDs.values.forall { case (w, h) => w <= 128 && h <= 128 })
+    assert(viaDs.values.forall { case (w, h) => w <= 32 && h <= 32 })
     val originals = Multimodal.mmResize(spark, sf0001)
       .select(col("doc_id"), col("width"), col("height"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
