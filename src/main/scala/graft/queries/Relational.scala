@@ -233,6 +233,16 @@ object Relational extends QueryPack {
       .orderBy("user_id", "session_idx")
   }
 
+  /** [[graft.streaming.StreamingAnalytics.sessionWindowAgg]] driven as a
+    * batch query: the SAME logical plan a streaming deployment runs
+    * incrementally, here oracle-checked against the same islands-SQL
+    * formulation as [[sessionize]] (the built-in's close rule is the
+    * identical inclusive `> gap` — pinned in StreamingAnalyticsSpec). */
+  def sessionWindows(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingAnalytics
+      .sessionWindowAgg(Tables.events(spark, d), "user_id", "ts")
+      .orderBy("user_id", "session_start")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q1_agg" -> q1Agg,
     "q6_forecast" -> q6Forecast,
@@ -251,7 +261,8 @@ object Relational extends QueryPack {
     "unpivot_daily" -> unpivotDaily,
     "rollup_events" -> rollupEvents,
     "time_buckets" -> timeBuckets,
-    "sessionize" -> sessionize)
+    "sessionize" -> sessionize,
+    "session_windows" -> sessionWindows)
 
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -397,5 +408,26 @@ object Relational extends QueryPack {
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM numbered GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin)
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // islands mirror of the built-in session_window close rule — the
+    // same inclusive `> gap` boundary as sessionize (pinned in
+    // StreamingAnalyticsSpec), grouped to per-session rows
+    "session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -93,6 +93,30 @@ object StreamingAnalytics {
       dim: DataFrame, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** Native session-window aggregation — the third sessionization path
+    * next to the batch lag-cumsum ([[graft.queries.Relational.sessionize]])
+    * and the custom [[sessionizeStream]] state machine: Spark's built-in
+    * `session_window()` grouped aggregation. One logical plan serves
+    * batch and streaming (watermark the input first for streaming
+    * append mode); state per open session is one merging window row,
+    * dropped once the watermark passes its close — the managed-state
+    * equivalent of the hand-rolled GroupState below.
+    *
+    * Boundary semantics (pinned empirically in StreamingAnalyticsSpec):
+    * the built-in closes a session only when the next event is
+    * STRICTLY more than `gap` after the last — an exactly-gap event
+    * still merges — which is the same inclusive rule as the
+    * lag-cumsum's `diff > gap` test, so the two paths agree everywhere
+    * and share one oracle formulation. */
+  def sessionWindowAgg(events: DataFrame, userCol: String, timeCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(timeCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col(timeCol)).as("session_start"),
+           max(col(timeCol)).as("session_end"))
+      .select(col(userCol), col("session_start"), col("session_end"), col("n_events"))
+
   case class SessionEvent(user_id: String, event_time: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: String, session_start: Timestamp,

@@ -128,6 +128,67 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(ids.sorted === Seq("dup-1", "uniq-1", "uniq-2"))
   }
 
+  test("session_window boundary: exactly-gap merges, just-over splits") {
+    // pins the built-in's close rule to `> gap` — the SAME inclusive
+    // boundary as the lag-cumsum sessionize, so the two queries share
+    // one oracle formulation
+    val df = Seq(
+      ("u", Timestamp.valueOf("2026-08-12 10:00:00")),
+      ("u", Timestamp.valueOf("2026-08-12 10:30:00")), // exactly 30 min later
+      ("v", Timestamp.valueOf("2026-08-12 10:00:00")),
+      ("v", Timestamp.valueOf("2026-08-12 10:30:00.000001")) // 1 µs over
+    ).toDF("user_id", "ts")
+    val s = StreamingAnalytics.sessionWindowAgg(df, "user_id", "ts")
+      .select($"user_id", $"n_events").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(s("u") === Seq(2L), "a gap of exactly 30 min must merge")
+    assert(s("v") === Seq(1L, 1L), "one microsecond over the gap must split")
+  }
+
+  test("batch session_window sessions equal the lag-cumsum sessionize sessions") {
+    val native = graft.queries.Relational.sessionWindows(spark, sf0001)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    val cumsum = graft.queries.Relational.sessionize(spark, sf0001)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(native.nonEmpty)
+    // identical unless an exact-to-the-microsecond gap tie exists (none here)
+    assert(native === cumsum)
+  }
+
+  test("streaming session_window emits closed sessions across micro-batches") {
+    val in = tmpDir("sw-in"); val ckpt = tmpDir("sw-ckpt")
+    def ev(u: String, t: String) = s"$u,$t"
+    // batch 1: two users; batch 2 only advances the watermark past their close
+    Files.write(Paths.get(in, "b1.csv"), String.join("\n",
+      ev("alice", "2026-08-12 10:00:00"), ev("alice", "2026-08-12 10:10:00"),
+      ev("bob", "2026-08-12 10:00:00"),
+      ev("alice", "2026-08-12 12:00:00")).getBytes)
+    Files.write(Paths.get(in, "b2.csv"),
+      ev("carol", "2026-08-12 13:30:00").getBytes)
+    val stream = spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).csv(in)
+    val q = StreamingAnalytics
+      .sessionWindowAgg(stream.withWatermark("ts", "30 minutes"), "user_id", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sw_out")
+      .select($"user_id", $"n_events", $"session_start".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    // all three batch-1 sessions close once the watermark reaches 13:00
+    assert(rows === Set(
+      ("alice", 2L, "2026-08-12 10:00:00"),
+      ("alice", 1L, "2026-08-12 12:00:00"),
+      ("bob", 1L, "2026-08-12 10:00:00")))
+  }
+
   test("session state machine: gap splits, ordering, counts") {
     import StreamingAnalytics.advance
     val h = 3600L * 1000
