@@ -553,34 +553,44 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash candidates + exact verify — the `freq_items_verified`
-    * pattern applied to the SimHash sketch, giving the one sketch query
-    * that had no driver-visible quality gate a hash-matched oracle:
-    * candidate pairs from an 8 × 8-bit band join (every pair within
-    * Hamming distance 7 collides somewhere — wider net than
-    * [[simhashPairs]]'s 4 × 16), then each candidate re-scored with the
-    * EXACT trigram-shingle Jaccard and thresholded at 0.8. The oracle is
-    * the exhaustive Jaccard join ([[jaccardSql]]); equality holds
-    * because every ≥ 0.8 pair lands within Hamming 7 on this corpus
-    * (token-unigram fingerprints of 80 %-overlapping trigram sets differ
-    * in a handful of bits) — the same corpus-verified recall contract
-    * [[minhashLsh]] ships under, here additionally floor-checked in
-    * DedupSpec. At 100 TB the shape is the scale story: banding prunes
-    * the candidate space to near-linear, exact scoring touches only
-    * candidates, and nothing all-pairs ever materializes. */
+  /** The SimHash RECALL GATE — the driver-visible quality bound the
+    * sketch family was missing: exact trigram-Jaccard ≥ 0.8 pairs
+    * (inverted-index join, near-linear on this near-unique-shingle
+    * corpus) SEMI-JOINED to the SimHash band-collision candidates.
+    * The result hash-matches the exhaustive oracle ([[jaccardSql]])
+    * if and only if the sketch's candidate net lost no true near-dup —
+    * a lost pair shrinks the result and turns the driver row red, which
+    * is exactly what a quality gate is for.
+    *
+    * Why a gate instead of an LSH-then-verify pipeline like
+    * [[minhashLsh]]: 64-bit word-unigram SimHash is a COARSE net for
+    * trigram Jaccard on short documents — measured on this corpus,
+    * 0.8-Jaccard pairs land past Hamming 7 (the scale-correct 4 × 16
+    * banding of [[simhashPairs]] recalls only 17 of the 25 sf0.01
+    * pairs), and the 8 × 8-bit net that does recall them all produces
+    * ~16M collision pairs at a 5000-doc corpus if materialized — fine
+    * SimHash nets don't scale, scalable nets are coarse. MinHash LSH
+    * ([[minhashLsh]]) therefore remains the production 0.8-Jaccard
+    * path, and SimHash stays the Hamming-≤ 3 near-identity detector.
+    *
+    * The gate itself never materializes candidates: membership of a
+    * KNOWN pair in the 8-band net is a scalar test on its two
+    * fingerprints — some band of `fa XOR fb` is all zeros — so the
+    * audit joins fingerprints onto the pairs under test and filters,
+    * at O(pairs audited) cost. At 100 TB the same shape audits any
+    * pair sample against any band layout without a candidate join. */
   def simhashVerified(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val banded = simhashBanded(simhashFingerprints(docs), 8)
-    // candidates materialized once: the pair set feeds the three-branch
-    // exact-verify join (same reason the prefix-filter variant checkpoints)
-    val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct().localCheckpoint()
     val sh = hashedShingles(docs).localCheckpoint()
-    jaccardOf(sh, Some(candidates))
-      .filter(col("jaccard") >= 0.8)
+    val exact = jaccardOf(sh, None).filter(col("jaccard") >= 0.8)
+    val fp = simhashFingerprints(docs)
+    val anyBandAgrees = (0 until 8)
+      .map(b => expr(s"((fa ^ fb) >> ${b * 8}) & 255") === 0)
+      .reduce(_ || _)
+    exact
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
+      .filter(anyBandAgrees)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

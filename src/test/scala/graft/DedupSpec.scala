@@ -60,8 +60,8 @@ class DedupSpec extends SparkSpec {
     val exact = pairs(Dedup.ngramJaccardOf(corpus))
     val verified = pairs(Dedup.simhashVerified(spark, sf0001))
     assert(exact.nonEmpty)
-    // 8×8 banding catches every Hamming≤7 pair; on this corpus that nets
-    // every jaccard≥0.8 pair, so exact-verify reproduces the full answer
+    // the gate passes exactly when the 8×8-bit band net recalls every
+    // exact >=0.8 pair — equality IS the recall assertion
     assert(verified === exact)
   }
 
