@@ -60,7 +60,7 @@ object ReferenceDashboard {
   def status(sales: DataFrame, movements: DataFrame): DataFrame = {
     val s = sales.agg(count(lit(1)).as("sales_count"))
     val m = movements.agg(count(lit(1)).as("stock_movements_count"))
-    s.crossJoin(m)
+    s.crossJoin(broadcast(m)) // 1-row × 1-row; hint for pre-AQE planning
       .withColumn("status",
         when(col("sales_count") > 0, "ready").otherwise("waiting"))
   }

@@ -116,7 +116,9 @@ object TextAnalysis extends QueryPack {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(n)
+    // broadcast the 1-row corpus count — without the hint, pre-AQE
+    // planning (no stats on an agg output) can pick CartesianProduct
+    tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)

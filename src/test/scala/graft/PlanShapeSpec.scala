@@ -200,7 +200,8 @@ class PlanShapeSpec extends SparkSpec {
     // without the broadcast hint the statless agg output can plan
     // CartesianProduct against the full orders table pre-AQE
     for (q <- Seq(queries.Extended.customerRfm(spark, sf0001),
-                  queries.Extended.customerRfmApprox(spark, sf0001))) {
+                  queries.Extended.customerRfmApprox(spark, sf0001),
+                  text.TextAnalysis.tfidfTopTerms(spark, sf0001))) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"),
         s"scalar cross join must broadcast the 1-row side:\n$p")
