@@ -186,6 +186,34 @@ object TextAnalysis extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic DATA MIXING to a per-source token budget — the
+    * mixture-weights stage of a pretraining pipeline (balance
+    * over-represented sources down to a target share): per source,
+    * total tokens `tot`; keep each doc iff
+    * `lehmer(doc_id) < (B · (2³¹−1)) div tot`, i.e. an expected
+    * `min(1, B/tot)` token fraction, chosen by the same overflow-safe
+    * Lehmer hash as `sample_det` — the same rows on any engine, any
+    * partitioning, any run, which is what makes a mixture reproducible.
+    *
+    * All-integer math: the threshold is one `div` (no doubles anywhere,
+    * so no FP-rounding disagreement between engines), never overflows a
+    * long for ANY corpus size (`B·(2³¹−1)` ≈ 6e12 is the only product),
+    * and sources already under budget keep every doc because the
+    * threshold exceeds the hash range. Scale shape: `tot` is a tiny
+    * per-source aggregate broadcast back; the keep test is a map-side
+    * scalar filter over the scan — one narrow shuffle total. */
+  def corpusMix(spark: SparkSession, d: String, budgetTokens: Long = 1300L): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totals = docs.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L * 48271L % 2147483647L
+    docs.join(broadcast(totals), "source")
+      .filter(h < expr(s"(${budgetTokens}L * 2147483647L) div tot"))
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** The whole training-corpus build, end to end in ONE lazy plan — the
     * composition a pretraining data pipeline actually ships: quality
     * gate (same predicate as [[quality]]) → exact + near-dup dedup with
@@ -241,7 +269,8 @@ object TextAnalysis extends QueryPack {
     "text_tfidf" -> tfidfTopTerms,
     "text_repetition" -> repetition,
     "doc_chunks" -> docChunks,
-    "doc_packing" -> docPacking)
+    "doc_packing" -> docPacking,
+    "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)))
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -427,5 +456,17 @@ object TextAnalysis extends QueryPack {
         |    OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // 512 AS pack_id
-        |FROM documents ORDER BY source, doc_id""".stripMargin)
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // the same all-integer Lehmer keep test, per source
+    "corpus_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN tot USING (source)
+        |WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |      < (CAST(1300 AS BIGINT) * 2147483647) // tot
+        |ORDER BY doc_id""".stripMargin)
 }

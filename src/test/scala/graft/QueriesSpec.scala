@@ -87,6 +87,37 @@ class QueriesSpec extends SparkSpec {
       "some row must have been downscaled")
   }
 
+  test("corpus_mix: under-budget sources fully kept, over-budget sampled down") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    val totBySource = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val kept = graft.text.TextAnalysis.corpusMix(spark, sf0001)
+      .select($"doc_id", $"source", $"n_tokens").as[(Long, String, Long)].collect()
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(totBySource.exists(_._2 <= 1300) && totBySource.exists(_._2 > 1300),
+      "fixture must exercise both branches")
+    totBySource.foreach { case (src, tot) =>
+      if (tot <= 1300) assert(keptBySource(src) === tot, s"$src under budget must keep all")
+      else {
+        // sampled at fraction ~1300/tot — per-source "must drop" would be
+        // flaky (25 docs at a 0.95 fraction keep everything ~28% of the
+        // time), so bound per source and require drops in aggregate below
+        assert(keptBySource(src) <= tot, s"$src cannot exceed its total")
+        assert(keptBySource(src) > 0, s"$src must not be emptied")
+      }
+    }
+    val overBudget = totBySource.filter(_._2 > 1300).keySet
+    assert(overBudget.map(keptBySource).sum < overBudget.map(totBySource).sum,
+      "over-budget sources must be sampled down in aggregate")
+    // deterministic: second run picks the identical docs
+    val again = graft.text.TextAnalysis.corpusMix(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(again === kept.map(_._1).toSeq)
+  }
+
   test("window_frames: frame arithmetic is internally consistent") {
     val r = graft.queries.Extended.windowFrames(spark, sf0001)
       .select($"mov_sum".cast("double"), $"mov_n", $"mov_avg", $"quartile", $"pr")
