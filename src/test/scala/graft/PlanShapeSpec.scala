@@ -214,6 +214,23 @@ class PlanShapeSpec extends SparkSpec {
       s"multi-countDistinct must not plan an Expand that replays the scan per column:\n$p")
   }
 
+  test("corpus_mix: totals broadcast, keep test folded into the join, no cartesian") {
+    val p = planOf(text.TextAnalysis.corpusMix(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast into a map-side keep filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "totals must aggregate partial+final")
+  }
+
+  test("session_windows plans the native MergingSessions operator, one key shuffle") {
+    val p = planOf(queries.Relational.sessionWindows(spark, sf0001))
+    assert(p.contains("MergingSessions"),
+      s"the built-in session-window merge must run, not a generic window:\n$p")
+    // one hash shuffle on the user key (plus the final presentation sort)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
