@@ -501,6 +501,43 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Containment near-dup pairs — the DIRECTIONAL overlap measure
+    * (Broder's containment, `|A∩B| / min(|A|,|B|)` for the stronger
+    * direction): a short document quoted or embedded inside a longer
+    * one scores ~1 here while its symmetric Jaccard can be arbitrarily
+    * small, so this is the dedup pass that catches near-subset
+    * duplication (boilerplate wrappers, quote-expansions) that
+    * [[ngramJaccard]] structurally cannot. Same inverted-index
+    * equi-join shape — never all-pairs.
+    *
+    * Scale note: the PPJoin prefix filter ([[ngramJaccardPrefixOf]])
+    * does NOT carry over unchanged — containment admits no fixed
+    * overlap lower bound from the pair's sizes alone, so the 100 TB
+    * candidate pruner is size-stratified LSH (band the SMALLER set's
+    * signature; a contained set's minhashes are a subsample of the
+    * container's) or the [[decontaminate]] broadcast shape when one
+    * side is small. */
+  def containmentPairs(spark: SparkSession, d: String, t: Double = 0.9): DataFrame =
+    containmentOf(Tables.documents(spark, d), t)
+
+  /** Same over any (doc_id, text) frame. */
+  def containmentOf(docs: DataFrame, t: Double = 0.9): DataFrame = {
+    val sh = hashedShingles(docs).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= t)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash per doc over distinct word features: bit b is set iff
@@ -599,6 +636,7 @@ object Dedup extends QueryPack {
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram" -> ngramJaccard,
+    "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_minhash" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
     "dedup_simhash_verified" -> simhashVerified,
@@ -643,6 +681,29 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
+    // directional containment mirror of the inverted-index intersection
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(ni AS DOUBLE) / least(x.n, y.n) AS containment
+        |FROM inter
+        |JOIN sz x ON x.doc_id = doc_a
+        |JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(ni AS DOUBLE) / least(x.n, y.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // string-shingle mirror of the hashed-shingle semi join
     "decontaminate" ->
       """WITH sh AS (

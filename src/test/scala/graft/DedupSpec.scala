@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(verified === exact)
   }
 
+  test("containment catches an embedded doc that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words before the quote $short and plenty of trailing " +
+      "commentary words that dilute the symmetric overlap measure badly " +
+      "more and more filler tokens here to keep jaccard low"
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated text entirely " +
+      "different tokens nothing shared with either document")).toDF("doc_id", "text")
+    val cont = Dedup.containmentOf(df).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cont === Set((1L, 2L)), "the embedded short doc must be flagged")
+    val jac = Dedup.ngramJaccardOf(df).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "symmetric Jaccard must miss it (that's the point)")
+  }
+
   test("shingles: doc shorter than n tokens contributes nothing") {
     val sh = Dedup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"))
     assert(sh.count() === 0)
