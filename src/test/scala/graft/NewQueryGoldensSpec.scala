@@ -46,6 +46,29 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(picked.head > 1 || picked.length < 100, "not a dense prefix")
   }
 
+  test("corpus_mix: identical kept set for any input partitioning") {
+    def kept(parts: Int) = {
+      val docs = Tables.documents(spark, sf0001).repartition(parts)
+      graft.text.TextAnalysis.corpusMix(spark, sf0001)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val a = kept(1)
+    assert(a.nonEmpty)
+    assert(kept(13) === a)
+  }
+
+  test("mm_meta golden: doc 0's decoded pixel sum equals the closed form") {
+    // dims(0) = (8, 8); gray(x,y) = (7x + 13y) mod 256 — small enough
+    // to hand-sum: sum over 8x8 = 64*0 + 7*(0..7 sums)... compute here
+    val expected = (for (y <- 0 until 8; x <- 0 until 8)
+      yield (x * 7 + y * 13) % 256).sum.toLong
+    val row = graft.multimodal.Multimodal.mmMeta(spark, sf0001)
+      .filter(col("doc_id") === 0L)
+      .select("width", "height", "px_sum")
+      .as[(Int, Int, Long)].collect().head
+    assert(row === ((8, 8, expected)))
+  }
+
   test("customer_rfm_approx: buckets balanced and close to exact quartiles") {
     val exact = queries.Extended.customerRfm(spark, sf0001)
       .select("o_custkey", "m_q").as[(Long, Long)].collect().toMap
