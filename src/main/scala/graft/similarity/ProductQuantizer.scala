@@ -147,4 +147,41 @@ object ProductQuantizer {
       .select("query_id", "neighbor_id", "adc_dist", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** ADC top-k RESTRICTED to given candidate pairs — the inner scan of
+    * an IVF-PQ index (FAISS's IVFPQ shape): the coarse quantizer has
+    * already cut the corpus to each query's probed lists, so the code
+    * scan starts FROM the `(query_id, neighbor_id)` candidates, joins
+    * the per-query lookup table on `(query_id, m, cid)` (more selective
+    * than the whole-corpus `(m, cid)` join of [[adcTopK]]), and sums M
+    * entries per surviving pair. Cost scales with `candidates × M`, not
+    * `corpus × queries` — the composition that makes PQ usable past the
+    * point where even a code scan of everything is too much. */
+  def adcTopKAmong(spark: SparkSession, vecs: DataFrame,
+      candidates: DataFrame, // (query_id, neighbor_id)
+      m: Int, subDim: Int, k: Int, iters: Int,
+      isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val sub = subVectors(vecs, m, subDim).localCheckpoint()
+    val cents = trainFrom(spark, sub, k, iters)
+    val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
+    val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), "m")
+      .withColumn("d", expr(sqDist.format("sv", "cv")))
+      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    candidates
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(lut, Seq("query_id", "m", "cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d").cast(DecimalType(20, 14)))
+        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -159,34 +159,39 @@ object Similarity extends QueryPack {
     * [[annLsh]] — the probe is an equi-join on the list id — but with
     * data-adaptive cells instead of fixed hyperplanes. Approximate ⇒
     * rows-only. */
+  /** Nearest coarse-quantizer lists for every row of `df`: one list per
+    * corpus vector (argmax as a hash aggregate, no window sort), or the
+    * `n`-probe expansion for query rows (window over queries only). */
+  private def nearestLists(centroids: DataFrame, df: DataFrame,
+      vcol: String, n: Int, out: String): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))
+    if (n == 1)
+      // the corpus-wide single-assignment path: argmax as a hash
+      // aggregate (same trick as trainCentroids), no window sort
+      scored.groupBy(col("vec_id"))
+        .agg(min(struct((-col("c_sim")).as("ns"), col("cid"),
+          struct(df.columns.map(col): _*).as("row"))).as("w"))
+        .select((df.columns.map(c => col(s"w.row.$c")) :+ col("w.cid").as(out)): _*)
+    else {
+      // the n-probe path runs only over the query rows — window is fine
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cid"))
+      scored
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .select(df.columns.map(col) :+ col("cid").as(out): _*)
+    }
+  }
+
   def annIvf(spark: SparkSession, d: String): DataFrame = {
     val NList = 16
     val NProbe = 4
     VectorFunctions.register(spark)
     val all = vecs(spark, d)
     val centroids = trainCentroids(spark, all, NList, iters = 2)
-    def nearestLists(df: DataFrame, vcol: String, n: Int, out: String) = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))
-      if (n == 1)
-        // the corpus-wide single-assignment path: argmax as a hash
-        // aggregate (same trick as trainCentroids), no window sort
-        scored.groupBy(col("vec_id"))
-          .agg(min(struct((-col("c_sim")).as("ns"), col("cid"),
-            struct(df.columns.map(col): _*).as("row"))).as("w"))
-          .select((df.columns.map(c => col(s"w.row.$c")) :+ col("w.cid").as(out)): _*)
-      else {
-        // the n-probe path runs only over the query rows — window is fine
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_sim").desc, col("cid"))
-        scored
-          .withColumn("c_rank", row_number().over(w))
-          .filter(col("c_rank") <= n)
-          .select(df.columns.map(col) :+ col("cid").as(out): _*)
-      }
-    }
-    val assigned = nearestLists(all, "v", 1, "list_id")        // nlist=1 per vector
-    val q = nearestLists(all.filter(col("vec_id") < 10), "v", NProbe, "list_id")
+    val assigned = nearestLists(centroids, all, "v", 1, "list_id") // 1 list per vector
+    val q = nearestLists(centroids, all.filter(col("vec_id") < 10), "v", NProbe, "list_id")
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("list_id"))
     val c = assigned.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("list_id"))
@@ -226,12 +231,53 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ — the two approximate stages COMPOSED the way a production
+    * index layers them (FAISS IVFPQ): the coarse quantizer cuts each
+    * query's candidate set to its `nprobe` inverted lists, the PQ code
+    * scan ([[ProductQuantizer.adcTopKAmong]]) ranks ONLY those
+    * candidates from 8-byte codes, and exact cosine re-ranks the
+    * shortlist. At scale each stage touches strictly less data than the
+    * one before: lists are an equi-join, the code scan reads
+    * `candidates × 8` bytes instead of full vectors, and floats are
+    * only fetched for the 40-row shortlist. Approximate ⇒ rows-only;
+    * QueriesSpec holds the recall floor vs exact top-5. */
+  def annIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val NList = 16
+    val NProbe = 4
+    VectorFunctions.register(spark)
+    val all = vecs(spark, d)
+    val centroids = trainCentroids(spark, all, NList, iters = 2)
+    val assigned = nearestLists(centroids, all, "v", 1, "list_id")
+    val q = nearestLists(centroids, all.filter(col("vec_id") < 10), "v", NProbe, "list_id")
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    val candidates = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+      .join(q, "list_id")
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = ProductQuantizer.adcTopKAmong(spark, all, candidates,
+      m = 8, subDim = 8, k = 16, iters = 2,
+      isQuery = col("vec_id") < 10, topK = 40)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and

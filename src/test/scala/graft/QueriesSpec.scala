@@ -156,6 +156,18 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs exact top-5 fell to $recall")
   }
 
+  test("IVF-PQ ANN (composed index): recall of exact top-5 stays useful") {
+    val exact = graft.similarity.Similarity.annTopK(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = graft.similarity.Similarity.annIvfPq(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.nonEmpty)
+    // bounded above by the IVF stage's recall (PQ only re-ranks within
+    // the probed lists); measured 0.78 here — floor leaves margin
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall vs exact top-5 fell to $recall")
+  }
+
   test("LSH ANN (multi-table hyperplanes): recall of exact top-5 stays useful") {
     // exact top-5 for the SAME query/candidate split annLsh uses
     // (queries < 100, candidates >= 100), computed locally with the
