@@ -82,7 +82,8 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

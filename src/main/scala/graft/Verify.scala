@@ -66,7 +66,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a filtered run writes a DIFFERENT artifact name: a partial
+    // oracle_sql.json in a previously-full outDir would masquerade as the
+    // complete driver contract during local iteration
+    val sqlName = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    if (only.isDefined)
+      System.err.println(s"[verify] PARTIAL run (${only.get.size} queries): " +
+        s"writing $sqlName; stale full-run results may remain in $outDir")
+    Files.writeString(Paths.get(s"$outDir/$sqlName"), json)
     spark.stop()
   }
 }

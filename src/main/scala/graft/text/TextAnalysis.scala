@@ -202,8 +202,21 @@ object TextAnalysis extends QueryPack {
     * threshold exceeds the hash range. Scale shape: `tot` is a tiny
     * per-source aggregate broadcast back; the keep test is a map-side
     * scalar filter over the scan — one narrow shuffle total. */
-  def corpusMix(spark: SparkSession, d: String, budgetTokens: Long = 1300L): DataFrame = {
-    val docs = Tables.documents(spark, d)
+  /** One token budget, interpolated into BOTH the Scala default and the
+    * DuckDB oracle below — a single edit point, so the two sides cannot
+    * silently drift. */
+  private[graft] val DefaultMixBudget = 1300L
+
+  def corpusMix(spark: SparkSession, d: String,
+                budgetTokens: Long = DefaultMixBudget): DataFrame =
+    corpusMixOf(Tables.documents(spark, d), budgetTokens)
+
+  /** Same mix over an already-loaded frame (any partitioning) — lets
+    * callers (and the partitioning-invariance test) feed a repartitioned
+    * or pre-filtered corpus through the identical keep rule. */
+  def corpusMixOf(documents: DataFrame,
+                  budgetTokens: Long = DefaultMixBudget): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val totals = docs.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
@@ -457,9 +470,10 @@ object TextAnalysis extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // 512 AS pack_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
-    // the same all-integer Lehmer keep test, per source
+    // the same all-integer Lehmer keep test, per source; the budget is
+    // the shared DefaultMixBudget constant, not a re-typed literal
     "corpus_mix" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, source,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -467,6 +481,6 @@ object TextAnalysis extends QueryPack {
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN tot USING (source)
         |WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
-        |      < (CAST(1300 AS BIGINT) * 2147483647) // tot
+        |      < (CAST($DefaultMixBudget AS BIGINT) * 2147483647) // tot
         |ORDER BY doc_id""".stripMargin)
 }

@@ -49,7 +49,7 @@ class NewQueryGoldensSpec extends SparkSpec {
   test("corpus_mix: identical kept set for any input partitioning") {
     def kept(parts: Int) = {
       val docs = Tables.documents(spark, sf0001).repartition(parts)
-      graft.text.TextAnalysis.corpusMix(spark, sf0001)
+      graft.text.TextAnalysis.corpusMixOf(docs)
         .select("doc_id").as[Long].collect().toSet
     }
     val a = kept(1)
