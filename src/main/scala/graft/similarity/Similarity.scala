@@ -215,8 +215,13 @@ object Similarity extends QueryPack {
     * Approximate ⇒ rows-only. */
   def annPq(spark: SparkSession, d: String): DataFrame = {
     val v = vecs(spark, d)
+    // 1 Lloyd iteration, same reasoning as [[annIvfPq]]: the codebook
+    // only ORDERS candidates ahead of an exact cosine re-rank of the
+    // 40-row shortlist, so an extra assign+mean+collect round buys no
+    // end recall (re-measured: see SCALE.md §ANN) while costing a full
+    // distributed pass + driver round-trip per invocation.
     val shortlist = ProductQuantizer.adcTopK(spark, v,
-      m = 8, subDim = 8, k = 16, iters = 2,
+      m = 8, subDim = 8, k = 16, iters = 1,
       isQuery = col("vec_id") < 10, topK = 40)
       .select("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
