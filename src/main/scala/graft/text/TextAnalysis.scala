@@ -146,6 +146,111 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition gates (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1): per document, the fraction of trigram OCCURRENCES that
+    * belong to a duplicated trigram, and the token share of the single
+    * most frequent bigram — the two degeneracy filters (boilerplate,
+    * loops, keyword stuffing) a pretraining quality pass applies after
+    * the cheap length/ratio gates.
+    *
+    * Spark-first shape: NO shuffle. Both statistics fold over a
+    * per-document SORTED n-gram array inside one projection —
+    * duplicated-occurrence count is `n − singletons` where a singleton
+    * is an element differing from both sorted neighbors, and the top
+    * bigram count is the longest run in the sorted bigram array (one
+    * `aggregate` fold). The whole query is scan → project → sort, so it
+    * scales with scan bandwidth like the rest of the scoring stage;
+    * the oracle reproduces the same counts via plain GROUP BYs. */
+  def gopherGates(spark: SparkSession, d: String): DataFrame =
+    gopherGatesOf(Tables.documents(spark, d))
+
+  /** Same gates over an already-loaded `(doc_id, text)` frame — for
+    * known-answer tests on handcrafted documents. */
+  def gopherGatesOf(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard short docs explicitly: Spark's sequence(1, 0) is a
+      // DESCENDING two-element array, not empty
+      .withColumn("tri", expr(
+        "if(size(toks) >= 3, array_sort(transform(sequence(1, size(toks) - 2), " +
+        "i -> concat_ws(' ', slice(toks, i, 3)))), array())"))
+      .withColumn("bi", expr(
+        "if(size(toks) >= 2, array_sort(transform(sequence(1, size(toks) - 1), " +
+        "i -> concat_ws(' ', slice(toks, i, 2)))), array())"))
+    grams
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_tri", size(col("tri")).cast("long"))
+      // sorted-neighbor test: tri[i] is a singleton iff it differs from
+      // tri[i-1] and tri[i+1]; 0-based get() returns null out of bounds
+      // and the null-safe <=> makes the boundary compare false
+      .withColumn("tri_singletons", expr(
+        "cast(size(filter(transform(tri, (x, i) -> " +
+        "not (x <=> get(tri, i - 1)) and not (x <=> get(tri, i + 1))), " +
+        "b -> b)) as bigint)"))
+      .withColumn("dup_tri_frac",
+        when(col("n_tri") > 0,
+          (col("n_tri") - col("tri_singletons")).cast("double") / col("n_tri"))
+          .otherwise(lit(0.0)))
+      // longest run in the sorted bigram array = max count of any bigram
+      .withColumn("top_bigram_n", expr(
+        "aggregate(bi, named_struct('prev', '', 'run', 0L, 'best', 0L), " +
+        "(s, x) -> named_struct(" +
+        "  'prev', x, " +
+        "  'run', if(x = s.prev, s.run + 1L, 1L), " +
+        "  'best', greatest(s.best, if(x = s.prev, s.run + 1L, 1L))), " +
+        "s -> s.best)"))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2,
+          (col("top_bigram_n") * lit(2)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("gopher_ok",
+        col("dup_tri_frac") <= 0.35 && col("top_bigram_frac") <= 0.20)
+      .select("doc_id", "n_tokens", "n_tri", "dup_tri_frac",
+        "top_bigram_n", "top_bigram_frac", "gopher_ok")
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction — the scrub stage a training-data
+    * pipeline runs before anything leaves the corpus: count and mask
+    * email addresses, phone numbers, and IPv4 addresses. The synthetic
+    * corpus carries no PII, so the query first plants deterministic
+    * PII derived from `doc_id` (the same construction the oracle
+    * performs — the fixture is shared, the SCRUB is what's tested),
+    * then counts matches and applies the three redactions in a fixed
+    * order. Patterns stay inside the regex subset Java and RE2 treat
+    * identically (character classes, bounded repeats, `\b` — no
+    * backrefs, no lookaround). Stateless projection over the scan:
+    * no shuffle, scales with scan bandwidth. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, d))
+
+  /** Same scrub over an already-loaded `(doc_id, text)` frame. */
+  def piiScrubOf(documents: DataFrame): DataFrame = {
+    val planted =
+      "concat(text, ' contact user', doc_id, '@mail', doc_id % 7, " +
+      "'.com or 555-', lpad(cast(doc_id % 10000 as string), 4, '0'), " +
+      "' from 10.', doc_id % 256, '.', (doc_id * 7) % 256, '.', (doc_id * 13) % 256)"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    val phone = "\\\\b555-[0-9]{4}\\\\b"
+    val ip = "\\\\b([0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b"
+    documents
+      .withColumn("t", expr(planted))
+      .withColumn("n_emails", expr(
+        s"cast(size(regexp_extract_all(t, '$email', 0)) as bigint)"))
+      .withColumn("n_phones", expr(
+        s"cast(size(regexp_extract_all(t, '$phone', 0)) as bigint)"))
+      .withColumn("n_ips", expr(
+        s"cast(size(regexp_extract_all(t, '$ip', 0)) as bigint)"))
+      .withColumn("redacted", expr(
+        s"regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$email', '<EMAIL>'), '$phone', '<PHONE>'), '$ip', '<IP>')"))
+      .withColumn("red_len", length(col("redacted")).cast("long"))
+      .withColumn("red_md5", md5(col("redacted")))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "red_len", "red_md5")
+      .orderBy("doc_id")
+  }
+
   /** Document chunking — overlapping token windows (window 50, stride
     * 40), the context-window splitting stage of a training-data
     * pipeline. Chunk count per doc: 1 if it fits one window, else
@@ -281,6 +386,8 @@ object TextAnalysis extends QueryPack {
     "text_fingerprint" -> fingerprints,
     "text_tfidf" -> tfidfTopTerms,
     "text_repetition" -> repetition,
+    "text_gopher" -> gopherGates,
+    "pii_scrub" -> piiScrub,
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)))
@@ -441,6 +548,76 @@ object TextAnalysis extends QueryPack {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams, MAX(c) AS max_tri,
         |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same counts as the Spark sorted-array folds, via plain GROUP BYs:
+    // dup occurrences = sum of counts where count > 1; top bigram = max count
+    "text_gopher" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+        |       FROM tc GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        |       FROM bc GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    coalesce(ts.n_tri, 0) AS n_tri,
+        |    CASE WHEN coalesce(ts.n_tri, 0) > 0
+        |         THEN CAST(ts.dup_tri AS DOUBLE) / ts.n_tri
+        |         ELSE 0.0 END AS dup_tri_frac,
+        |    coalesce(bs.top_bigram_n, 0) AS top_bigram_n,
+        |    CASE WHEN len(string_split(d.text, ' ')) >= 2
+        |         THEN CAST(bs.top_bigram_n * 2 AS DOUBLE)
+        |              / len(string_split(d.text, ' '))
+        |         ELSE 0.0 END AS top_bigram_frac
+        |  FROM documents d
+        |  LEFT JOIN ts ON d.doc_id = ts.doc_id
+        |  LEFT JOIN bs ON d.doc_id = bs.doc_id)
+        |SELECT doc_id, n_tokens, n_tri, dup_tri_frac, top_bigram_n,
+        |       top_bigram_frac,
+        |       dup_tri_frac <= 0.35 AND top_bigram_frac <= 0.20 AS gopher_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // DuckDB string literals do not process backslashes, so the regexes
+    // below carry SINGLE backslashes where the Spark-side SQL literals
+    // (which do unescape) carry doubles; RE2 and Java agree on this
+    // pattern subset (classes, bounded repeats, \b). The 'g' flag makes
+    // regexp_replace global, matching Spark's replace-all default.
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+        |    '.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+        |    '.' || ((doc_id * 13) % 256) AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(red) AS BIGINT) AS red_len,
+        |  md5(red) AS red_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

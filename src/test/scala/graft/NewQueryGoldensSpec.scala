@@ -154,4 +154,39 @@ class NewQueryGoldensSpec extends SparkSpec {
     // unrelated docs share no band (4 exact minima agreeing is ~impossible)
     assert(!bands(0L).zip(bands(2L)).exists { case (a, b) => a == b })
   }
+
+  test("text_gopher golden: hand-counted repetition fractions") {
+    // doc 0: "a b a b a b" — bigrams (5): [a b]x3, [b a]x2 → top = 3,
+    //   top_bigram_frac = 6/6 = 1.0; trigrams (4): [a b a]x2, [b a b]x2
+    //   → all duplicated, dup_tri_frac = 4/4 = 1.0 → gate fails
+    // doc 1: "v w x y z" — all n-grams unique → fracs 4/5·... top bigram
+    //   = 1 → 2/5 = 0.4 > 0.2 (short docs are top-heavy by construction),
+    //   dup_tri_frac = 0
+    // doc 2: "q" — no bigrams/trigrams → 0.0, gate passes
+    val docs = Seq(
+      (0L, "a b a b a b"),
+      (1L, "v w x y z"),
+      (2L, "q")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.gopherGatesOf(docs)
+      .select("doc_id", "n_tri", "dup_tri_frac", "top_bigram_n",
+        "top_bigram_frac", "gopher_ok")
+      .as[(Long, Long, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 4L, 1.0, 3L, 1.0, false)))
+    assert(out(1L) === ((1L, 3L, 0.0, 1L, 0.4, false)))
+    assert(out(2L) === ((2L, 0L, 0.0, 0L, 0.0, true)))
+  }
+
+  test("pii_scrub golden: planted PII is found and fully masked") {
+    val docs = Seq((42L, "hello world")).toDF("doc_id", "text")
+    val row = graft.text.TextAnalysis.piiScrubOf(docs)
+      .select("n_emails", "n_phones", "n_ips", "red_len")
+      .as[(Long, Long, Long, Long)].collect().head
+    // planted: ' contact user42@mail0.com or 555-0042 from 10.42.38.34'
+    assert(row._1 === 1L && row._2 === 1L && row._3 === 1L)
+    // full redaction: the only way red_len equals the hand-written
+    // masked string's length is if every planted token was replaced
+    val expected = "hello world contact <EMAIL> or <PHONE> from <IP>"
+    assert(row._4 === expected.length.toLong)
+  }
 }
