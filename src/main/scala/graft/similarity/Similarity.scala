@@ -236,6 +236,50 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label centroids + the pairwise cosine between them — the
+    * "how similar are my data sources/classes" diagnostic an embedding
+    * pipeline runs before clustering or mixing decisions. Scale shape:
+    * the centroid is ONE hash aggregate over `(label, position)` (a
+    * posexplode is dim× row inflation but stays narrow until the agg,
+    * which map-side combines down to `labels × dim` rows), and the
+    * pairwise stage runs over the label-count-squared centroid frame —
+    * model-sized, never data-sized.
+    *
+    * Determinism: the usual decimal-sum policy does NOT transfer here —
+    * Spark converts double→decimal exactly (BigDecimal) while DuckDB
+    * converts through double multiply-and-round, so the 12th decimal of
+    * a cast can differ and 1e-14 cosine drift follows (measured). The
+    * mean is instead a SEQUENTIAL double fold over the vec_id-ordered
+    * per-position values — both engines run the identical add chain, so
+    * the centroids are bit-identical with no decimal conversion at all.
+    * The collect+fold materializes one group's values per (label, pos);
+    * at 100 TB swap it for the decimal-sum hash agg ([[trainCentroids]]'s
+    * shape) — engine-internal means don't need cross-engine bit parity,
+    * only the oracle gate does. */
+  def embedLabelSim(spark: SparkSession, d: String): DataFrame =
+    embedLabelSimOf(vecs(spark, d))
+
+  /** Same over an already-loaded `(vec_id, label, v ARRAY<DOUBLE>)`
+    * frame — for known-answer tests on handcrafted vectors. */
+  def embedLabelSimOf(vectors: DataFrame): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val e = vectors
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = e.groupBy("label", "pos")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+      .withColumn("m", expr(
+        "aggregate(xs, cast(0.0 as double), (acc, s) -> acc + s.x) / size(xs)"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+        .as("c"))
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("cos_sim", expr("cosine_sim(ca, cb)"))
+      .select("label_a", "label_b", "cos_sim")
+      .orderBy("label_a", "label_b")
+  }
+
   /** IVF-PQ — the two approximate stages COMPOSED the way a production
     * index layers them (FAISS IVFPQ): the coarse quantizer cuts each
     * query's candidate set to its `nprobe` inverted lists, the PQ code
@@ -289,7 +333,8 @@ object Similarity extends QueryPack {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
-    "ann_ivfpq" -> annIvfPq)
+    "ann_ivfpq" -> annIvfPq,
+    "embed_label_sim" -> embedLabelSim)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and
@@ -316,5 +361,24 @@ object Similarity extends QueryPack {
          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM sims
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "embed_label_sim" -> {
+      val cs = cosSql.format("a.c", "b.c", "a.c", "a.c", "b.c", "b.c")
+      // the same vec_id-ordered sequential double fold as the Spark
+      // side (list_reduce seeds with the first element; Spark seeds
+      // 0.0 + first — bitwise identical), then the identical sequential
+      // cosine fold the other embedding oracles use
+      s"""WITH x AS (
+         |  SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+         |  FROM embeddings, range(1, 65) t(i)),
+         |m AS (
+         |  SELECT label, pos,
+         |         list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+         |           / COUNT(*) AS m
+         |  FROM x GROUP BY label, pos),
+         |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b, $cs AS cos_sim
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin
     })
 }

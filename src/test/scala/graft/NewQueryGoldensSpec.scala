@@ -189,4 +189,20 @@ class NewQueryGoldensSpec extends SparkSpec {
     val expected = "hello world contact <EMAIL> or <PHONE> from <IP>"
     assert(row._4 === expected.length.toLong)
   }
+
+  test("embed_label_sim golden: hand-computed centroid cosine") {
+    // label 0: vectors (1,0) and (0,1) → centroid (0.5, 0.5)
+    // label 1: vectors (2,0) and (2,0) → centroid (2, 0)
+    // cos = (0.5·2) / (sqrt(0.5)·2) = 1/sqrt(2)
+    val vs = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.0, 1.0)),
+      (2L, 1, Seq(2.0, 0.0)), (3L, 1, Seq(2.0, 0.0)))
+      .toDF("vec_id", "label", "v")
+    val row = graft.similarity.Similarity.embedLabelSimOf(vs)
+      .select("label_a", "label_b", "cos_sim")
+      .as[(Int, Int, Double)].collect()
+    assert(row.length === 1)
+    assert(row.head._1 === 0 && row.head._2 === 1)
+    assert(math.abs(row.head._3 - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
 }
