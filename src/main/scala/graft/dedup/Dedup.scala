@@ -475,6 +475,35 @@ object Dedup extends QueryPack {
     exactSurvivors.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Quality-aware survivor selection — one row per near-dup cluster
+    * with the representative a curation pipeline would actually keep:
+    * the LONGEST member (then smallest doc_id), not the smallest id.
+    * Min-id survival ([[dedupCorpus]]) is the right default for
+    * determinism, but when near-dups are subsets/truncations of each
+    * other the longest member dominates the others' content, so
+    * keeping it preserves the most training signal per cluster.
+    *
+    * The argmax is `min(struct(-n_tokens, doc_id))` inside the same
+    * hash aggregate that counts the cluster — partial+final combine,
+    * one shuffle on cluster_id, no window over the full corpus. */
+  def survivorQuality(spark: SparkSession, d: String): DataFrame =
+    survivorQualityOf(Tables.documents(spark, d))
+
+  /** Same over an already-loaded `(doc_id, text)` frame. */
+  def survivorQualityOf(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    val labels = clusterLabels(docs.select("doc_id"), pairs)
+    labels
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id"))).as("w"))
+      .select(col("cluster_id"), col("w.id").as("survivor_id"),
+        (-col("w.neg")).as("survivor_tokens"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark decontamination — the eval-overlap check a training
@@ -643,8 +672,46 @@ object Dedup extends QueryPack {
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_survivor_quality" -> survivorQuality,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
+
+  /** Shared closure fragment: exact >= 0.8 Jaccard pairs over the full
+    * documents table, recursive transitive closure, and `lab(doc_id,
+    * cluster_id)` = the smallest reachable doc_id (itself when
+    * isolated). Extended by the cluster/survivor oracles below. */
+  private val closureSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sz x ON x.doc_id = doc_a
+      |  JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
 
   /** Oracle for the shingle-Jaccard queries — mirrors the guard, the
     * trigram construction, the distinct, and the inverted-index
@@ -721,71 +788,28 @@ object Dedup extends QueryPack {
     "dedup_minhash" -> jaccardSql,
     "dedup_simhash_verified" -> jaccardSql,
     // transitive closure of the exact >= 0.8 pair set; every doc gets
-    // the smallest doc_id it can reach (itself when isolated)
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, len(t) - 2),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sz x ON x.doc_id = doc_a
-        |  JOIN sz y ON y.doc_id = doc_b
-        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT d.doc_id,
-        |       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-    "dedup_clusters_star" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, len(t) - 2),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sz x ON x.doc_id = doc_a
-        |  JOIN sz y ON y.doc_id = doc_b
-        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT d.doc_id,
-        |       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    // the smallest doc_id it can reach (itself when isolated). Both
+    // component algorithms (label propagation and star contraction)
+    // check against the IDENTICAL closure text, and the quality-survivor
+    // query extends the same fragment — one definition, no drift.
+    "dedup_clusters" -> s"""$closureSql
+        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    "dedup_clusters_star" -> s"""$closureSql
+        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    // per cluster: longest member (then smallest id) + cluster size
+    "dedup_survivor_quality" -> s"""$closureSql,
+        |tok AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT cluster_id, l.doc_id, n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_tokens DESC, l.doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+        |  FROM lab l JOIN tok USING (doc_id))
+        |SELECT cluster_id, doc_id AS survivor_id, n_tokens AS survivor_tokens,
+        |       CAST(n_docs AS BIGINT) AS n_docs
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum
     "dedup_corpus" ->

@@ -211,4 +211,20 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dedupCorpus(docs).select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 6L))
   }
+
+  test("survivorQuality keeps the longest cluster member, not the smallest id") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    // 15 -> 18 tokens: 13 shared trigrams / 16 total = 0.8125 >= 0.8
+    val longer = base + " with extra tokens"
+    val docs = Seq(
+      (1L, base),
+      (2L, longer),                    // longest member of cluster 1 → survivor
+      (3L, "an unrelated singleton document speaking of nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.survivorQualityOf(docs)
+      .select("cluster_id", "survivor_id", "survivor_tokens", "n_docs")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 18L, 2L))) // min-id cluster label, max-length survivor
+    assert(out(3L) === ((3L, 3L, 11L, 1L)))
+  }
 }
