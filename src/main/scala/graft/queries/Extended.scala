@@ -74,6 +74,25 @@ object Extended extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** [[quantiles]] via the mergeable MRL summary
+    * ([[graft.functions.QuantileSketchAgg]]) — the shuffle carries
+    * k·log(n/k) values per group instead of the column, which is what
+    * makes per-key percentiles affordable at 100 TB (Spark's exact
+    * `percentile` holds every value per group in memory). Approximate
+    * within a deterministic rank-error bound ⇒ rows-only; the exact
+    * sibling above is the oracle-checked reference and
+    * QuantileSketchSpec pins the bound. */
+  def quantilesSketch(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.QuantileSketchAgg.register(spark, 256, Seq(0.25, 0.5, 0.75))
+    Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("x"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("quantile_sketch(x)").as("qs"), count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("qs")(0).as("p25_est"),
+        col("qs")(1).as("p50_est"), col("qs")(2).as("p75_est"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Left-outer aggregation: order count per customer including zeros. */
   def outerJoinAgg(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)
@@ -547,6 +566,7 @@ object Extended extends QueryPack {
     "asof_join" -> asofJoin,
     "enrich_broadcast" -> enrichBroadcast,
     "quantiles" -> quantiles,
+    "quantiles_sketch" -> quantilesSketch,
     "outer_join_agg" -> outerJoinAgg,
     "union_all" -> unionAll,
     "cube_events" -> cubeEvents)
