@@ -231,6 +231,40 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
   }
 
+  test("text_gopher / pii_scrub are pure scan projections: no hash shuffle at all") {
+    for (df <- Seq(text.TextAnalysis.gopherGates(spark, sf0001),
+                   text.TextAnalysis.piiScrub(spark, sf0001))) {
+      val p = planOf(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"per-document scoring must not shuffle:\n$p")
+      assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    }
+  }
+
+  test("embed_label_sim: centroid agg is partial+final; pairwise stage broadcasts") {
+    val p = planOf(similarity.Similarity.embedLabelSim(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the model-sized pairwise join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"centroid mean must map-side combine (partial+final):\n$p")
+  }
+
+  test("dedup_survivor_quality: argmax inside the hash agg, no corpus-wide window") {
+    val p = planOf(dedup.Dedup.survivorQuality(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"survivor argmax must be an aggregate, not a ranked window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantiles_sketch aggregates partial+final (the sketch rides the shuffle)") {
+    val p = planOf(queries.Extended.quantilesSketch(spark, sf0001))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"sketch must combine map-side before the group shuffle:\n$p")
+    assert("Exchange hashpartitioning\\(o_orderstatus".r.findAllIn(p).size === 1,
+      s"exactly one key shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
