@@ -163,10 +163,12 @@ object TextAnalysis extends QueryPack {
     * scales with scan bandwidth like the rest of the scoring stage;
     * the oracle reproduces the same counts via plain GROUP BYs. */
   def gopherGates(spark: SparkSession, d: String): DataFrame =
-    gopherGatesOf(Tables.documents(spark, d))
+    gopherGatesOf(Tables.documents(spark, d)).orderBy("doc_id")
 
-  /** Same gates over an already-loaded `(doc_id, text)` frame — for
-    * known-answer tests on handcrafted documents. */
+  /** Same gates over an already-loaded `(doc_id, text)` frame, UNSORTED
+    * — stateless, so it composes into `readStream` plans unchanged
+    * (StreamingAnalyticsSpec proves batch/stream parity); the registered
+    * query adds the deterministic sort the oracle gate needs. */
   def gopherGatesOf(documents: DataFrame): DataFrame = {
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -208,7 +210,6 @@ object TextAnalysis extends QueryPack {
         col("dup_tri_frac") <= 0.35 && col("top_bigram_frac") <= 0.20)
       .select("doc_id", "n_tokens", "n_tri", "dup_tri_frac",
         "top_bigram_n", "top_bigram_frac", "gopher_ok")
-      .orderBy("doc_id")
   }
 
   /** PII detection + redaction — the scrub stage a training-data
@@ -223,9 +224,10 @@ object TextAnalysis extends QueryPack {
     * backrefs, no lookaround). Stateless projection over the scan:
     * no shuffle, scales with scan bandwidth. */
   def piiScrub(spark: SparkSession, d: String): DataFrame =
-    piiScrubOf(Tables.documents(spark, d))
+    piiScrubOf(Tables.documents(spark, d)).orderBy("doc_id")
 
-  /** Same scrub over an already-loaded `(doc_id, text)` frame. */
+  /** Same scrub over an already-loaded `(doc_id, text)` frame, UNSORTED
+    * so it composes into streaming plans (see [[gopherGatesOf]]). */
   def piiScrubOf(documents: DataFrame): DataFrame = {
     val planted =
       "concat(text, ' contact user', doc_id, '@mail', doc_id % 7, " +
@@ -248,7 +250,6 @@ object TextAnalysis extends QueryPack {
       .withColumn("red_len", length(col("redacted")).cast("long"))
       .withColumn("red_md5", md5(col("redacted")))
       .select("doc_id", "n_emails", "n_phones", "n_ips", "red_len", "red_md5")
-      .orderBy("doc_id")
   }
 
   /** Document chunking — overlapping token windows (window 50, stride

@@ -52,6 +52,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation stages (gopher gates, pii scrub) run unchanged on a stream") {
+    // the Of variants are stateless projections, so the SAME code path
+    // must compose into a readStream plan and produce the batch rows
+    val in = tmpDir("cur-in")
+    val docs = Seq(
+      (0L, "a b a b a b"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    val gq = graft.text.TextAnalysis.gopherGatesOf(stream)
+      .writeStream.outputMode("append").format("memory").queryName("cur_gopher").start()
+    val pq = graft.text.TextAnalysis.piiScrubOf(stream)
+      .writeStream.outputMode("append").format("memory").queryName("cur_pii").start()
+    try {
+      gq.processAllAvailable(); pq.processAllAvailable()
+      def rows(t: String) = spark.table(t).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      def batch(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(rows("cur_gopher") === batch(graft.text.TextAnalysis.gopherGatesOf(docs)))
+      assert(rows("cur_pii") === batch(graft.text.TextAnalysis.piiScrubOf(docs)))
+      assert(rows("cur_gopher").size === 3)
+    } finally { gq.stop(); pq.stop() }
+  }
+
   test("streaming hourly revenue == batch hourly revenue on the same data") {
     val in = tmpDir("sa-in"); val ckpt = tmpDir("sa-ckpt")
     val lines = Seq(
