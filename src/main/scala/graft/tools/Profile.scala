@@ -60,6 +60,36 @@ object Profile {
     time("ann_ivf_full") {
       graft.similarity.Similarity.annIvf(spark, d).count()
     }
+
+    // A/B: the zero-shuffle sorted-array fold behind text_gopher vs the
+    // textbook explode + two-GROUP-BY formulation of the same counts.
+    // A bare count() would prune the expensive columns away, so force
+    // them through an aggregate.
+    import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
+    time("gopher_fold") {
+      graft.text.TextAnalysis.gopherGatesOf(docs)
+        .agg(fsum(fcol("dup_tri_frac")), fsum(fcol("top_bigram_frac")))
+        .collect(); 1L
+    }
+    time("gopher_groupby") {
+      import org.apache.spark.sql.functions._
+      val toks = docs.select(fcol("doc_id"), split(fcol("text"), " ").as("toks"))
+      val tri = toks.filter(size(fcol("toks")) >= 3)
+        .select(fcol("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(fsum(fcol("c")).as("n_tri"),
+          fsum(when(fcol("c") > 1, fcol("c")).otherwise(lit(0L))).as("dup_tri"))
+      val bi = toks.filter(size(fcol("toks")) >= 2)
+        .select(fcol("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(fcol("c")).as("top_bi"))
+      tri.join(bi, "doc_id")
+        .agg(fsum(fcol("dup_tri").cast("double") / fcol("n_tri")),
+          fsum(fcol("top_bi")))
+        .collect(); 1L
+    }
     spark.stop()
   }
 }
