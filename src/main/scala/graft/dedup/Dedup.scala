@@ -504,6 +504,37 @@ object Dedup extends QueryPack {
       .orderBy("cluster_id")
   }
 
+  /** Cross-source contamination matrix — for every source pair, the
+    * count of distinct trigram shingles both contain and the Jaccard of
+    * their shingle vocabularies. The "how much do my corpus slices
+    * leak into each other" diagnostic that complements document-level
+    * dedup (same data, source granularity) and [[graft.similarity
+    * .Similarity.embedLabelSim]] (which answers it in embedding space).
+    *
+    * Scale shape: the per-source vocabulary is `distinct(source,
+    * shingle)` — VOCABULARY-bound, not corpus-bound — and the pair
+    * counts come from a self equi-join on the shingle key: shuffle
+    * partitioned by shingle, never all-pairs of documents; with s
+    * sources a shared shingle emits at most s² pair rows into a hash
+    * aggregate of at most s² groups. */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val ss = hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct()
+    val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ss.select(col("source").as("source_a"), col("shingle"))
+    val b = ss.select(col("source").as("source_b"), col("shingle"))
+    a.join(b, "shingle").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .select("source_a", "source_b", "n_shared", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark decontamination — the eval-overlap check a training
@@ -673,6 +704,7 @@ object Dedup extends QueryPack {
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_survivor_quality" -> survivorQuality,
+    "source_overlap" -> sourceOverlap,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
 
@@ -810,6 +842,32 @@ object Dedup extends QueryPack {
         |SELECT cluster_id, doc_id AS survivor_id, n_tokens AS survivor_tokens,
         |       CAST(n_docs AS BIGINT) AS n_docs
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    // per-source distinct shingle vocabularies, pairwise intersection via
+    // the shingle equi-join, Jaccard from the sizes (string shingles
+    // here vs 64-bit hashes in Spark — identical modulo the documented
+    // 2^-64 xxhash collision caveat)
+    "source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |       CAST(n_shared AS DOUBLE) / (x.n + y.n - n_shared) AS jaccard
+        |FROM inter
+        |JOIN sz x ON x.source = source_a
+        |JOIN sz y ON y.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum
     "dedup_corpus" ->

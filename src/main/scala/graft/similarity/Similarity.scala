@@ -280,6 +280,31 @@ object Similarity extends QueryPack {
       .orderBy("label_a", "label_b")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage/serving compression step (4× smaller than float32, 8× than
+    * the double working form) an embedding pipeline applies before
+    * writing a serving index. Per vector: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` ∈ [−127, 127]; an all-zero vector
+    * quantizes to zeros by the explicit guard (0/0 would be NaN).
+    *
+    * Stateless per-row projection — scan bandwidth, no shuffle. The
+    * checked output reports integer code sums (order-independent by
+    * construction) + the scale; parity holds because round() decides on
+    * the exact double value in both engines (Spark BigDecimal HALF_UP =
+    * C round away-from-zero for these magnitudes) and the division is
+    * the same IEEE op. */
+  def embedQuantize(spark: SparkSession, d: String): DataFrame =
+    vecs(spark, d)
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> if(mx = 0.0d, 0, cast(round(x / scale) as int)))"))
+      .select(col("vec_id"), col("scale"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + x) as bigint)").as("q_sum"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) as bigint)").as("q_l1"),
+        expr("cast(array_max(transform(q, x -> abs(x))) as bigint)").as("q_max"))
+      .orderBy("vec_id")
+
   /** IVF-PQ — the two approximate stages COMPOSED the way a production
     * index layers them (FAISS IVFPQ): the coarse quantizer cuts each
     * query's candidate set to its `nprobe` inverted lists, the PQ code
@@ -334,7 +359,8 @@ object Similarity extends QueryPack {
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
-    "embed_label_sim" -> embedLabelSim)
+    "embed_label_sim" -> embedLabelSim,
+    "embed_quantize" -> embedQuantize)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and
@@ -380,5 +406,24 @@ object Similarity extends QueryPack {
          |SELECT a.label AS label_a, b.label AS label_b, $cs AS cos_sim
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin
-    })
+    },
+    // same per-element round(x / (max|x|/127)) with the zero guard;
+    // integer code sums are aggregation-order-independent
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS mx
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, mx / 127.0 AS scale,
+        |         list_transform(v, x -> CASE WHEN mx = 0.0 THEN 0
+        |           ELSE CAST(round(x / (mx / 127.0)) AS INTEGER) END) AS q
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin)
 }
