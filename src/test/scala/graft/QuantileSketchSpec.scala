@@ -67,9 +67,17 @@ class QuantileSketchSpec extends SparkSpec {
       .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("x"))
       .as[(String, Double)].collect().groupBy(_._1)
       .map { case (s, xs) => s -> xs.map(_._2).sorted }
-    // 13 partitions forces real partial/final merges through serialize()
-    val est = graft.queries.Extended.quantilesSketch(spark, sf0001)
-      .select("o_orderstatus", "p25_est", "p50_est", "p75_est")
+    // 13 input partitions force real partial/final merges (and the
+    // serialize/deserialize round trip) through the shuffle — the
+    // registered query itself reads the table's own partitioning, so
+    // build the same aggregate over an explicit repartition here
+    val est = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("x"))
+      .repartition(13)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("quantile_sketch(x)").as("qs"))
+      .select(col("o_orderstatus"), col("qs")(0).as("p25_est"),
+        col("qs")(1).as("p50_est"), col("qs")(2).as("p75_est"))
       .as[(String, Double, Double, Double)].collect()
     assert(est.nonEmpty)
     est.foreach { case (status, p25, p50, p75) =>
