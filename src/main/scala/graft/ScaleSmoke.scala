@@ -80,6 +80,17 @@ object ScaleSmoke {
     time("simhash fingerprints") {
       graft.dedup.Dedup.simhashFingerprints(docs).count()
     }
+    // round-5 scan-bandwidth stages: force the expensive columns
+    // through an aggregate (a bare count would prune them away)
+    time("gopher gates (amplified)") {
+      graft.text.TextAnalysis.gopherGatesOf(docs)
+        .agg(sum(col("dup_tri_frac")), sum(col("top_bigram_frac")))
+        .collect(); nDocs
+    }
+    time("pii scrub (amplified)") {
+      graft.text.TextAnalysis.piiScrubOf(docs)
+        .agg(sum(col("red_len")), sum(col("n_emails"))).collect(); nDocs
+    }
     val embeddings = amplify(Tables.embeddings(spark, d), "vec_id").cache()
     println(s"[scale-smoke] vectors=${embeddings.count()}")
     time("lsh bucket keys (all vecs)") {
