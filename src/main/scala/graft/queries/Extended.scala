@@ -93,6 +93,27 @@ object Extended extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** Hot-key diagnostic — the profile you run BEFORE deciding whether a
+    * join needs salting or AQE skew handling ([[graft.operators
+    * .SkewJoin]] / tools/SkewAb are the cures; this is the detector):
+    * per-key row counts reduced to the 5 hottest keys with their share
+    * of all rows and skew ratio vs the mean key load. One hash
+    * aggregate (map-side combinable) + a broadcast 1-row total + a
+    * TakeOrderedAndProject — at 100 TB the per-key count frame is
+    * keys-sized, never rows-sized. */
+  def skewProfile(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("skew_ratio",
+        (col("n") * col("n_keys")).cast("double") / col("total"))
+      .orderBy(col("n").desc, col("user_id")).limit(5)
+      .select("user_id", "n", "share", "skew_ratio")
+      .orderBy("user_id")
+  }
+
   /** Left-outer aggregation: order count per customer including zeros. */
   def outerJoinAgg(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)
@@ -567,6 +588,7 @@ object Extended extends QueryPack {
     "enrich_broadcast" -> enrichBroadcast,
     "quantiles" -> quantiles,
     "quantiles_sketch" -> quantilesSketch,
+    "skew_profile" -> skewProfile,
     "outer_join_agg" -> outerJoinAgg,
     "union_all" -> unionAll,
     "cube_events" -> cubeEvents)
@@ -772,6 +794,13 @@ object Extended extends QueryPack {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+        |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 5)
+        |SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
+        |       CAST(n * n_keys AS DOUBLE) / total AS skew_ratio
+        |FROM top, t ORDER BY user_id""".stripMargin,
     "quantiles" ->
       """SELECT o_orderstatus,
         |       quantile_cont(o_totalprice, 0.25) AS p25,

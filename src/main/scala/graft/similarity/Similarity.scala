@@ -294,7 +294,13 @@ object Similarity extends QueryPack {
     * C round away-from-zero for these magnitudes) and the division is
     * the same IEEE op. */
   def embedQuantize(spark: SparkSession, d: String): DataFrame =
-    vecs(spark, d)
+    embedQuantizeOf(vecs(spark, d)).orderBy("vec_id")
+
+  /** Same over an already-loaded `(vec_id, v ARRAY<DOUBLE>)` frame,
+    * unsorted — for edge-case tests (the corpus has no all-zero vector,
+    * so the 0/0 guard is only reachable from a handcrafted frame). */
+  def embedQuantizeOf(vectors: DataFrame): DataFrame =
+    vectors
       .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("scale", col("mx") / lit(127.0))
       .withColumn("q", expr(
@@ -303,7 +309,6 @@ object Similarity extends QueryPack {
         expr("cast(aggregate(q, 0L, (a, x) -> a + x) as bigint)").as("q_sum"),
         expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) as bigint)").as("q_l1"),
         expr("cast(array_max(transform(q, x -> abs(x))) as bigint)").as("q_max"))
-      .orderBy("vec_id")
 
   /** IVF-PQ — the two approximate stages COMPOSED the way a production
     * index layers them (FAISS IVFPQ): the coarse quantizer cuts each

@@ -190,6 +190,18 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(row._4 === expected.length.toLong)
   }
 
+  test("embed_quantize golden: exact codes, saturation, and the zero-vector guard") {
+    val vs = Seq(
+      (0L, Seq(1.0, -1.0, 0.5)),   // scale = 1/127 → codes 127, -127, 64 (0.5*127 = 63.5 rounds up)
+      (1L, Seq(0.0, 0.0, 0.0)))    // zero vector → guard: codes all 0, scale 0
+      .toDF("vec_id", "v")
+    val out = graft.similarity.Similarity.embedQuantizeOf(vs)
+      .select("vec_id", "scale", "q_sum", "q_l1", "q_max")
+      .as[(Long, Double, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 1.0 / 127.0, 64L, 318L, 127L)))
+    assert(out(1L) === ((1L, 0.0, 0L, 0L, 0L)))
+  }
+
   test("embed_label_sim golden: hand-computed centroid cosine") {
     // label 0: vectors (1,0) and (0,1) → centroid (0.5, 0.5)
     // label 1: vectors (2,0) and (2,0) → centroid (2, 0)
