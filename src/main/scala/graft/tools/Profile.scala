@@ -66,8 +66,13 @@ object Profile {
     // A bare count() would prune the expensive columns away, so force
     // them through an aggregate.
     import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
-    time("gopher_fold") {
+    time("gopher_native") {
       graft.text.TextAnalysis.gopherGatesOf(docs)
+        .agg(fsum(fcol("dup_tri_frac")), fsum(fcol("top_bigram_frac")))
+        .collect(); 1L
+    }
+    time("gopher_hof_fold") {
+      graft.text.TextAnalysis.gopherGatesHofOf(docs)
         .agg(fsum(fcol("dup_tri_frac")), fsum(fcol("top_bigram_frac")))
         .collect(); 1L
     }
