@@ -280,6 +280,37 @@ object Similarity extends QueryPack {
       .orderBy("label_a", "label_b")
   }
 
+  /** kNN label classification — the "label the unlabeled slice by its
+    * neighbors" step (weak supervision / data-card tagging) composed
+    * from the exact ANN machinery: top-5 cosine neighbors per query
+    * vector from the labeled corpus, majority vote over their labels
+    * (ties → smallest label), reported with the vote count and the
+    * query's own label for an accuracy read-off.
+    *
+    * Scale shape = [[annTopK]]'s (queries broadcast, corpus scanned
+    * once) + a labels-sized vote aggregate; swap the neighbor stage for
+    * [[annIvf]]/[[annIvfPq]] when the corpus outgrows the scan. (The
+    * synthetic labels are random w.r.t. embedding geometry, so the
+    * interesting output is the vote/tie mechanics, not accuracy.) */
+  def knnClassify(spark: SparkSession, d: String): DataFrame = {
+    val all = vecs(spark, d)
+    val votes = annTopK(spark, d) // (query_id, neighbor_id, cos_sim, rank<=5)
+      .join(all.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("votes")).as("neg"), col("n_label").as("l"))).as("w"))
+      .select(col("query_id"), col("w.l").as("predicted_label"),
+        (-col("w.neg")).as("votes"))
+    votes
+      .join(all.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+      .select("query_id", "predicted_label", "votes", "true_label", "correct")
+      .orderBy("query_id")
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * storage/serving compression step (4× smaller than float32, 8× than
     * the double working form) an embedding pipeline applies before
@@ -365,7 +396,8 @@ object Similarity extends QueryPack {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "embed_label_sim" -> embedLabelSim,
-    "embed_quantize" -> embedQuantize)
+    "embed_quantize" -> embedQuantize,
+    "knn_classify" -> knnClassify)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
     * expression's exact float math: sequential dot products and
@@ -392,6 +424,24 @@ object Similarity extends QueryPack {
          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM sims
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "knn_classify" -> {
+      val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.label AS n_label,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cs DESC, c.vec_id) AS rank
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+         |v AS (SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+         |      FROM sims WHERE rank <= 5 GROUP BY 1, 2),
+         |p AS (SELECT query_id, n_label, votes,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY votes DESC, n_label) AS rn FROM v)
+         |SELECT p.query_id, p.n_label AS predicted_label, p.votes,
+         |       e.label AS true_label, p.n_label = e.label AS correct
+         |FROM p JOIN e ON e.vec_id = p.query_id
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin
     },
     "embed_label_sim" -> {
       val cs = cosSql.format("a.c", "b.c", "a.c", "a.c", "b.c", "b.c")
