@@ -284,6 +284,34 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "n_emails", "n_phones", "n_ips", "red_len", "red_md5")
   }
 
+  /** Corpus-frequency quality score — the log-free cousin of a unigram
+    * LM filter (CCNet scores documents by LM perplexity; here the
+    * signal is mean RELATIVE corpus frequency of the document's token
+    * occurrences). Low = rare/garbled vocabulary, high = stopword spam;
+    * both tails are what a quality pass flags. Log-free on purpose:
+    * `sum_c / (n_tokens · total)` stays all-integer until one final
+    * division, so both engines agree bitwise where `ln()` ULPs would
+    * drift.
+    *
+    * Scale shape: one vocabulary-sized hash aggregate (term counts), a
+    * broadcast 1-row total, a term-partitioned equi-join of the token
+    * stream against the counts, and a per-doc sum — map-side
+    * combinable everywhere, nothing all-pairs. */
+  def freqScore(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val cnt = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = terms.agg(count(lit(1)).as("total"))
+    terms.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rel_freq",
+        col("sum_c").cast("double") / (col("n_tokens") * col("total")))
+      .select("doc_id", "n_tokens", "sum_c", "rel_freq")
+      .orderBy("doc_id")
+  }
+
   /** Document chunking — overlapping token windows (window 50, stride
     * 40), the context-window splitting stage of a training-data
     * pipeline. Chunk count per doc: 1 if it fits one window, else
@@ -420,6 +448,7 @@ object TextAnalysis extends QueryPack {
     "text_tfidf" -> tfidfTopTerms,
     "text_repetition" -> repetition,
     "text_gopher" -> gopherGates,
+    "text_freq_score" -> freqScore,
     "pii_scrub" -> piiScrub,
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
@@ -622,6 +651,19 @@ object TextAnalysis extends QueryPack {
         |       top_bigram_frac,
         |       dup_tri_frac <= 0.35 AND top_bigram_frac <= 0.20 AS gopher_ok
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the same all-integer mean relative frequency; the division is the
+    // single double op, performed identically on both engines
+    "text_freq_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS total FROM t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(c) AS BIGINT) AS sum_c,
+        |       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |         / (COUNT(*) * (SELECT total FROM tot)) AS rel_freq
+        |FROM t JOIN c USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DuckDB string literals do not process backslashes, so the regexes
     // below carry SINGLE backslashes where the Spark-side SQL literals
     // (which do unescape) carry doubles; RE2 and Java agree on this
