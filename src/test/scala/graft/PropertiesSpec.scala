@@ -105,4 +105,45 @@ class PropertiesSpec extends AnyFunSuite {
       math.abs(est - jaccard(x, y)) < 0.35 // 128 perms ⇒ σ ≈ 0.044; 8σ bound
     })
   }
+
+  test("quantile sketch property: rank error bounded for arbitrary inputs and splits") {
+    import graft.functions.QuantileSketch
+    // arbitrary values (duplicates and adversarial orders included),
+    // arbitrary split into sub-sketches merged back — the deterministic
+    // MRL bound must hold regardless
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    val genChunks = Gen.chooseNum(1, 7)
+    check(Prop.forAll(genVals, genChunks) { (vals, chunks) =>
+      val k = 32
+      val parts = vals.grouped(math.max(1, vals.length / chunks)).toSeq
+      val sketches = parts.map { p =>
+        val s = new QuantileSketch(k)
+        p.foreach { v => s.add(v); s.n += 1 }
+        s
+      }
+      val merged = sketches.reduce { (a, b) => a.mergeIn(b); a }
+      val sorted = vals.sorted.toArray
+      val n = sorted.length
+      // generous bound: exact below k; above, levels ≈ log2(n/k),
+      // theoretical ε ≈ levels/(2k) — allow 4× slack
+      val eps = if (n <= k) 1e-9
+        else 4.0 * (math.log(n.toDouble / k) / math.log(2) + 1) / (2 * k)
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).forall { phi =>
+        val est = merged.query(phi)
+        // a duplicated value occupies a rank INTERVAL [lo, hi]; error is
+        // the distance from the target rank to that interval
+        val lo = sorted.indexWhere(_ >= est) match {
+          case -1 => n - 1
+          case i  => i
+        }
+        val hi = sorted.lastIndexWhere(_ <= est) match {
+          case -1 => 0
+          case i  => i
+        }
+        val target = phi * (n - 1)
+        val err = math.max(0.0, math.max(lo - target, target - hi))
+        err <= eps * n + 1
+      }
+    })
+  }
 }
