@@ -126,6 +126,23 @@ object Dedup extends QueryPack {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** [[exactSurvivors]] keyed on a DIGEST of the text instead of the
+    * text itself — the 100 TB formulation the scaladoc above promises:
+    * the shuffle carries a 16-byte hash per row instead of the full
+    * document (~100× less exchange payload on a 1.5 KB doc), and the
+    * survivor id + copy count need nothing else. md5 here because the
+    * oracle must compute the identical digest (DuckDB has no xxhash64);
+    * production would key on `xxhash64(text)` (8 bytes, faster) with
+    * the same 2⁻⁶⁴ collision caveat as the shingle family — either
+    * way a collision only merges two UNRELATED docs, detectable by an
+    * optional equality re-check of survivors against copies. */
+  def exactHashSurvivors(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
   // ---------- n-gram Jaccard ----------
 
   /** Near-dup pairs with trigram-shingle Jaccard >= 0.8, candidates from
@@ -695,6 +712,7 @@ object Dedup extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_survivors" -> exactSurvivors,
+    "dedup_exact_hashkey" -> exactHashSurvivors,
     "dedup_ngram" -> ngramJaccard,
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_minhash" -> minhashLsh,
@@ -779,6 +797,10 @@ object Dedup extends QueryPack {
     "dedup_exact_survivors" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // identical digest on both sides (md5 of the UTF-8 bytes)
+    "dedup_exact_hashkey" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
     // directional containment mirror of the inverted-index intersection
     "dedup_containment" ->

@@ -212,6 +212,14 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 6L))
   }
 
+  test("digest-keyed exact dedup equals text-keyed exact dedup") {
+    val byText = Dedup.exactSurvivors(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val byHash = Dedup.exactHashSurvivors(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(byText === byHash)
+  }
+
   test("survivorQuality keeps the longest cluster member, not the smallest id") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     // 15 -> 18 tokens: 13 shared trigrams / 16 total = 0.8125 >= 0.8
