@@ -709,6 +709,66 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- duplicated-span scrub (ExactSubstr-style) ----------
+
+  /** Cross-document duplicated-SPAN removal — the sub-document sibling of
+    * whole-document dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": duplicated substrings, not just duplicated
+    * documents, drive memorization; their ExactSubstr pass removes the
+    * repeated span and keeps the rest of the document). A k-token gram
+    * occurring in >= `minDocs` DISTINCT documents marks all k of its
+    * token positions covered; covered tokens are dropped and the
+    * survivors re-joined in original order.
+    *
+    * Scale shape: the gram stream carries 8-byte xxhash64 keys, never
+    * gram strings (~5x narrower shuffle than shipping the text);
+    * duplicated-gram detection is one map-side-combinable distinct-doc
+    * count per hash; marking is an equi-join of the gram stream against
+    * the duplicated-hash sliver; reassembly is one shuffle on doc_id.
+    * Nothing is all-pairs and no stage keys on raw text. A 64-bit hash
+    * collision can over-scrub an innocent span (never under-scrub a true
+    * duplicate) at ~n²/2⁶⁴ odds — the trade every production
+    * substring-dedup makes vs. suffix-array exactness. */
+  def spanScrub(spark: SparkSession, d: String): DataFrame =
+    spanScrubOf(Tables.documents(spark, d))
+
+  def spanScrubOf(docs: DataFrame, k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // one row per k-gram: (doc_id, 1-based start position, gram hash)
+    val grams = toks
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ts) >= $k
+           |THEN transform(sequence(1, size(ts) - ${k - 1}),
+           |               i -> struct(i AS i,
+           |                           xxhash64(array_join(slice(ts, i, $k), ' ')) AS g))
+           |ELSE array() END""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.g").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = positions.join(covered, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      // collect_list order is nondeterministic; array_sort on the
+      // (position, token) struct restores document order exactly
+      array_join(
+        expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        " ").as("scrubbed_text"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_scrubbed"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_survivors" -> exactSurvivors,
@@ -723,6 +783,7 @@ object Dedup extends QueryPack {
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
+    "span_scrub" -> spanScrub,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
 
@@ -892,6 +953,30 @@ object Dedup extends QueryPack {
         |ORDER BY source_a, source_b""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum
+    // string-gram mirror of the hashed-gram scrub (equal barring 64-bit
+    // hash collisions, which the scaladoc accounts for)
+    "span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (SELECT doc_id, ts[p] AS tok, p FROM toks,
+        |        unnest(generate_series(1, len(ts))) t(p)),
+        |grams AS (SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS g
+        |          FROM toks, unnest(generate_series(1, greatest(len(ts)-4, 0))) t(i)),
+        |bad AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (SELECT DISTINCT grams.doc_id, i+off AS p
+        |            FROM grams JOIN bad USING (g),
+        |                 unnest(generate_series(0, 4)) o(off)),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+        |         LEFT JOIN covered ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+        |         WHERE covered.p IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY p) AS scrubbed_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_scrubbed,
+        |       coalesce(a.scrubbed_text, '') AS scrubbed_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_corpus" ->
       """WITH RECURSIVE ex AS (
         |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -388,8 +388,34 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * embedding-cosine near-dup pairs → connected components → keep the
+    * smallest vec_id per semantic cluster. Output labels EVERY vector
+    * with its cluster, the cluster size, and whether it survives.
+    *
+    * The pair stage here is the exact quadratic baseline
+    * ([[embedNearDup]] — it doubles as the oracle and the corpus is
+    * model-sized); at 100 TB swap that single stage for [[annLsh]]/
+    * [[annIvf]] bucketed candidates verified with exact cosine — the
+    * component and survivor stages are
+    * [[graft.dedup.Dedup.clusterLabels]] unchanged, which only ever
+    * touches the near-dup edge sliver. */
+  def semanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val pairs = embedNearDup(spark, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nodes = vecs(spark, d).select(col("vec_id").as("doc_id"))
+    val labels = graft.dedup.Dedup.clusterLabels(nodes, pairs)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      .orderBy("vec_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
+    "semantic_dedup" -> semanticDedup,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -413,6 +439,31 @@ object Similarity extends QueryPack {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE $cs >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "semantic_dedup" -> {
+      val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE $cs >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         |lab AS (
+         |  SELECT e.vec_id,
+         |         LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS cluster_id
+         |  FROM e LEFT JOIN reach r ON r.a = e.vec_id
+         |  GROUP BY e.vec_id),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.n_members,
+         |       l.vec_id = l.cluster_id AS is_survivor
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin
     },
     "ann_topk" -> {
       val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
