@@ -439,6 +439,92 @@ object TextAnalysis extends QueryPack {
       .orderBy("source", "doc_id", "chunk_idx")
   }
 
+  /** Class-conditional unigram classifier — the log-free, smoothing-free
+    * core of the NB/fastText-style quality-and-language filters real
+    * pipelines train on their own corpus: TRAIN is one vocabulary-sized
+    * hash aggregate (per-(term, class) counts + per-class totals = the
+    * whole model, produced by the engine itself); SCORE is one
+    * term-partitioned equi-join of the token stream against the model
+    * plus a per-(doc, class) sum; PREDICT is an argmax over the 5 class
+    * rows per doc. Score stays exact-integer class mass until one final
+    * double division by the class total, so both engines agree bitwise
+    * (same trick as [[tfidfTopTerms]]); argmax ties break on class name.
+    * Output is the declared-vs-predicted confusion matrix. Training on
+    * the scored corpus itself (no held-out split) is deliberate — this
+    * is the data-curation filter shape, not an eval harness. */
+  def nbClassify(spark: SparkSession, d: String): DataFrame =
+    nbClassifyOf(Tables.documents(spark, d))
+
+  def nbClassifyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val model = terms.groupBy(col("term"), col("lang").as("clang"))
+      .agg(count(lit(1)).as("c"))
+    val totals = terms.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("t"))
+    val mass = terms.select("doc_id", "term")
+      .join(model, "term")
+      .groupBy(col("doc_id"), col("clang"))
+      .agg(sum(col("c")).as("mass"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("clang"))
+    val pred = mass.join(totals, "clang")
+      .withColumn("score", col("mass").cast("double") / col("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("clang").as("predicted"))
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** DSIR-shaped importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by its affinity to a TARGET domain slice (here source
+    * `src0`) relative to the background corpus, then keep the docs whose
+    * importance ratio clears 1 (over-represented in the target
+    * distribution). The classic estimator sums per-token
+    * log(p_target/p_background); this uses the ratio of summed masses
+    * `(Σ c_target · T_bg) / (Σ c_bg · T_target)` instead — exact integer
+    * numerator and denominator with ONE double division, so the oracle
+    * matches bitwise, while preserving the over/under-represented
+    * decision boundary at 1.
+    *
+    * Scale shape: two vocabulary-sized count aggregates (target +
+    * background — the "model"), two broadcast 1-row totals, one
+    * term-partitioned equi-join of the token stream against the counts,
+    * one per-doc sum. The 100 TB side never shuffles on anything wider
+    * than a term. */
+  def dsirSelect(spark: SparkSession, d: String): DataFrame =
+    dsirSelectOf(Tables.documents(spark, d))
+
+  def dsirSelectOf(docs: DataFrame, target: String = "src0"): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tgtTerms = docs.filter(col("source") === target)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val ct = tgtTerms.groupBy("term").agg(count(lit(1)).as("ct"))
+    val cb = terms.groupBy("term").agg(count(lit(1)).as("cb"))
+    val tt = tgtTerms.agg(count(lit(1)).as("t_total"))
+    val tb = terms.agg(count(lit(1)).as("b_total"))
+    terms.join(cb, "term")
+      .join(ct, Seq("term"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("ct"), lit(0L))).as("t_mass"),
+        sum(col("cb")).as("b_mass"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tb))
+      .withColumn("importance",
+        (col("t_mass") * col("b_total")).cast("double") /
+          (col("b_mass") * col("t_total")))
+      .withColumn("selected", col("importance") >= 1.0)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "n_tokens", "t_mass", "b_mass",
+        "importance", "selected")
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "corpus_build" -> corpusBuild,
     "text_lang_confusion" -> langConfusion,
@@ -450,6 +536,8 @@ object TextAnalysis extends QueryPack {
     "text_gopher" -> gopherGates,
     "text_freq_score" -> freqScore,
     "pii_scrub" -> piiScrub,
+    "nb_classify" -> nbClassify,
+    "dsir_select" -> dsirSelect,
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)))
@@ -693,6 +781,53 @@ object TextAnalysis extends QueryPack {
         |  CAST(length(red) AS BIGINT) AS red_len,
         |  md5(red) AS red_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    // exact-integer class mass, one double division, argmax ties on class
+    "nb_classify" ->
+      """WITH terms AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |model AS (
+        |  SELECT term, lang AS clang, count(*) AS c
+        |  FROM terms GROUP BY term, lang),
+        |totals AS (
+        |  SELECT lang AS clang, count(*) AS t FROM terms GROUP BY lang),
+        |mass AS (
+        |  SELECT terms.doc_id, model.clang, sum(model.c) AS mass
+        |  FROM terms JOIN model USING (term)
+        |  GROUP BY terms.doc_id, model.clang),
+        |pred AS (
+        |  SELECT doc_id, clang AS predicted,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY CAST(mass AS DOUBLE) / t DESC, clang) AS rn
+        |  FROM mass JOIN totals USING (clang))
+        |SELECT d.lang, p.predicted, count(*) AS n
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+        |GROUP BY d.lang, p.predicted
+        |ORDER BY d.lang, p.predicted""".stripMargin,
+    // integer masses, one double division; decision boundary at 1
+    "dsir_select" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tgt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (SELECT term, count(*) AS ct FROM tgt GROUP BY term),
+        |cb AS (SELECT term, count(*) AS cb FROM terms GROUP BY term),
+        |tt AS (SELECT count(*) AS t_total FROM tgt),
+        |tb AS (SELECT count(*) AS b_total FROM terms),
+        |m AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(coalesce(ct.ct, 0)) AS t_mass, sum(cb.cb) AS b_mass
+        |  FROM terms JOIN cb USING (term) LEFT JOIN ct USING (term)
+        |  GROUP BY doc_id)
+        |SELECT m.doc_id, d.source, m.n_tokens, m.t_mass, m.b_mass,
+        |       CAST(m.t_mass * tb.b_total AS DOUBLE) / (m.b_mass * tt.t_total)
+        |         AS importance,
+        |       CAST(m.t_mass * tb.b_total AS DOUBLE) / (m.b_mass * tt.t_total)
+        |         >= 1.0 AS selected
+        |FROM m CROSS JOIN tt CROSS JOIN tb
+        |JOIN documents d ON d.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,
