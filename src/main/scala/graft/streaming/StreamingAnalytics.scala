@@ -93,6 +93,38 @@ object StreamingAnalytics {
       dim: DataFrame, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** Train-batch / score-stream classifier composition: the model from
+    * [[graft.text.TextAnalysis.nbModelOf]] (a STATIC, vocabulary-sized
+    * frame — the fastText-file analog) is broadcast into a scoring plan
+    * that works identically on a batch frame or a `readStream` of
+    * documents. Exploded tokens stream-static-join the model map-side
+    * (the unbounded side never shuffles); per-document per-class masses
+    * pivot into ONE streaming aggregation (5 conditional sums — a
+    * single state row per doc, not one per class); the argmax is a
+    * stateless when-chain in class order, breaking ties toward the
+    * earlier class exactly like the batch classifier's
+    * `(score DESC, class ASC)` row_number. A class sharing no term
+    * with the doc scores -1 (absent < any real nonnegative score). */
+  def nbScore(docs: DataFrame, model: DataFrame, totals: DataFrame,
+      classes: Seq[String]): DataFrame = {
+    require(classes.nonEmpty && classes == classes.sorted,
+      "pass classes sorted so tie-breaks match the batch classifier")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val joined = toks.join(broadcast(model.join(totals, "clang")), "term")
+    def m(c: String) = s"m_$c"; def t(c: String) = s"t_$c"
+    val aggCols =
+      classes.map(c => sum(when(col("clang") === c, col("c")).otherwise(lit(0L))).as(m(c))) ++
+      classes.map(c => max(when(col("clang") === c, col("t"))).as(t(c)))
+    val mass = joined.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val score = classes.map(c =>
+      c -> coalesce(col(m(c)).cast("double") / col(t(c)), lit(-1.0)))
+    val predicted = score.init.zipWithIndex.foldRight(lit(classes.last)) {
+      case (((c, s), i), rest) =>
+        when(score.drop(i + 1).map(_._2 <= s).reduce(_ && _), c).otherwise(rest)
+    }
+    mass.select(col("doc_id"), predicted.as("predicted"))
+  }
+
   /** Native session-window aggregation — the third sessionization path
     * next to the batch lag-cumsum ([[graft.queries.Relational.sessionize]])
     * and the custom [[sessionizeStream]] state machine: Spark's built-in

@@ -455,14 +455,22 @@ object TextAnalysis extends QueryPack {
   def nbClassify(spark: SparkSession, d: String): DataFrame =
     nbClassifyOf(Tables.documents(spark, d))
 
+  /** TRAIN stage of [[nbClassifyOf]], exposed separately so the model can
+    * be built batch-side and broadcast into a streaming scoring stage
+    * ([[graft.streaming.StreamingAnalytics.nbScore]]): per-(term, class)
+    * counts plus per-class totals — together the entire classifier. */
+  def nbModelOf(labeled: DataFrame): (DataFrame, DataFrame) = {
+    val terms = labeled.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    (terms.groupBy(col("term"), col("lang").as("clang")).agg(count(lit(1)).as("c")),
+     terms.groupBy(col("lang").as("clang")).agg(count(lit(1)).as("t")))
+  }
+
   def nbClassifyOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("term"))
-    val model = terms.groupBy(col("term"), col("lang").as("clang"))
-      .agg(count(lit(1)).as("c"))
-    val totals = terms.groupBy(col("lang").as("clang"))
-      .agg(count(lit(1)).as("t"))
+    val (model, totals) = nbModelOf(docs)
     val mass = terms.select("doc_id", "term")
       .join(model, "term")
       .groupBy(col("doc_id"), col("clang"))
@@ -525,6 +533,27 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** The RESAMPLING half of DSIR — [[dsirSelectOf]] scores, this draws:
+    * keep each document with probability min(1, rate · importance), so
+    * the kept set's composition tilts toward the target distribution
+    * while staying a fixed expected fraction of the corpus. The draw is
+    * the repo's deterministic two-step Lehmer mix on doc_id (the
+    * `sample_det` formulation — seedless, partition-independent,
+    * identical in both engines) compared against the per-doc importance
+    * bound: `mix(doc_id) < min(1, rate·imp) · 2³¹-1`. Stateless scan
+    * decision once the importance column exists — the selection adds
+    * nothing to the shuffle story of [[dsirSelectOf]]. */
+  def dsirResampleOf(docs: DataFrame, target: String = "src0",
+      rate: Double = 0.5): DataFrame = {
+    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
+      48271L % 2147483647L
+    dsirSelectOf(docs, target)
+      .withColumn("keep_p", least(lit(1.0), col("importance") * rate))
+      .filter(mix.cast("double") < col("keep_p") * 2147483647.0)
+      .select("doc_id", "source", "n_tokens", "importance", "keep_p")
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "corpus_build" -> corpusBuild,
     "text_lang_confusion" -> langConfusion,
@@ -538,6 +567,8 @@ object TextAnalysis extends QueryPack {
     "pii_scrub" -> piiScrub,
     "nb_classify" -> nbClassify,
     "dsir_select" -> dsirSelect,
+    "dsir_resample" -> ((s: SparkSession, d: String) =>
+      dsirResampleOf(Tables.documents(s, d))),
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)))
@@ -804,6 +835,36 @@ object TextAnalysis extends QueryPack {
         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
         |GROUP BY d.lang, p.predicted
         |ORDER BY d.lang, p.predicted""".stripMargin,
+    // importance scoring + the deterministic Lehmer-mix draw against
+    // min(1, 0.5·importance)
+    "dsir_resample" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tgt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (SELECT term, count(*) AS ct FROM tgt GROUP BY term),
+        |cb AS (SELECT term, count(*) AS cb FROM terms GROUP BY term),
+        |tt AS (SELECT count(*) AS t_total FROM tgt),
+        |tb AS (SELECT count(*) AS b_total FROM terms),
+        |m AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(coalesce(ct.ct, 0)) AS t_mass, sum(cb.cb) AS b_mass
+        |  FROM terms JOIN cb USING (term) LEFT JOIN ct USING (term)
+        |  GROUP BY doc_id),
+        |sc AS (
+        |  SELECT m.doc_id, d.source, m.n_tokens,
+        |         CAST(m.t_mass * tb.b_total AS DOUBLE) / (m.b_mass * tt.t_total)
+        |           AS importance
+        |  FROM m CROSS JOIN tt CROSS JOIN tb
+        |  JOIN documents d ON d.doc_id = m.doc_id)
+        |SELECT doc_id, source, n_tokens, importance,
+        |       least(1.0, importance * 0.5) AS keep_p
+        |FROM sc
+        |WHERE CAST((doc_id % 2147483647) * 48271 % 2147483647 * 48271
+        |           % 2147483647 AS DOUBLE)
+        |      < least(1.0, importance * 0.5) * 2147483647.0
+        |ORDER BY doc_id""".stripMargin,
     // integer masses, one double division; decision boundary at 1
     "dsir_select" ->
       """WITH terms AS (

@@ -49,6 +49,24 @@ class ClassifierDsirSpec extends SparkSpec {
     assert(out(1) === ((1L, 1L, 3L, 5.0 / 9.0, false)))
   }
 
+  test("dsir_resample: kept set is exactly the docs whose mix clears the bound") {
+    def mix(id: Long) = id % 2147483647L * 48271L % 2147483647L * 48271L % 2147483647L
+    val docs = Tables.documents(spark, sf0001)
+    val scored = TextAnalysis.dsirSelectOf(docs)
+      .select("doc_id", "importance").as[(Long, Double)].collect().toMap
+    val kept = TextAnalysis.dsirResampleOf(docs)
+      .select("doc_id", "keep_p").as[(Long, Double)].collect().toMap
+    assert(kept.nonEmpty && kept.size < scored.size)
+    kept.foreach { case (id, p) =>
+      assert(p <= 1.0 && p === math.min(1.0, scored(id) * 0.5))
+      assert(mix(id).toDouble < p * 2147483647.0)
+    }
+    (scored.keySet -- kept.keySet).foreach { id =>
+      val p = math.min(1.0, scored(id) * 0.5)
+      assert(mix(id).toDouble >= p * 2147483647.0, s"doc $id wrongly dropped")
+    }
+  }
+
   test("dsir_select: identical result for any input partitioning") {
     def res(parts: Int) =
       TextAnalysis.dsirSelectOf(Tables.documents(spark, sf0001).repartition(parts))

@@ -52,6 +52,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("train-batch / score-stream classifier matches batch scoring") {
+    // TRAIN on a static labeled corpus; SCORE a document stream with the
+    // broadcast model. Stream scores must equal scoring the same docs
+    // batch-side, including the absent-class and tie-break paths.
+    val labeled = Seq(
+      (100L, "aa bb aa", "en"),
+      (101L, "bb aa", "en"),
+      (102L, "xx yy", "de"),
+      (103L, "yy yy xx", "de")).toDF("doc_id", "text", "lang")
+    val (model, totals) = graft.text.TextAnalysis.nbModelOf(labeled)
+    val classes = Seq("de", "en")
+    val in = tmpDir("nb-in")
+    val docs = Seq(
+      (0L, "aa aa xx"),      // en mass 3/5 of en tokens vs de 2/5? hand: see assert
+      (1L, "yy yy"),
+      (2L, "aa xx"),         // potential tie path
+      (3L, "zz zz")          // no term in model → absent from output
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(in)
+    val batchScored = StreamingAnalytics
+      .nbScore(docs, model, totals, classes)
+      .as[(Long, String)].collect().toMap
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    val q = StreamingAnalytics.nbScore(stream, model, totals, classes)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nb_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nb_stream")
+        .as[(Long, String)].collect().toMap
+      assert(streamed === batchScored)
+      assert(streamed.keySet === Set(0L, 1L, 2L))      // doc 3 has no model term
+      assert(streamed(1L) === "de")                    // yy is de-only
+      // doc 2: en score = c(aa)=3 of t_en=5; de score = c(xx)=2 of t_de=5
+      assert(streamed(2L) === "en")
+    } finally q.stop()
+  }
+
   test("curation stages (gopher gates, pii scrub) run unchanged on a stream") {
     // the Of variants are stateless projections, so the SAME code path
     // must compose into a readStream plan and produce the batch rows
