@@ -91,6 +91,27 @@ object ScaleSmoke {
       graft.text.TextAnalysis.piiScrubOf(docs)
         .agg(sum(col("red_len")), sum(col("n_emails"))).collect(); nDocs
     }
+    // round-5b curation stages over the amplified corpus. span_scrub on
+    // the raw amplification is adversarial by construction (every 5-gram
+    // is a mult-way cross-doc duplicate → ~all positions covered); the
+    // production composition scrubs AFTER exact dedup, same as minhash.
+    time("span_scrub on exact-dedup survivors") {
+      val survivors = docs.groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+      graft.dedup.Dedup.spanScrubOf(survivors)
+        .agg(sum(col("n_scrubbed"))).collect(); nDocs
+    }
+    time("nb_classify (amplified)") {
+      val labeled = docs.withColumn("lang",
+        concat(lit("l"), (col("doc_id") % 5).cast("string")))
+      graft.text.TextAnalysis.nbClassifyOf(labeled).count()
+    }
+    time("dsir score+resample (amplified)") {
+      val sourced = docs.withColumn("source",
+        concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      graft.text.TextAnalysis.dsirResampleOf(sourced).count()
+    }
     val embeddings = amplify(Tables.embeddings(spark, d), "vec_id").cache()
     println(s"[scale-smoke] vectors=${embeddings.count()}")
     time("lsh bucket keys (all vecs)") {
