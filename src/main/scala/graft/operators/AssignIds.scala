@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed contiguous ID assignment — global `row_number()` over a
+  * total order WITHOUT the single-partition window.
+  *
+  * Every training pipeline needs dense ordinal ids (shard indexes,
+  * sample manifests, pack offsets), and the naive
+  * `row_number().over(Window.orderBy(...))` is a scale-killer: Spark
+  * plans an empty-key window, which pulls the ENTIRE dataset through one
+  * partition on one executor. The distributed formulation:
+  *
+  *  1. `repartitionByRange` on the order key (range-disjoint partitions)
+  *     — one shuffle, the same one any global sort pays;
+  *  2. per-partition row counts — a partition-count-sized aggregate
+  *     collected to the driver (model-sized state, like the k-means
+  *     centroids: O(numPartitions), never O(rows));
+  *  3. broadcast the running offsets back (tiny dimension join) and add
+  *     them to the WITHIN-partition row_number (windowed by
+  *     `spark_partition_id()`, so every window partition is exactly one
+  *     data partition — no empty-key collapse).
+  *
+  * The result is invariant to where the range sampler happens to place
+  * partition boundaries: offsets are computed from actual counts and
+  * in-partition positions follow the same total order, so
+  * `offset + local position` IS the global rank regardless of the
+  * split. (Ties in the order key must be broken by a unique column —
+  * pass one, as `row_number` over a non-unique order is not
+  * well-defined on either engine.)
+  */
+object AssignIds {
+
+  /** `df` plus a dense 1-based `new_id` following `orderCols` (which
+    * must form a unique total order). */
+  def withContiguousIds(df: DataFrame, orderCols: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(partitions, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin partition placement; count + rank see one layout
+    // partition-count-sized model state: pid -> rows in that partition
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .as[(Int, Long)].collect().toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p))).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged
+      .join(broadcast(offsets), "__pid")
+      .withColumn("new_id", row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

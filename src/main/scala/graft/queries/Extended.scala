@@ -562,7 +562,22 @@ object Extended extends QueryPack {
     perCol.reduce(_ union _).orderBy("column_name")
   }
 
+  /** Dense ordinal ids over the documents table (order: source, doc_id)
+    * via [[graft.operators.AssignIds.withContiguousIds]] — the
+    * distributed global row_number. The oracle is the naive
+    * `ROW_NUMBER() OVER (ORDER BY ...)`, which DuckDB can afford at
+    * sf0.01; the Spark side must produce the identical ranks from
+    * range-partitioned offsets without ever collapsing to one
+    * partition (PlanShapeSpec pins the plan shape). */
+  def assignIds(spark: SparkSession, d: String): DataFrame =
+    graft.operators.AssignIds
+      .withContiguousIds(Tables.documents(spark, d),
+        Seq(col("source"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("new_id"))
+      .orderBy("new_id")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "assign_ids" -> assignIds,
     "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
@@ -594,6 +609,13 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    // the naive global row_number — affordable for DuckDB at sf0.01;
+    // the Spark side must reproduce it from per-partition offsets
+    "assign_ids" ->
+      """SELECT doc_id, source,
+        |       ROW_NUMBER() OVER (ORDER BY source, doc_id) AS new_id
+        |FROM documents
+        |ORDER BY new_id""".stripMargin,
     // exact heavy hitters: the MG candidate set provably contains every
     // item with cnt·8 > n, so the verified query equals this plain SQL
     "freq_items_verified" ->
