@@ -733,16 +733,18 @@ object Dedup extends QueryPack {
     spanScrubOf(Tables.documents(spark, d))
 
   def spanScrubOf(docs: DataFrame, k: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    // one row per k-gram: (doc_id, 1-based start position, gram hash)
-    val grams = toks
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(ts) >= $k
-           |THEN transform(sequence(1, size(ts) - ${k - 1}),
-           |               i -> struct(i AS i,
-           |                           xxhash64(array_join(slice(ts, i, $k), ' ')) AS g))
-           |ELSE array() END""".stripMargin)).as("sp"))
-      .select(col("doc_id"), col("sp.i").as("i"), col("sp.g").as("g"))
+    // one row per k-gram: (doc_id, 1-based start position, gram hash).
+    // The native positional kernel emits the chained hash per start
+    // index in one byte-scan pass — no gram strings, no intermediate
+    // arrays (vs. the transform/slice/array_join HOF chain, which
+    // copies ~k tokens per gram just to hash them).
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(GraftPlanBridge.column(graft.functions.GramPosHashesExpr(
+          GraftPlanBridge.expr(col("text")), k))).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("g"))
     val dup = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -61,12 +61,12 @@ object ShingleHashesExpr {
 
   private final val Seed = 42L
 
-  /** Static one-pass kernel, called from interpreted eval and codegen. */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  /** Token-hash scan shared by the distinct-shingle and positional-gram
+    * kernels: XXH64 of each 0x20-delimited slice, in place. */
+  private[functions] def tokenHashes(s: UTF8String): (Array[Long], Int) = {
     val base = s.getBaseObject
     val offset = s.getBaseOffset
     val len = s.numBytes
-    // token hashes: scan for 0x20, hash each slice in place
     var tokens = new Array[Long](16)
     var nTok = 0
     var start = 0
@@ -80,6 +80,12 @@ object ShingleHashesExpr {
       }
       i += 1
     }
+    (tokens, nTok)
+  }
+
+  /** Static one-pass kernel, called from interpreted eval and codegen. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val (tokens, nTok) = tokenHashes(s)
     if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
     // chained shingle hashes, deduped keeping first occurrence
     val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
@@ -100,6 +106,29 @@ object ShingleHashesExpr {
       if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Positional variant for the span-scrub family: the chained gram hash
+    * at EVERY start position, in order, no dedup — array index + 1 IS
+    * the 1-based gram start, so `posexplode` recovers (position, hash)
+    * without materializing gram strings. Same tokenization, same chain,
+    * so a gram here equals the same gram in [[compute]]. */
+  def computeAll(s: UTF8String, n: Int): ArrayData = {
+    val (tokens, nTok) = tokenHashes(s)
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    var j = 0
+    while (j <= nTok - n) {
+      var h = tokens(j)
+      if (n > 1) {
+        h = XXH64.hashLong(tokens(j), Seed)
+        var k = 1
+        while (k < n) { h = XXH64.hashLong(tokens(j + k), h); k += 1 }
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Register `shingle_hashes(s, n)` for SQL/`expr` use in this session
     * (n must be a foldable integer literal). */
   def register(spark: SparkSession): Unit =
@@ -108,4 +137,29 @@ object ShingleHashesExpr {
       exprs => ShingleHashesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]),
       "scala_udf")
+}
+
+/** `gram_hashes(text, n)` — [[ShingleHashesExpr]]'s positional sibling:
+  * one chained hash per gram start position (no dedup), for operators
+  * that need WHERE a gram sits, not just whether it occurs. */
+case class GramPosHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashesExpr.computeAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
