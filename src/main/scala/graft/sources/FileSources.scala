@@ -35,6 +35,20 @@ object FileSources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Raw media ingest: a directory of image/audio/video files as binary
+    * rows (`path`, `modificationTime`, `length`, `content`) — the
+    * front door of the multimodal family
+    * ([[graft.multimodal.Multimodal]] decodes the `content` column).
+    * `pathGlobFilter` keeps non-media droppings (checksums, manifests)
+    * out of the scan; `length` is available WITHOUT reading file bodies,
+    * so size-based filtering prunes at the listing. Each file is one
+    * row read in full — the right granularity for images; for large
+    * video, pair with a manifest table and range reads instead. */
+  def binary(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Split a permissively-read frame into (clean, corrupt) — the batch
     * mirror of `kafka_skip_broken_messages`: bad rows are quarantined,
     * never fatal, and stay inspectable. The parse is cached first —

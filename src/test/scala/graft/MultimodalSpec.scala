@@ -48,6 +48,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingest: image files on disk → binary rows → real decode") {
+    // the front door: write genuine image files, read them back through
+    // the binaryFile source, decode the content column with the same
+    // codec the mm_* queries use
+    val dir = tmpDir("media-in")
+    val ids = Seq(0L, 1L, 7L)
+    ids.foreach { id =>
+      val row = MediaCodec.encode(id)
+      val ext = if (row.kind == "image/png") "png" else "bmp"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"doc_$id%04d.$ext"), row.payload)
+    }
+    // a non-media dropping the glob filter must exclude
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "manifest.txt"), "not an image".getBytes)
+    val rows = graft.sources.FileSources.binary(spark, dir, "*.{png,bmp}")
+      .select("path", "length", "content").collect()
+    assert(rows.length === ids.length, "glob must exclude manifest.txt")
+    rows.foreach { r =>
+      val path = r.getString(0)
+      val id = "doc_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+      val content = r.getAs[Array[Byte]]("content")
+      assert(r.getLong(1) === content.length.toLong)
+      val img = MediaCodec.decodeImage(content)
+      assert((img.getWidth, img.getHeight) === MediaCodec.dims(id), path)
+    }
+  }
+
   test("nearest-neighbor resize uses the exact integer mapping") {
     val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 4; x <- 0 until 4) {
