@@ -287,6 +287,38 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash LSH with the PER-ROW band kernel
+    * ([[graft.functions.MinHashBandsRowExpr]]): band keys come from one
+    * scalar byte-scan over `text` — no shingle explode and NO groupBy
+    * shuffle on the corpus side of candidate generation (the only
+    * shuffles left are the band-key equi-join and the verify join).
+    * Because the kernel is bit-identical to the aggregate path, the
+    * candidates — and after exact-Jaccard verification the final
+    * result — equal [[minhashLshOf]]'s, and both hash-match the
+    * exhaustive oracle. This is also the streaming-composable form:
+    * [[graft.streaming.StreamingAnalytics.nearDupStream]] probes a
+    * static index with the same expression. */
+  def minhashLshRow(spark: SparkSession, d: String): DataFrame =
+    minhashLshRowOf(Tables.documents(spark, d))
+
+  def minhashLshRowOf(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashBandsRowExpr.register(docs.sparkSession)
+    val banded = docs.select(col("doc_id"),
+      posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey")))
+      .localCheckpoint()
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint()
+    val sh = hashedShingles(docs).localCheckpoint()
+    jaccardOf(sh, Some(cand))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------- cluster assignment (connected components) ----------
 
   /** Connected components by iterative min-label propagation: every node
@@ -778,6 +810,7 @@ object Dedup extends QueryPack {
     "dedup_ngram" -> ngramJaccard,
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_minhash" -> minhashLsh,
+    "dedup_minhash_row" -> minhashLshRow,
     "dedup_simhash" -> simhashPairs,
     "dedup_simhash_verified" -> simhashVerified,
     "decontaminate" -> decontaminate,
@@ -903,6 +936,7 @@ object Dedup extends QueryPack {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> jaccardSql,
+    "dedup_minhash_row" -> jaccardSql,
     "dedup_simhash_verified" -> jaccardSql,
     // transitive closure of the exact >= 0.8 pair set; every doc gets
     // the smallest doc_id it can reach (itself when isolated). Both

@@ -93,14 +93,7 @@ case class MinHashAgg(
       new GenericArrayData(keys)
     }
 
-  /** SplitMix64 finalizer — a well-mixed 64-bit hash step; only internal
-    * consistency matters (band keys never leave the engine). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = MinHashAgg.mix64(z0)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(numPerms * 8)
@@ -144,6 +137,17 @@ object MinHashAgg {
     * extensions' `minhash_bands` must agree on this or the same function
     * name would mean two different sketches. */
   val DefaultBands = 32
+
+  /** SplitMix64 finalizer — a well-mixed 64-bit hash step; only internal
+    * consistency matters (band keys never leave the engine). Shared with
+    * [[MinHashBandsRowExpr]] so the per-row and aggregate band keys are
+    * bit-identical. */
+  private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** Default permutation constants (fixed seeds; odd multipliers < 2^30
     * so `h*a + b` never overflows for 32-bit-masked inputs). */

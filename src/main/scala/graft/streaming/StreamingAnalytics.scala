@@ -93,6 +93,36 @@ object StreamingAnalytics {
       dim: DataFrame, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** The static historical side of streaming near-dup detection: every
+    * (band, key) of every corpus document, built batch-side with the
+    * same per-row kernel the stream probe uses. At scale this is the
+    * persisted "LSH index" table, partitioned by band key. */
+  def bandIndexOf(history: DataFrame): DataFrame = {
+    graft.functions.MinHashBandsRowExpr.register(history.sparkSession)
+    history.select(col("doc_id").as("ref_id"),
+      posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey")))
+  }
+
+  /** Online near-duplicate detection: incoming documents checked against
+    * a historical corpus WITHOUT any streaming state — the per-row
+    * MinHash band kernel ([[graft.functions.MinHashBandsRowExpr]]) is a
+    * stateless projection, so the whole plan is projection → explode →
+    * stream-static equi-join on (band, key), which Structured Streaming
+    * runs in append mode with no watermark. (The aggregate MinHash
+    * formulation cannot do this: a streaming groupBy would force
+    * update-mode state and forbid the downstream join.) Emits one row
+    * per band collision (doc_id, ref_id, band); production pipelines
+    * dedup collisions and exact-verify per micro-batch in foreachBatch —
+    * the same verify stage the batch path uses. */
+  def nearDupStream(incoming: DataFrame, bandIndex: DataFrame): DataFrame = {
+    graft.functions.MinHashBandsRowExpr.register(incoming.sparkSession)
+    incoming.select(col("doc_id"),
+        posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey")))
+      .join(bandIndex, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select("doc_id", "ref_id", "band")
+  }
+
   /** Train-batch / score-stream classifier composition: the model from
     * [[graft.text.TextAnalysis.nbModelOf]] (a STATIC, vocabulary-sized
     * frame — the fastText-file analog) is broadcast into a scoring plan

@@ -25,6 +25,33 @@ class DedupSpec extends SparkSpec {
     assert(sig(0L).length === 128)
   }
 
+  test("per-row band kernel emits bit-identical keys to the aggregate path") {
+    graft.functions.MinHashAgg.registerBands(spark,
+      graft.functions.MinHashAgg.DefaultA, graft.functions.MinHashAgg.DefaultB,
+      graft.functions.MinHashAgg.DefaultBands)
+    graft.functions.MinHashBandsRowExpr.register(spark)
+    val corpus = Tables.documents(spark, sf0001)
+    val aggKeys = Dedup.hashedShingles(corpus)
+      .withColumn("h", expr("shingle & 4294967295"))
+      .groupBy("doc_id").agg(expr("minhash_bands(h)").as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rowKeys = corpus
+      .select(col("doc_id"), expr("minhash_bands_row(text)").as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // agg path has no group for shingle-less docs; row path emits empty
+    assert(rowKeys.keySet === corpus.select("doc_id").as[Long].collect().toSet)
+    aggKeys.foreach { case (id, ks) => assert(rowKeys(id) === ks, s"doc $id") }
+    (rowKeys.keySet -- aggKeys.keySet).foreach(id => assert(rowKeys(id).isEmpty))
+  }
+
+  test("row-kernel LSH dedup equals the aggregate-path result") {
+    val corpus = Tables.documents(spark, sf0001)
+    val a = Dedup.minhashLshOf(corpus).collect().map(_.toString).sorted.toSeq
+    val b = Dedup.minhashLshRowOf(corpus).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("minhash signature similarity tracks Jaccard") {
     val sig = signatures
     def agree(x: Seq[Long], y: Seq[Long]): Double =

@@ -52,6 +52,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup against a static band index matches the batch join") {
+    // history = the sf0.001 corpus; the stream carries one near-copy of
+    // a historical doc, one exact copy, and one unrelated doc
+    val history = Tables.documents(spark, sf0001)
+    val index = StreamingAnalytics.bandIndexOf(history).cache()
+    val h0 = history.orderBy("doc_id").select("text").as[String].head()
+    val incoming = Seq(
+      (9000L, h0),                                    // exact historical copy
+      (9001L, h0.split(" ").init.mkString(" ")),      // near copy (one token off)
+      (9002L, "zz qq ww ee rr tt yy uu ii oo pp aa")  // unrelated
+    ).toDF("doc_id", "text")
+    val in = tmpDir("neardup-in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(in)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "ref_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batchHits = hits(StreamingAnalytics.nearDupStream(incoming, index))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    val q = StreamingAnalytics.nearDupStream(stream, index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(hits(spark.table("neardup_out")) === batchHits)
+      assert(batchHits.exists(_._1 === 9000L), "exact copy must collide")
+      assert(batchHits.exists(_._1 === 9001L), "near copy must collide")
+      assert(!batchHits.exists(_._1 === 9002L), "unrelated doc must not")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("train-batch / score-stream classifier matches batch scoring") {
     // TRAIN on a static labeled corpus; SCORE a document stream with the
     // broadcast model. Stream scores must equal scoring the same docs
