@@ -47,6 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashAgg(exprs.head, MinHashAgg.DefaultA, MinHashAgg.DefaultB,
           bands = MinHashAgg.DefaultBands).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(s, n) - distinct hashed word n-grams, one pass"),
+      (exprs: Seq[Expression]) => ShingleHashesExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(s, n) - positional hashed word n-grams (index = start)"),
+      (exprs: Seq[Expression]) => GramPosHashesExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("minhash_bands_row"),
+      info("minhash_bands_row", "minhash_bands_row(s) - per-row MinHash LSH band keys of a document"),
+      (exprs: Seq[Expression]) => MinHashBandsRowExpr(exprs.head, 3,
+        MinHashAgg.DefaultBands)))
   }
 }
 

@@ -79,6 +79,15 @@ class SourcesOperatorsSpec extends SparkSpec {
         "SELECT simhash_agg(h) AS f, minhash_agg(h & 4294967295) AS m FROM VALUES (1L),(2L),(3L) AS t(h)")
         .collect().head
       assert(agg.getSeq[Long](1).length === 128)
+      // round-5 kernels: positional grams and the per-row LSH bands
+      val k = s2.sql(
+        """SELECT shingle_hashes('a b c d', 3) AS sh,
+          |       gram_hashes('a b c d', 3) AS gh,
+          |       minhash_bands_row('a b c d e f') AS mb""".stripMargin)
+        .collect().head
+      assert(k.getSeq[Long](0) === k.getSeq[Long](1),
+        "distinct trigrams of a repeat-free string equal the positional grams")
+      assert(k.getSeq[Long](2).length === 32)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)
