@@ -31,6 +31,9 @@ object Profile {
     time("lsh_pairs") {
       graft.dedup.Dedup.minhashLshOf(docs).select("doc_a", "doc_b").count()
     }
+    time("lsh_pairs_row_kernel") {
+      graft.dedup.Dedup.minhashLshRowOf(docs).select("doc_a", "doc_b").count()
+    }
     time("cluster_labels_only") {
       val pairs = graft.dedup.Dedup.minhashLshOf(docs)
         .select("doc_a", "doc_b").localCheckpoint()
