@@ -265,6 +265,31 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one key shuffle:\n$p")
   }
 
+  test("span_scrub / dedup_minhash_row / semantic_dedup stay equi-join shaped") {
+    // the round-5 additions: every candidate/marking step must be an
+    // equi-join — except semantic_dedup's pair stage, which is the
+    // declared-quadratic exact baseline (its BNLJ is the documented
+    // oracle role, so only CartesianProduct is banned there)
+    for (q <- Seq(dedup.Dedup.spanScrub(spark, sf0001),
+                  dedup.Dedup.minhashLshRow(spark, sf0001))) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"expected equi-joins only:\n$p")
+    }
+    val sd = planOf(similarity.Similarity.semanticDedup(spark, sf0001))
+    assert(!sd.contains("CartesianProduct"), s"no unhinted cartesian:\n$sd")
+  }
+
+  test("nb_classify / dsir_select: model joins are equi-joins, totals broadcast") {
+    val nb = planOf(text.TextAnalysis.nbClassify(spark, sf0001))
+    assert(!nb.contains("CartesianProduct") && !nb.contains("BroadcastNestedLoopJoin"),
+      s"token-model join must be an equi-join:\n$nb")
+    val ds = planOf(text.TextAnalysis.dsirSelect(spark, sf0001))
+    assert("BroadcastExchange".r.findAllIn(ds).size >= 2,
+      s"both 1-row totals must broadcast:\n$ds")
+    assert(!ds.contains("CartesianProduct"), s"no cartesian on the totals:\n$ds")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
     // codegen spans from explain; disable it just for this inspection
