@@ -479,7 +479,7 @@ object Dedup extends QueryPack {
     * transitive closure over the exact pair set. */
   def dedupClusters(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    val pairs = minhashLshRowOf(docs).select("doc_a", "doc_b")
     clusterLabels(docs.select("doc_id"), pairs).orderBy("doc_id")
   }
 
@@ -489,7 +489,7 @@ object Dedup extends QueryPack {
     * equal on the real near-dup graph, not just unit-test graphs. */
   def dedupClustersStar(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    val pairs = minhashLshRowOf(docs).select("doc_a", "doc_b")
     clusterLabelsStar(docs.select("doc_id"), pairs).orderBy("doc_id")
   }
 
@@ -515,7 +515,7 @@ object Dedup extends QueryPack {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
       .localCheckpoint()
-    val pairs = minhashLshOf(exactSurvivors)
+    val pairs = minhashLshRowOf(exactSurvivors)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
     val keep = clusterLabels(exactSurvivors.select("doc_id"), pairs)
@@ -540,7 +540,7 @@ object Dedup extends QueryPack {
 
   /** Same over an already-loaded `(doc_id, text)` frame. */
   def survivorQualityOf(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshOf(docs).select("doc_a", "doc_b")
+    val pairs = minhashLshRowOf(docs).select("doc_a", "doc_b")
     val labels = clusterLabels(docs.select("doc_id"), pairs)
     labels
       .join(docs.select(col("doc_id"),
