@@ -576,8 +576,43 @@ object Extended extends QueryPack {
       .select(col("doc_id"), col("source"), col("new_id"))
       .orderBy("new_id")
 
+  /** Entity resolution / fuzzy join: every customer-name pair within
+    * edit distance 1, found WITHOUT the all-pairs scan via FastSS
+    * deletion-neighborhood blocking (Bocek et al. 2007, "Fast Similarity
+    * Search in Large Dictionaries"): two strings are within ED 1 only
+    * if their {self + every 1-deletion variant} sets intersect, so
+    * candidates come from an equi-join on the hashed variant — (len+1)
+    * 8-byte keys per record on the shuffle — and the exact
+    * `levenshtein` check runs only on candidates (shared variants
+    * guarantee ED ≤ 2, so the verify is load-bearing, same
+    * candidates-then-verify contract as the LSH dedup family). The
+    * naive quadratic form IS the oracle. */
+  def fuzzyJoin(spark: SparkSession, d: String): DataFrame =
+    fuzzyJoinOf(Tables.customer(spark, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+
+  /** Same over any `(id, name)` frame. */
+  def fuzzyJoinOf(names: DataFrame): DataFrame = {
+    val variants = names.select(col("id"), col("name"),
+      explode(expr(
+        "array_union(array(name), transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i-1), substring(name, i+1, 1000))))"))
+        .as("v"))
+      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+    val cand = variants.select(col("id").as("id_a"), col("name").as("name_a"), col("vh"))
+      .join(variants.select(col("id").as("id_b"), col("name").as("name_b"), col("vh")),
+        Seq("vh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+    cand.filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "assign_ids" -> assignIds,
+    "fuzzy_join" -> fuzzyJoin,
     "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
@@ -609,6 +644,16 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    // the naive quadratic fuzzy match — affordable for DuckDB at sf0.01;
+    // the Spark side must find the identical pairs from the
+    // deletion-neighborhood blocking
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // the naive global row_number — affordable for DuckDB at sf0.01;
     // the Spark side must reproduce it from per-partition offsets
     "assign_ids" ->
