@@ -610,9 +610,68 @@ object Extended extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** PageRank iterations as the engine runs them: fixed count, each
+    * round one `edges ⋈ ranks` equi-join + one map-side-combinable
+    * contribution sum. Shared with the oracle builder so both engines
+    * execute the same number of rounds. */
+  private[graft] val PagerankIters = 5
+  private[graft] val PagerankScale = 1000000000000L // fixed-point 1e12
+
+  /** PageRank over the product co-occurrence graph (parts appearing in
+    * the same order, undirected) — the graph-centrality signal next to
+    * the dedup family's connected components. Power iteration with
+    * damping 0.85, but in FIXED-POINT INTEGER arithmetic: ranks are
+    * BIGINTs scaled by 1e12, per-edge contribution is `rank div deg`
+    * (integer division), and the damped update is
+    * `(15·base + 85·Σcontrib) div 100` — every operation exact and
+    * identical in both engines, so even 5 chained iterations hash-match
+    * (double-valued PageRank never could: parallel sum order drifts
+    * ulps, and 5 rounds compound them). Mass lost to floor division is
+    * the documented price of determinism; ordering quality is
+    * unaffected at 1e12 scale.
+    *
+    * Scale shape: the edge list ships (src, dst) once; each round is
+    * one equi-join of edges against the O(nodes) rank frame + one
+    * grouped sum (partial agg on dst), `localCheckpoint` truncating
+    * lineage per round — the same round structure as
+    * [[graft.dedup.Dedup.clusterLabels]]. The only driver value is the
+    * node count (one long). */
+  def pagerank(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") =!= col("pb"))
+      .select("pa", "pb").distinct()
+      .localCheckpoint()
+    pagerankOf(pairs).orderBy(col("rank").desc, col("node")).limit(100)
+  }
+
+  /** The iteration loop over a symmetric `(pa, pb)` edge frame. */
+  private[graft] def pagerankOf(pairs: DataFrame,
+      iters: Int = PagerankIters): DataFrame = {
+    val deg = pairs.groupBy("pa").agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count()
+    val base = PagerankScale / n
+    var rank = deg.select(col("pa").as("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = pairs
+        .join(rank, col("pa") === col("node"))
+        .join(deg, "pa")
+        .select(col("pb"), expr("rank div d").as("c"))
+        .groupBy("pb")
+        .agg(sum(col("c")).as("s"))
+        .select(col("pb").as("node"),
+          expr(s"(15 * ${base}L + 85 * s) div 100").as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "assign_ids" -> assignIds,
     "fuzzy_join" -> fuzzyJoin,
+    "pagerank" -> pagerank,
     "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
@@ -644,6 +703,32 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    // iterations unrolled as chained CTEs (recursive CTEs forbid the
+    // per-round aggregation); integer fixed-point mirrors the Spark loop
+    "pagerank" -> {
+      val iters = (1 to PagerankIters).map { i =>
+        s"""pr$i AS (
+           |  SELECT p.pb AS node,
+           |         (15 * (SELECT $PagerankScale // nn FROM n)
+           |          + 85 * SUM(r.rank // dg.d)) // 100 AS rank
+           |  FROM pairs p
+           |  JOIN pr${i - 1} r ON p.pa = r.node
+           |  JOIN deg dg ON dg.pa = p.pa
+           |  GROUP BY p.pb)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT pa, count(*) AS d FROM pairs GROUP BY pa),
+         |n AS (SELECT count(*) AS nn FROM deg),
+         |pr0 AS (
+         |  SELECT pa AS node, (SELECT $PagerankScale // nn FROM n) AS rank
+         |  FROM deg),
+         |$iters
+         |SELECT node, rank FROM pr$PagerankIters
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+    },
     // the naive quadratic fuzzy match — affordable for DuckDB at sf0.01;
     // the Spark side must find the identical pairs from the
     // deletion-neighborhood blocking
