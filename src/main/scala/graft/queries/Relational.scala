@@ -243,7 +243,59 @@ object Relational extends QueryPack {
       .sessionWindowAgg(Tables.events(spark, d), "user_id", "ts")
       .orderBy("user_id", "session_start")
 
+  /** Funnel analysis — strictly-ordered step conversion view → click →
+    * purchase per user: each step's entry time is the user's earliest
+    * qualifying event AFTER the previous step's entry. Three filtered
+    * min-aggregates chained by equi-joins on user_id (each join's right
+    * side is one row per surviving user — broadcastable at any realistic
+    * funnel depth); no window over the event stream, no self-join of the
+    * full table. */
+  def funnel(spark: SparkSession, d: String): DataFrame =
+    funnelOf(Tables.events(spark, d))
+
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def step(n: Long, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("step"), lit(name).as("event_type"), col("users"))
+    step(1L, "view", v).unionAll(step(2L, "click", c)).unionAll(step(3L, "purchase", p))
+      .orderBy("step")
+  }
+
+  /** Cohort retention — users bucketed by first-seen week, activity
+    * counted per week offset: the (cohort_week, week_offset, n_users)
+    * triangle every growth dashboard draws. Offsets are computed in
+    * exact integer microseconds between week-truncated timestamps
+    * (both engines truncate weeks to Monday 00:00 UTC), so the division
+    * by 604800000000 is exact. Two hash aggregates + one equi-join on
+    * user_id; the distinct activity set is map-side combinable. */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, d))
+
+  def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val firstWeek = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    firstWeek.join(active, "user_id")
+      .withColumn("week_offset",
+        expr("(unix_micros(aw) - unix_micros(cw)) div 604800000000"))
+      .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "funnel" -> funnel,
+    "cohort_retention" -> cohortRetention,
     "q1_agg" -> q1Agg,
     "q6_forecast" -> q6Forecast,
     "q3_topk" -> q3TopK,
@@ -268,6 +320,40 @@ object Relational extends QueryPack {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles = Map(
+    // strictly-after step chaining mirrored with the same min-joins
+    "funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |         (SELECT count(*) FROM v) AS users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |ORDER BY step""".stripMargin,
+    // integer-microsecond week offsets between Monday-truncated weeks
+    "cohort_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT fw.cw AS cohort_week,
+        |       (epoch_us(act.aw) - epoch_us(fw.cw)) // 604800000000 AS week_offset,
+        |       count(*) AS n_users
+        |FROM fw JOIN act USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
