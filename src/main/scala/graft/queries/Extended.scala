@@ -591,20 +591,26 @@ object Extended extends QueryPack {
     fuzzyJoinOf(Tables.customer(spark, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
 
-  /** Same over any `(id, name)` frame. */
+  /** Same over any `(id, name)` frame. The variant self-join and the
+    * candidate distinct carry ONLY (id, 8-byte variant hash) — names
+    * would widen the heaviest shuffle ~5× for nothing — and the two
+    * name lookups re-attach by id on the (small) deduped candidate
+    * set, where AQE broadcasts the name table at this scale. */
   def fuzzyJoinOf(names: DataFrame): DataFrame = {
-    val variants = names.select(col("id"), col("name"),
+    val variants = names.select(col("id"),
       explode(expr(
         "array_union(array(name), transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i-1), substring(name, i+1, 1000))))"))
         .as("v"))
-      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
-    val cand = variants.select(col("id").as("id_a"), col("name").as("name_a"), col("vh"))
-      .join(variants.select(col("id").as("id_b"), col("name").as("name_b"), col("vh")),
-        Seq("vh"))
+      .select(col("id"), xxhash64(col("v")).as("vh"))
+    val cand = variants.select(col("id").as("id_a"), col("vh"))
+      .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
-    cand.filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .orderBy("id_a", "id_b")
@@ -647,17 +653,28 @@ object Extended extends QueryPack {
     pagerankOf(pairs).orderBy(col("rank").desc, col("node")).limit(100)
   }
 
-  /** The iteration loop over a symmetric `(pa, pb)` edge frame. */
+  /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
+    * out-degree is folded into the edge list ONCE before the loop (an
+    * adjacency table with `d` on every edge costs 8 bytes/edge and
+    * saves one join per round — 5 joins for the default iteration
+    * count; the per-round plan is then exactly edges ⋈ ranks + one
+    * partial-agg sum). */
   private[graft] def pagerankOf(pairs: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
-    val deg = pairs.groupBy("pa").agg(count(lit(1)).as("d")).localCheckpoint()
+    val deg = pairs.groupBy("pa").agg(count(lit(1)).as("d"))
+    val edges = pairs.join(deg, "pa")
+      .select("pa", "pb", "d").localCheckpoint()
     val n = deg.count()
     val base = PagerankScale / n
     var rank = deg.select(col("pa").as("node"), lit(base).as("rank"))
     for (_ <- 1 to iters) {
-      rank = pairs
-        .join(rank, col("pa") === col("node"))
-        .join(deg, "pa")
+      // rank is O(nodes) and localCheckpoint hides its (small) size from
+      // the planner, which would otherwise shuffle the full edge list
+      // every round — broadcast it explicitly. At catalog scales past
+      // executor memory, drop the hint and instead hash-partition
+      // `edges` by pa once; each round then shuffles only the rank side.
+      rank = edges
+        .join(broadcast(rank), col("pa") === col("node"))
         .select(col("pb"), expr("rank div d").as("c"))
         .groupBy("pb")
         .agg(sum(col("c")).as("s"))
