@@ -685,10 +685,52 @@ object Extended extends QueryPack {
     rank
   }
 
+  /** Z-score anomaly detection per event type: two-pass — per-type
+    * moment statistics (the [[statsAgg]] decimal-exact formulation, so
+    * the means and stddevs are bit-identical across engines), broadcast
+    * back as model state (one row per type), then a stateless scan
+    * predicate flags |z| > 2. The monitored stream never shuffles; at
+    * 100 TB the stats side is a tiny aggregate and the flagging pass is
+    * scan-bandwidth. IEEE sqrt and division of identical doubles keep
+    * the z values exact for the oracle. */
+  def anomalyZscore(spark: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val m = col("s1").cast("double") / col("n")
+    val stats = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(
+        sum(x).cast(DecimalType(38, 2)).as("s1"),
+        sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), m.as("mean"),
+        sqrt(col("s2").cast("double") / col("n") - m * m).as("sd"))
+    Tables.events(spark, d)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("value").cast(DecimalType(18, 2)).cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  /** Equi-width histogram of the value column (width 50): one hash
+    * aggregate on the bin key, decimal-exact mass per bin. */
+  def valueHistogram(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("bin", floor(col("value") / 50).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("bin"), (col("bin") * 50).cast("double").as("lo"), col("n"),
+        col("sum_value"))
+      .orderBy("bin")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "assign_ids" -> assignIds,
     "fuzzy_join" -> fuzzyJoin,
     "pagerank" -> pagerank,
+    "anomaly_zscore" -> anomalyZscore,
+    "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
@@ -720,6 +762,30 @@ object Extended extends QueryPack {
     "cube_events" -> cubeEvents)
 
   val oracles = Map(
+    // the statsAgg moment formulation inlined, then the identical
+    // double arithmetic per row
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |                       AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |         - (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |           * (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean) / s.sd AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean) / s.sd) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+        |       CAST(CAST(floor(value / 50) AS BIGINT) * 50 AS DOUBLE) AS lo,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bin""".stripMargin,
     // iterations unrolled as chained CTEs (recursive CTEs forbid the
     // per-round aggregation); integer fixed-point mirrors the Spark loop
     "pagerank" -> {
