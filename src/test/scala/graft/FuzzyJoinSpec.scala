@@ -44,6 +44,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1L)))
   }
 
+  test("blocking is complete: equals brute force on a random corpus") {
+    // short strings over a 3-letter alphabet → dense ED-1 neighborhoods,
+    // the adversarial case for blocking recall
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val strs = (1 to 120).map { i =>
+      i.toLong -> (1 to (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val expected = (for {
+      (ia, na) <- strs; (ib, nb) <- strs
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    val got = Extended.fuzzyJoinOf(strs.toDF("id", "name"))
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "the random corpus must actually produce pairs")
+  }
+
   test("plan blocks on the hashed variant: equi-join, no cartesian") {
     val p = Extended.fuzzyJoin(spark, sf0001).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -32,6 +32,27 @@ class PagerankSpec extends SparkSpec {
     assert(got.values.forall(_ > 0L))
   }
 
+  test("matches an independent reference implementation on a random graph") {
+    val rnd = new scala.util.Random(47)
+    val undirected = (1 to 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (undirected ++ undirected.map(_.swap)).distinct
+    // reference: same fixed-point arithmetic, plain Scala maps
+    val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = deg.size
+    val base = Extended.PagerankScale / n
+    var rank = deg.keys.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = contrib.map { case (node, s) => node -> (15 * base + 85 * s) / 100 }
+    }
+    val got = Extended.pagerankOf(sym.toDF("pa", "pb"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === rank)
+  }
+
   test("result is invariant to edge-frame partitioning") {
     def run(parts: Int) = Extended.pagerankOf(pathEdges.repartition(parts), 3)
       .as[(Long, Long)].collect().toMap

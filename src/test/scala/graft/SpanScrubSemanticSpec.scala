@@ -64,6 +64,34 @@ class SpanScrubSemanticSpec extends SparkSpec {
     assert(res(13) === a)
   }
 
+  test("span_scrub equals an independent reimplementation on a random corpus") {
+    // small vocabulary → dense cross-doc 5-gram duplication
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0L until 60L).map { id =>
+      id -> (1 to (6 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // reference: string grams, positions, >= 2 distinct docs
+    val grams = corpus.flatMap { case (id, text) =>
+      val ts = text.split(" ")
+      (0 to ts.length - 5).map(i => (id, i, ts.slice(i, i + 5).mkString(" ")))
+    }
+    val bad = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = corpus.map { case (id, text) =>
+      val ts = text.split(" ")
+      val covered = grams.collect {
+        case (d, i, g) if d == id && bad(g) => i until (i + 5)
+      }.flatten.toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      (id, ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" "))
+    }.toSet
+    val got = graft.dedup.Dedup.spanScrubOf(corpus.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "n_scrubbed", "scrubbed_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 > 0), "the random corpus must actually scrub")
+  }
+
   test("semantic_dedup: survivors are component minima and sizes add up") {
     val out = Similarity.semanticDedup(spark, sf0001)
     val rows = out.select("vec_id", "cluster_id", "n_members", "is_survivor")
