@@ -665,6 +665,9 @@ object Extended extends QueryPack {
     val edges = pairs.join(deg, "pa")
       .select("pa", "pb", "d").localCheckpoint()
     val n = deg.count()
+    // empty graph: no nodes, no ranks — and no 1e12/0 below
+    if (n == 0) return edges.sparkSession.emptyDataFrame
+      .withColumn("node", lit(0L)).withColumn("rank", lit(0L)).limit(0)
     val base = PagerankScale / n
     var rank = deg.select(col("pa").as("node"), lit(base).as("rank"))
     for (_ <- 1 to iters) {
@@ -693,25 +696,36 @@ object Extended extends QueryPack {
     * 100 TB the stats side is a tiny aggregate and the flagging pass is
     * scan-bandwidth. IEEE sqrt and division of identical doubles keep
     * the z values exact for the oracle. */
-  def anomalyZscore(spark: SparkSession, d: String): DataFrame = {
+  def anomalyZscore(spark: SparkSession, d: String): DataFrame =
+    anomalyFlagOf(Tables.events(spark, d),
+      anomalyStatsOf(Tables.events(spark, d)))
+      .orderBy("event_id")
+
+  /** TRAIN half: decimal-exact per-type (mean, stddev) model state. */
+  def anomalyStatsOf(ev: DataFrame): DataFrame = {
     val x = col("value").cast(DecimalType(18, 2))
     val m = col("s1").cast("double") / col("n")
-    val stats = Tables.events(spark, d)
-      .groupBy("event_type")
+    ev.groupBy("event_type")
       .agg(
         sum(x).cast(DecimalType(38, 2)).as("s1"),
         sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("s2"),
         count(lit(1)).as("n"))
       .select(col("event_type"), m.as("mean"),
         sqrt(col("s2").cast("double") / col("n") - m * m).as("sd"))
-    Tables.events(spark, d)
-      .join(broadcast(stats), "event_type")
+  }
+
+  /** SCORE half — a stateless projection + filter, so it composes into
+    * a `readStream` of events unchanged (the monitoring deployment:
+    * stats trained batch-side over history, the live stream flagged
+    * with zero streaming state; StreamingAnalyticsSpec pins
+    * stream == batch). */
+  def anomalyFlagOf(ev: DataFrame, stats: DataFrame,
+      threshold: Double = 2.0): DataFrame =
+    ev.join(broadcast(stats), "event_type")
       .withColumn("z",
         (col("value").cast(DecimalType(18, 2)).cast("double") - col("mean")) / col("sd"))
-      .filter(abs(col("z")) > 2.0)
+      .filter(abs(col("z")) > threshold)
       .select("event_id", "event_type", "value", "z")
-      .orderBy("event_id")
-  }
 
   /** Equi-width histogram of the value column (width 50): one hash
     * aggregate on the bin key, decimal-exact mass per bin. */

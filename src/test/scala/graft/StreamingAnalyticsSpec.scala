@@ -52,6 +52,74 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly flagging scores a stream with batch-trained stats, zero state") {
+    val history = Seq(
+      (1L, "click", 10.0), (2L, "click", 12.0), (3L, "click", 11.0),
+      (4L, "click", 9.0), (5L, "click", 10.0),
+      (6L, "view", 100.0), (7L, "view", 101.0), (8L, "view", 99.0)
+    ).toDF("event_id", "event_type", "value")
+    val stats = graft.queries.Extended.anomalyStatsOf(history)
+    val incoming = Seq(
+      (100L, "click", 10.5),  // normal
+      (101L, "click", 50.0),  // wildly off for clicks
+      (102L, "view", 100.5)   // normal for views
+    ).toDF("event_id", "event_type", "value")
+    val in = tmpDir("anom-in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(in)
+    val batchFlagged = graft.queries.Extended.anomalyFlagOf(incoming, stats)
+      .select("event_id").as[Long].collect().toSet
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE").parquet(in)
+    val q = graft.queries.Extended.anomalyFlagOf(stream, stats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out").select("event_id").as[Long].collect().toSet
+      assert(streamed === batchFlagged)
+      assert(streamed === Set(101L), "only the off-distribution click flags")
+    } finally q.stop()
+  }
+
+  test("watermarked hourly MV appends finalized windows to durable parquet") {
+    // the durable materialized-view shape: watermarked streaming agg →
+    // append-mode parquet. A window row lands ONLY once the watermark
+    // passes its close (append finalizes), and late data inside the
+    // horizon still merges before that.
+    val in = tmpDir("mv-in"); val out = tmpDir("mv-out"); val ck = tmpDir("mv-ck")
+    def batchOf(lines: Seq[String], name: String): Unit =
+      Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes)
+    batchOf(Seq(
+      sale("a", "2026-08-12 10:05:00", "10.00", 1),
+      sale("b", "2026-08-12 10:40:00", "20.00", 2)), "b1.json")
+    val stream = spark.readStream.text(in)
+    val typed = graft.ingest.IngestTransform.salesFromJson(stream)
+    val q = graft.streaming.StreamingAnalytics.hourlyRevenue(typed)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", out).start()
+    try {
+      q.processAllAvailable()
+      // hour 10 is still open (watermark at 10:40 - 1h) → nothing final
+      assert(spark.read.parquet(out).count() === 0)
+      // late-but-in-horizon row for hour 10, plus an hour-12 row that
+      // pushes the watermark past 10:59:59 → hour 10 finalizes WITH the
+      // late row merged
+      batchOf(Seq(
+        sale("late", "2026-08-12 10:20:00", "5.00", 1),
+        sale("c", "2026-08-12 12:30:00", "1.00", 1)), "b2.json")
+      q.processAllAvailable()
+      // one more batch so the advanced watermark emits the closed window
+      batchOf(Seq(sale("d", "2026-08-12 12:45:00", "1.00", 1)), "b3.json")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select(col("hour").cast("string"), col("revenue").cast("string"), col("n_sales"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(("2026-08-12 10:00:00", "35.00", 3L)),
+        s"hour 10 must finalize once, late row included: $rows")
+    } finally q.stop()
+  }
+
   test("streaming near-dup against a static band index matches the batch join") {
     // history = the sf0.001 corpus; the stream carries one near-copy of
     // a historical doc, one exact copy, and one unrelated doc
