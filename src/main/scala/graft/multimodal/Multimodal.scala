@@ -53,6 +53,65 @@ object Multimodal extends QueryPack {
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, embedding: Array[Float])
 
+  /** Audio metadata from a real WAV decode. */
+  case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, abs_sum: Long)
+
+  /** The audio sibling of [[MediaCodec]]: genuine WAV containers via
+    * the JDK's `javax.sound.sampled` — no external dependency, works
+    * headless. Synthesis is deterministic per doc_id (the oracle
+    * mirrors the closed form); decode goes through the real
+    * `AudioSystem` parser, so a corrupted header, wrong byte order, or
+    * truncated PCM block breaks the oracle match. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+    val SampleRate = 8000
+
+    def nSamples(docId: Long): Int = (200 + docId % 500).toInt
+
+    /** Deterministic 16-bit PCM sample: values in [-1001, 1001]. */
+    def sampleAt(docId: Long, i: Int): Short =
+      (((docId * 31 + i.toLong * 7) % 2003) - 1001).toShort
+
+    /** One real mono 16-bit little-endian WAV per doc. */
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val bytes = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sampleAt(docId, i)
+        bytes(2 * i) = (s & 0xFF).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: container-parsed format + PCM scan. `abs_sum` is an
+      * integer-exact amplitude checksum — one flipped sample bit
+      * anywhere misses the oracle. */
+    def decode(docId: Long, payload: Array[Byte]): AudioMeta = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val v = (((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF)).toShort
+        sum += math.abs(v.toLong)
+        i += 1
+      }
+      AudioMeta(docId, f.getSampleRate.toLong, f.getChannels.toLong, n.toLong, sum)
+    }
+  }
+
   object MediaCodec {
     /** Ground-truth dimensions for `doc_id` (the generator contract the
       * oracle mirrors): small enough that a 5000-doc corpus encodes in
@@ -255,9 +314,23 @@ object Multimodal extends QueryPack {
         (col("frame_idx").cast("long") * col("width") * col("height")).as("frame_off"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Audio decode query: encode a real WAV per doc (partition-amortized,
+    * like [[mediaTable]]), parse it back through `AudioSystem`, emit
+    * container format + the exact amplitude checksum. */
+  def mmAudioMeta(spark: SparkSession, d: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    graft.Tables.documents(spark, d).select("doc_id").as[Long]
+      .repartition(col("doc_id"))
+      .mapPartitions(_.map(id => AudioCodec.decode(id, AudioCodec.encode(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
+    "mm_audio_meta" -> mmAudioMeta,
     "mm_frame_sample" -> mmFrameSample)
 
   // ground-truth geometry shared by all three oracles
@@ -296,6 +369,18 @@ object Multimodal extends QueryPack {
          |SELECT rr.doc_id, rr.width, rr.height, rr.new_w, rr.new_h,
          |       CAST(ps.s AS BIGINT) AS new_px_sum
          |FROM rr JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // closed-form mirror of the PCM synthesis; the Spark side must
+    // recover the identical values through the real WAV round trip
+    "mm_audio_meta" ->
+      """WITH m AS (SELECT doc_id, 200 + doc_id % 500 AS n FROM documents),
+        |xs AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM m),
+        |s AS (SELECT doc_id,
+        |        SUM(abs((doc_id * 31 + i * 7) % 2003 - 1001)) AS abs_sum
+        |      FROM xs GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels, CAST(m.n AS BIGINT) AS n_samples,
+        |       CAST(s.abs_sum AS BIGINT) AS abs_sum
+        |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS ($dimsSql),
          |s AS (SELECT *, (CAST(n_frames AS BIGINT) + 3) // 4 AS step FROM m),

@@ -48,6 +48,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio codec: genuine WAV container, decode recovers every sample") {
+    import graft.multimodal.Multimodal.AudioCodec
+    val payload = AudioCodec.encode(7L)
+    assert(new String(payload.take(4), "US-ASCII") === "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") === "WAVE")
+    val meta = AudioCodec.decode(7L, payload)
+    val n = AudioCodec.nSamples(7L)
+    val expected = (0 until n).map(i => math.abs(AudioCodec.sampleAt(7L, i).toLong)).sum
+    assert(meta.sample_rate === 8000L)
+    assert(meta.channels === 1L)
+    assert(meta.n_samples === n.toLong)
+    assert(meta.abs_sum === expected)
+  }
+
   test("binaryFile ingest: image files on disk → binary rows → real decode") {
     // the front door: write genuine image files, read them back through
     // the binaryFile source, decode the content column with the same
