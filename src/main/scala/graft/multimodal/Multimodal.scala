@@ -314,6 +314,104 @@ object Multimodal extends QueryPack {
         (col("frame_idx").cast("long") * col("width") * col("height")).as("frame_off"))
       .orderBy("doc_id", "frame_idx")
 
+  /** One decoded sampled video frame. `bytes_read` / `bytes_total`
+    * records the partial-read win: only sampled frames' payloads were
+    * decoded. */
+  case class VideoFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
+      px_sum: Long, bytes_read: Long, bytes_total: Long)
+
+  /** A homemade multi-frame container that makes the frame-sampling
+    * story REAL instead of planned: `GVID` magic, frame count, a length
+    * table, then one genuine PNG per frame. The length table is the
+    * seek index — a sampler reads it, skips straight to the sampled
+    * frames' offsets, and ImageIO-decodes ONLY those payloads (the
+    * unsampled frames' bytes are never parsed), exactly how a video
+    * pipeline reads keyframes out of a real container. */
+  object VideoCodec {
+    import java.io.ByteArrayOutputStream
+    import java.nio.ByteBuffer
+
+    /** Frame `f` of doc `docId`: the image family's gray formula
+      * shifted by 31·f per frame (oracle mirrors it). */
+    def frameImage(docId: Long, f: Int): BufferedImage = {
+      val (w, h) = MediaCodec.dims(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((x * 7 + y * 13 + docId + f * 31L) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+
+    def nFrames(docId: Long): Int = (1 + docId % 8).toInt
+
+    def encode(docId: Long): Array[Byte] = {
+      val frames = (0 until nFrames(docId)).map { f =>
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(frameImage(docId, f), "png", bos)
+        bos.toByteArray
+      }
+      val out = new ByteArrayOutputStream()
+      out.write("GVID".getBytes("US-ASCII"))
+      val head = ByteBuffer.allocate(4 + 4 * frames.size)
+      head.putInt(frames.size)
+      frames.foreach(fb => head.putInt(fb.length))
+      out.write(head.array())
+      frames.foreach(out.write)
+      out.toByteArray
+    }
+
+    /** Decode ONLY the frames in `sample`; everything else is skipped
+      * via the length table. Returns (n_frames, decoded frames with
+      * pixel sums, bytes actually parsed). */
+    def decodeSampled(payload: Array[Byte], sample: Int => Boolean):
+        (Int, Seq[(Int, Long)], Long) = {
+      val bb = ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GVID", "bad container magic")
+      val n = bb.getInt
+      val lengths = Array.fill(n)(bb.getInt)
+      var off = 4 + 4 + 4 * n
+      var read = 0L
+      val decoded = (0 until n).flatMap { f =>
+        val len = lengths(f)
+        val res = if (sample(f)) {
+          val img = MediaCodec.decodeImage(
+            java.util.Arrays.copyOfRange(payload, off, off + len))
+          read += len
+          Some(f -> MediaCodec.pxSum(img))
+        } else None
+        off += len
+        res
+      }
+      (n, decoded, read)
+    }
+  }
+
+  /** Real frame sampling: build the container, read its seek table,
+    * decode only the ≤4 uniformly-stepped frames (`x % step == 0`, the
+    * same rule [[mmFrameSample]] plans), and emit each sampled frame's
+    * REAL pixel checksum plus the bytes-read/bytes-total evidence of
+    * the partial read. */
+  def mmVideoSample(spark: SparkSession, d: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    graft.Tables.documents(spark, d).select("doc_id").as[Long]
+      .repartition(col("doc_id"))
+      .mapPartitions(_.flatMap { id =>
+        val payload = VideoCodec.encode(id)
+        val step = (VideoCodec.nFrames(id) + 3) / 4
+        val (n, frames, read) =
+          VideoCodec.decodeSampled(payload, f => f % step == 0)
+        frames.map { case (f, px) =>
+          VideoFrame(id, n.toLong, f.toLong, px, read, payload.length.toLong)
+        }
+      })
+      .toDF()
+      .select("doc_id", "n_frames", "frame_idx", "px_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Audio decode query: encode a real WAV per doc (partition-amortized,
     * like [[mediaTable]]), parse it back through `AudioSystem`, emit
     * container format + the exact amplitude checksum. */
@@ -331,6 +429,7 @@ object Multimodal extends QueryPack {
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_video_sample" -> mmVideoSample,
     "mm_frame_sample" -> mmFrameSample)
 
   // ground-truth geometry shared by all three oracles
@@ -369,6 +468,27 @@ object Multimodal extends QueryPack {
          |SELECT rr.doc_id, rr.width, rr.height, rr.new_w, rr.new_h,
          |       CAST(ps.s AS BIGINT) AS new_px_sum
          |FROM rr JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // per-frame pixel formula mirrored; the Spark side recovers it
+    // through real PNG decodes of only the sampled container entries
+    "mm_video_sample" ->
+      s"""WITH m AS ($dimsSql),
+         |s AS (SELECT *, (CAST(n_frames AS BIGINT) + 3) // 4 AS step FROM m),
+         |fx AS (
+         |  SELECT doc_id, n_frames, width, height,
+         |    unnest(list_filter(generate_series(0, CAST(n_frames AS BIGINT) - 1),
+         |                       x -> x % step = 0)) AS frame_idx
+         |  FROM s),
+         |xs AS (SELECT doc_id, n_frames, height, frame_idx,
+         |       unnest(generate_series(0, width - 1)) AS x FROM fx),
+         |xys AS (SELECT doc_id, n_frames, frame_idx, x,
+         |       unnest(generate_series(0, height - 1)) AS y FROM xs),
+         |ps AS (SELECT doc_id, n_frames, frame_idx,
+         |       SUM((x * 7 + y * 13 + doc_id + frame_idx * 31) % 256) AS px_sum
+         |       FROM xys GROUP BY doc_id, n_frames, frame_idx)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |       CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(px_sum AS BIGINT) AS px_sum
+         |FROM ps ORDER BY doc_id, frame_idx""".stripMargin,
     // closed-form mirror of the PCM synthesis; the Spark side must
     // recover the identical values through the real WAV round trip
     "mm_audio_meta" ->

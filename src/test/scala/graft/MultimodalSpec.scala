@@ -62,6 +62,26 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.abs_sum === expected)
   }
 
+  test("video container: seek table lets the sampler decode only sampled frames") {
+    import graft.multimodal.Multimodal.VideoCodec
+    val id = 12L // 5 frames → step 2 → samples {0, 2, 4}
+    val payload = VideoCodec.encode(id)
+    assert(new String(payload.take(4), "US-ASCII") === "GVID")
+    val n = VideoCodec.nFrames(id)
+    assert(n === 5)
+    val (gotN, frames, read) = VideoCodec.decodeSampled(payload, f => f % 2 == 0)
+    assert(gotN === n)
+    assert(frames.map(_._1) === Seq(0, 2, 4))
+    // sampled sums equal direct decodes of the same frames
+    frames.foreach { case (f, px) =>
+      assert(px === MediaCodec.pxSum(VideoCodec.frameImage(id, f)), s"frame $f")
+    }
+    // the partial read provably skipped the unsampled frames' bytes
+    val (_, _, readAll) = VideoCodec.decodeSampled(payload, _ => true)
+    assert(read < readAll)
+    assert(readAll < payload.length, "header bytes are not frame payload")
+  }
+
   test("binaryFile ingest: image files on disk → binary rows → real decode") {
     // the front door: write genuine image files, read them back through
     // the binaryFile source, decode the content column with the same
