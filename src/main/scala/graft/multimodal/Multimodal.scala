@@ -53,6 +53,11 @@ object Multimodal extends QueryPack {
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, embedding: Array[Float])
 
+  /** One decode attempt: populated on success, `error` holds the
+    * exception class on failure (never both). */
+  case class DecodeAttempt(doc_id: Long, kind: String, width: Int,
+      height: Int, px_sum: Long, n_frames: Int, error: String)
+
   /** Audio metadata from a real WAV decode. */
   case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
       n_samples: Long, abs_sum: Long)
@@ -386,6 +391,30 @@ object Multimodal extends QueryPack {
       }
       (n, decoded, read)
     }
+  }
+
+  /** Fail-soft decode — the media mirror of the ingest family's
+    * broken-message skip (S4): corrupt payloads become quarantine rows
+    * (`error` = exception class, geometry −1) instead of failing the
+    * job, and every input row is accounted for exactly once. Split
+    * with `.filter(col("error").isNull)` /
+    * `.filter(col("error").isNotNull)` downstream, like
+    * [[graft.sources.FileSources.quarantine]]. */
+  def decodedSafe(media: Dataset[MediaRow]): Dataset[DecodeAttempt] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.map { row =>
+      try {
+        val img = MediaCodec.decodeImage(row.payload)
+        if (img == null) throw new java.io.IOException("unreadable payload")
+        DecodeAttempt(row.doc_id, row.kind, img.getWidth, img.getHeight,
+          MediaCodec.pxSum(img), row.n_frames, null)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          DecodeAttempt(row.doc_id, row.kind, -1, -1, -1L, row.n_frames,
+            e.getClass.getSimpleName)
+      }
+    })
   }
 
   /** Real frame sampling: build the container, read its seek table,

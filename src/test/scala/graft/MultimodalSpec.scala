@@ -62,6 +62,26 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.abs_sum === expected)
   }
 
+  test("corrupt media payloads quarantine instead of failing the job") {
+    import graft.multimodal.Multimodal
+    import Multimodal.MediaRow
+    import spark.implicits._
+    val good = MediaCodec.encode(4L).payload
+    val rows = Seq(
+      MediaRow(4L, good, "image/png", 1),
+      MediaRow(5L, good.take(7), "image/png", 1),                 // truncated header
+      MediaRow(6L, "not an image at all".getBytes, "image/png", 1),
+      MediaRow(7L, MediaCodec.encode(7L).payload, "image/bmp", 1)
+    ).toDS()
+    val out = Multimodal.decodedSafe(rows).collect().sortBy(_.doc_id)
+    assert(out.length === 4, "every input row accounted for")
+    val (ok, bad) = out.partition(_.error == null)
+    assert(ok.map(_.doc_id).toSeq === Seq(4L, 7L))
+    assert(bad.map(_.doc_id).toSeq === Seq(5L, 6L))
+    assert(bad.forall(a => a.width === -1 && a.error.nonEmpty))
+    assert(ok.forall(a => a.width > 0 && a.px_sum > 0))
+  }
+
   test("video container: seek table lets the sampler decode only sampled frames") {
     import graft.multimodal.Multimodal.VideoCodec
     val id = 12L // 5 frames → step 2 → samples {0, 2, 4}
