@@ -131,6 +131,19 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("clusterLabels: pointer-doubling closes a 256-chain in O(log n) rounds") {
+    // plain min-label propagation needs ~255 rounds on this graph; the
+    // L(L(v)) shortcut doubles the reach each round — 9 measured, pin
+    // a small margin. Labels must still be the component minimum.
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.clusterLabelsWithRounds(
+      (1L to n).toDF("doc_id"), chain.toDF("doc_a", "doc_b"))
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      (1L to n).map(_ -> 1L).toMap)
+    assert(rounds <= 10, s"pointer doubling needed $rounds rounds on a ${n}-chain")
+  }
+
   test("clusterLabels: empty pair set leaves every doc its own cluster") {
     val nodes = (1L to 5L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
