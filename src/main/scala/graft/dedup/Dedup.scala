@@ -328,10 +328,13 @@ object Dedup extends QueryPack {
     * the same "keep-first" survivor exact dedup uses.
     *
     * Each round is one shuffle join (edges ⋈ labels) + one min
-    * aggregate, fully distributed, followed by a POINTER-DOUBLING
-    * shortcut: `L(v) ← min(L(v), L(L(v)))` — a self-join of the
-    * O(nodes) label frame that halves every propagation chain, so the
-    * loop converges in O(log diameter) rounds instead of O(diameter)
+    * aggregate, fully distributed; from round 3 on (i.e. only once the
+    * graph has proven deeper than the clique/short-chain common case,
+    * which converges before then at zero extra cost) each round also
+    * applies a POINTER-DOUBLING shortcut: `L(v) ← min(L(v), L(L(v)))`
+    * — a self-join of the O(nodes) label frame that halves every
+    * propagation chain, so the loop converges in O(log diameter)
+    * rounds instead of O(diameter)
     * (the classic Shiloach–Vishkin hybrid; the shortcut is sound
     * because labels are always node ids drawn from the same frame and
     * only ever decrease toward the component minimum, so composing two
@@ -365,9 +368,14 @@ object Dedup extends QueryPack {
       // propagate only over docs that have at least one edge — at corpus
       // scale the pair graph is a sliver of the node set, and singletons
       // (their own cluster by definition) need no iterations at all
+      // LAZY checkpoints throughout the loop: the convergence-sum
+      // aggregate right after each one is the first action, so one job
+      // both materializes the round's labels and reads the sum off
+      // them — an eager checkpoint would pay a separate job per round
+      // just to materialize
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // labels only ever decrease, so the exact decimal sum of all labels
       // is strictly monotone until the fixpoint: one cheap aggregate per
       // round instead of a join-and-count change detection (decimal, not
@@ -389,25 +397,36 @@ object Dedup extends QueryPack {
           .join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        // materialized so the shortcut's self-join below reads these
-        // O(nodes) rows twice instead of re-running the edge join twice
-        val hop = labels
+        val hopPlan = labels
           .join(nbrMin, col("doc_id") === col("src"), "left_outer")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"))
-          .localCheckpoint()
-        // pointer-doubling shortcut: adopt the label of your label
-        // (explicit renames, not .as("x"): a dataset alias on a
-        // self-joined checkpoint trips Union constraint rewriting later)
-        val next = hop
-          .join(hop.select(col("doc_id").as("l_id"), col("cluster_id").as("l_lab")),
-            col("cluster_id") === col("l_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("l_lab"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint()
-        val s = labelSum(next)
+        // Rounds 1–2 are plain hops: near-dup graphs are overwhelmingly
+        // cliques/short chains that converge right here, and for them
+        // the shortcut's extra self-join + checkpoint per round is pure
+        // overhead. A third round means a genuinely deep component —
+        // switch the doubling on from there.
+        val (next, hopToDrop) =
+          if (rounds <= 2) (hopPlan.localCheckpoint(false), None)
+          else {
+            // EAGERLY materialized (unlike the rest of the loop) so the
+            // shortcut's self-join reads these O(nodes) rows twice
+            // instead of racing two stages into the edge join
+            val hop = hopPlan.localCheckpoint()
+            // pointer-doubling shortcut: adopt the label of your label
+            // (explicit renames, not .as("x"): a dataset alias on a
+            // self-joined checkpoint trips Union constraint rewriting later)
+            val shortcut = hop
+              .join(hop.select(col("doc_id").as("l_id"), col("cluster_id").as("l_lab")),
+                col("cluster_id") === col("l_id"), "left_outer")
+              .select(col("doc_id"),
+                least(col("cluster_id"), coalesce(col("l_lab"), col("cluster_id")))
+                  .as("cluster_id"))
+              .localCheckpoint(false)
+            (shortcut, Some(hop))
+          }
+        val s = labelSum(next) // first action: materializes `next` too
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         // the superseded round's checkpoint blocks are dead the moment
@@ -415,7 +434,7 @@ object Dedup extends QueryPack {
         // GC-driven cleanup (long sessions would otherwise accumulate a
         // round's worth of blocks per iteration)
         labels.unpersist()
-        hop.unpersist()
+        hopToDrop.foreach(_.unpersist())
         labels = next
       }
       val singletons = nodes
