@@ -600,6 +600,69 @@ object Dedup extends QueryPack {
       .orderBy("cluster_id")
   }
 
+  /** INCREMENTAL ingest dedup — the nightly-batch question: which of
+    * the NEW documents (here: source `src0` stands in for the arriving
+    * batch) duplicate the existing corpus, which duplicate an earlier
+    * doc in the same batch, and which are genuinely new? This is the
+    * batch mirror of [[graft.streaming.StreamingAnalytics]]'s near-dup
+    * stream probe: at scale the history side is a pre-built band index
+    * that the batch's band keys equi-join — candidate generation never
+    * rescans history text, and the exact-Jaccard verify
+    * ([[jaccardOf]]'s candidate-restricted path) touches only colliding
+    * docs. Status precedence: history wins over in-batch (a doc equal
+    * to both is `dup_of_history` — it would not survive ingest even if
+    * its batch twin were dropped); in-batch matches only count EARLIER
+    * (smaller-id) batch docs, the keep-first rule every dedup stage
+    * here uses. `match_id` is the smallest matching doc for
+    * determinism; NULL for unique docs. Same 32×4 banding as
+    * [[minhashLshRowOf]], so the j ≥ 0.8 recall argument (≥ 1−1e−7)
+    * carries over — which is what lets an LSH-candidate pipeline
+    * hash-match the exhaustive-join oracle. */
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame =
+    dedupIncrementalOf(Tables.documents(spark, d), batchSource = "src0")
+
+  def dedupIncrementalOf(docs: DataFrame, batchSource: String): DataFrame = {
+    graft.functions.MinHashBandsRowExpr.register(docs.sparkSession)
+    val isBatch = col("source") === batchSource
+    val banded = docs.select(col("doc_id"), isBatch.as("in_batch"),
+        posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey")))
+      .localCheckpoint()
+    // batch-centric candidates: a batch doc against ANY other doc
+    // sharing a band (history in either id direction, batch both ways —
+    // canonicalized to u < v for the shared verify)
+    val cand = banded.filter(col("in_batch"))
+      .select(col("doc_id").as("doc_q"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_c"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_q") =!= col("doc_c"))
+      .select(least(col("doc_q"), col("doc_c")).as("doc_a"),
+        greatest(col("doc_q"), col("doc_c")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val verified = jaccardOf(hashedShingles(docs), Some(cand))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b")
+    // re-orient each verified pair around its batch member(s)
+    val matches = verified
+      .select(col("doc_a").as("bid"), col("doc_b").as("mid"))
+      .union(verified.select(col("doc_b").as("bid"), col("doc_a").as("mid")))
+      .join(docs.filter(isBatch).select(col("doc_id").as("bid")), Seq("bid"), "left_semi")
+      .join(docs.select(col("doc_id").as("mid"), isBatch.as("m_in_batch")), "mid")
+    val histM = matches.filter(!col("m_in_batch"))
+      .groupBy("bid").agg(min(col("mid")).as("hist_match"))
+    val batchM = matches.filter(col("m_in_batch") && col("mid") < col("bid"))
+      .groupBy("bid").agg(min(col("mid")).as("batch_match"))
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(histM.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(batchM.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("hist_match").isNotNull, lit("dup_of_history"))
+          .when(col("batch_match").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("hist_match"), col("batch_match")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source contamination matrix — for every source pair, the
     * count of distinct trigram shingles both contain and the Jaccard of
     * their shingle vocabularies. The "how much do my corpus slices
@@ -866,6 +929,7 @@ object Dedup extends QueryPack {
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
     "span_scrub" -> spanScrub,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d)).orderBy("doc_id")))
 
@@ -945,6 +1009,48 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
+    // the exhaustive mirror of the incremental batch-vs-history LSH
+    // probe: every j >= 0.8 pair touching a batch doc, classified with
+    // the same history-over-batch precedence and keep-first rule
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+        |batch AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |hist_m AS (
+        |  SELECT p.da AS doc_id, MIN(p.db) AS m FROM pairs p
+        |  JOIN documents h ON h.doc_id = p.db AND h.source <> 'src0'
+        |  WHERE p.da IN (SELECT doc_id FROM batch)
+        |  GROUP BY 1),
+        |batch_m AS (
+        |  SELECT p.da AS doc_id, MIN(p.db) AS m FROM pairs p
+        |  JOIN documents b2 ON b2.doc_id = p.db AND b2.source = 'src0'
+        |  WHERE p.da IN (SELECT doc_id FROM batch) AND p.db < p.da
+        |  GROUP BY 1)
+        |SELECT b.doc_id,
+        |       CASE WHEN hm.m IS NOT NULL THEN 'dup_of_history'
+        |            WHEN bm.m IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'unique' END AS status,
+        |       COALESCE(hm.m, bm.m) AS match_id
+        |FROM batch b
+        |LEFT JOIN hist_m hm ON hm.doc_id = b.doc_id
+        |LEFT JOIN batch_m bm ON bm.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // directional containment mirror of the inverted-index intersection
     "dedup_containment" ->
       """WITH toks AS (

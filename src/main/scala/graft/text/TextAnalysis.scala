@@ -393,6 +393,81 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Deterministic GLOBAL SHUFFLE of the corpus — the reproducible
+    * training-order stage: every epoch-0 data loader needs the corpus
+    * in a pseudo-random but bit-reproducible order, and `ORDER BY
+    * rand()` is neither. The shuffle key is the same seedless two-step
+    * Lehmer mix as `sample_det`/[[corpusMixOf]] (a fixed permutation of
+    * the id space — no RNG state, identical on any engine or
+    * partitioning), and the dense position comes from
+    * [[graft.operators.AssignIds]] — range partition on the key +
+    * broadcast offsets + within-partition rank, so the global
+    * row-numbering never collapses to a single-partition window. One
+    * range shuffle total; at 100 TB this is exactly a sort-by-key
+    * write. */
+  def corpusShuffle(spark: SparkSession, d: String): DataFrame =
+    corpusShuffleOf(Tables.documents(spark, d))
+
+  def corpusShuffleOf(documents: DataFrame): DataFrame = {
+    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
+      48271L % 2147483647L
+    graft.operators.AssignIds
+      .withContiguousIds(
+        documents.select(col("doc_id"), mix.as("shuffle_key")),
+        Seq(col("shuffle_key"), col("doc_id")))
+      .select(col("doc_id"), col("shuffle_key"), col("new_id").as("pos"))
+      .orderBy("pos")
+  }
+
+  /** Deterministic SHARD ASSIGNMENT + balance report — the fan-out
+    * manifest stage: docs land in `ShardCount` output shards by the
+    * Lehmer mix mod N (stable across runs/engines, unlike a
+    * partitioner-dependent `spark_partition_id`), and the report shows
+    * each shard's doc/token load plus its load ratio vs the perfectly
+    * balanced share (`n_tokens · N / total` — exact integers until one
+    * double division, so both engines agree bitwise). The assignment
+    * is a stateless scan projection; the report is one hash aggregate
+    * over N rows of model-sized state. */
+  private[graft] val ShardCount = 8
+
+  def corpusShards(spark: SparkSession, d: String): DataFrame = {
+    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
+      48271L % 2147483647L
+    val perShard = Tables.documents(spark, d)
+      .select((mix % ShardCount).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val total = perShard.agg(sum(col("n_tokens")).as("tot"))
+    perShard.join(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        ((col("n_tokens") * ShardCount).cast("double") / col("tot"))
+          .as("load_ratio"))
+      .orderBy("shard")
+  }
+
+  /** First-merge statistics of BPE tokenizer training (Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"): the most frequent ADJACENT token pairs over the corpus —
+    * the argmax of exactly this table is the first merge rule, and the
+    * production loop is this same count-reduce iterated. Occurrence
+    * counts (not per-doc distinct): one explode of in-order pairs + one
+    * map-side-combinable hash aggregate; the shuffle carries (pair,
+    * partial count), never documents. Top 50 with count-then-pair
+    * ordering so the cut is deterministic on both engines. */
+  def bpePairCounts(spark: SparkSession, d: String): DataFrame =
+    bpePairCountsOf(Tables.documents(spark, d))
+
+  def bpePairCountsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+
   /** The whole training-corpus build, end to end in ONE lazy plan — the
     * composition a pretraining data pipeline actually ships: quality
     * gate (same predicate as [[quality]]) → exact + near-dup dedup with
@@ -571,7 +646,10 @@ object TextAnalysis extends QueryPack {
       dsirResampleOf(Tables.documents(s, d))),
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
-    "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)))
+    "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "corpus_shuffle" -> corpusShuffle,
+    "corpus_shard" -> corpusShards,
+    "bpe_pair_counts" -> bpePairCounts)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -930,5 +1008,37 @@ object TextAnalysis extends QueryPack {
         |FROM t JOIN tot USING (source)
         |WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
         |      < (CAST($DefaultMixBudget AS BIGINT) * 2147483647) // tot
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos
+        |FROM k ORDER BY pos""".stripMargin,
+    "corpus_shard" ->
+      s"""WITH d AS (
+        |  SELECT (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           % $ShardCount AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |s AS (SELECT shard, COUNT(*) AS n_docs,
+        |             CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY shard),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s)
+        |SELECT shard, n_docs, n_tokens,
+        |       CAST(n_tokens * $ShardCount AS DOUBLE) / tot AS load_ratio
+        |FROM s, t ORDER BY shard""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1])) AS pair
+        |  FROM toks)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin)
 }

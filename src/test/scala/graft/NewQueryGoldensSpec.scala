@@ -20,6 +20,51 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(keys(13) === a)
   }
 
+  test("bpe_pair_counts: hand-counted pairs, occurrence (not per-doc) semantics") {
+    val docs = Seq(
+      (1L, "a b a b"),   // pairs: "a b", "b a", "a b"  — "a b" twice IN ONE DOC
+      (2L, "a b c"),     // pairs: "a b", "b c"
+      (3L, "x")          // single token: no pairs
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bpePairCountsOf(docs)
+      .as[(String, Long)].collect().toList
+    // count desc, then pair asc
+    assert(got === List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("corpus_shuffle: dense 1..N positions, invariant to partitioning") {
+    def run(parts: Int) =
+      graft.text.TextAnalysis.corpusShuffleOf(
+        Tables.documents(spark, sf0001).repartition(parts))
+        .select("doc_id", "pos").as[(Long, Long)].collect().toList
+    val a = run(1)
+    assert(a.map(_._2) === (1L to a.length.toLong).toList, "positions dense & sorted")
+    assert(run(13) === a, "same order for any input partitioning")
+  }
+
+  test("dedup_incremental: planted history dup, in-batch dup, unique") {
+    // "batch" = source src0; history doc 1 duplicates batch doc 10;
+    // batch docs 20/21 duplicate each other; batch doc 30 is unique.
+    // Texts need >= 3 tokens (trigram shingles) and j >= 0.8.
+    val dup1 = "the quick brown fox jumps over the lazy dog again today"
+    val dup2 = "entirely different words that repeat verbatim across batch members ok"
+    val docs = Seq(
+      (1L, "hist", dup1),
+      (2L, "hist", "some unrelated historical document content goes right here"),
+      (10L, "src0", dup1),
+      (20L, "src0", dup2),
+      (21L, "src0", dup2),
+      (30L, "src0", "a genuinely novel batch document unlike anything before")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.dedup.Dedup.dedupIncrementalOf(docs, "src0")
+      .as[(Long, String, Option[Long])].collect().toList
+    assert(got === List(
+      (10L, "dup_of_history", Some(1L)),
+      (20L, "unique", None),          // keep-first: no EARLIER batch match
+      (21L, "dup_in_batch", Some(20L)),
+      (30L, "unique", None)))
+  }
+
   test("sample_det mix never overflows ANSI arithmetic at huge key scales") {
     // raw Knuth multiply (key * 2654435761) leaves long range past
     // ~3.4e9; the Lehmer pre-mod mix must keep working up there
