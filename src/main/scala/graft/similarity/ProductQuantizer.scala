@@ -123,7 +123,8 @@ object ProductQuantizer {
     // outlive this call to benefit the lazy search plan, i.e. leak until
     // the caller's clearCache), checkpoint blocks are released by the
     // ContextCleaner as soon as the returned plan is GC'd.
-    val sub = subVectors(vecs, m, subDim).localCheckpoint()
+    // LAZY checkpoint — see adcTopKAmong's note
+    val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
     val cents = trainFrom(spark, sub, k, iters)
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
     val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
@@ -161,7 +162,10 @@ object ProductQuantizer {
       candidates: DataFrame, // (query_id, neighbor_id)
       m: Int, subDim: Int, k: Int, iters: Int,
       isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    val sub = subVectors(vecs, m, subDim).localCheckpoint()
+    // LAZY checkpoint: the training seed collect right below is the
+    // first action through `sub`, so one job materializes the explode
+    // AND reads the seed off it; every later stage reads the blocks
+    val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
     val cents = trainFrom(spark, sub, k, iters)
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
     val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
