@@ -73,6 +73,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf(similarity.Similarity.annLsh(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "bucketed candidates must come from an equi-join")
+    val mp = planOf(similarity.Similarity.annLshMultiProbe(spark, sf0001))
+    assert(!mp.contains("BroadcastNestedLoopJoin") && !mp.contains("CartesianProduct"),
+      "multi-probe expansion must stay on the query side of the same equi-join")
   }
 
   test("EventSink layout enables partition pruning: month predicate reads one partition") {

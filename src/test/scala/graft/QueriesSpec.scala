@@ -191,6 +191,15 @@ class QueriesSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     assert(recall >= 0.4, s"LSH recall vs exact top-5 fell to $recall")
+
+    // multi-probe: HALF the tables must hold at least the same floor —
+    // the radius-1 probes are what buy the recall back (Lv et al. 2007)
+    val mp = graft.similarity.Similarity.annLshMultiProbe(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mp.nonEmpty)
+    val mpRecall = exact.intersect(mp).size.toDouble / exact.size
+    assert(mpRecall >= 0.7, s"multi-probe LSH recall fell to $mpRecall (0.95 measured)")
+    info(f"single-probe 8-table recall $recall%.2f; multi-probe 4-table $mpRecall%.2f")
   }
 
   test("PQ ANN (ADC shortlist + exact re-rank): recall stays useful") {
