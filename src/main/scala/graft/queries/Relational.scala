@@ -175,6 +175,33 @@ object Relational extends QueryPack {
            count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Re-aggregatable distinct counts — the ClickHouse
+    * `uniqState`/`uniqMerge` AggregatingMergeTree pattern (the
+    * reference engine's hallmark incremental-MV trick) re-expressed
+    * with Spark's built-in Apache DataSketches HLL functions: per-day
+    * partial sketch states (`hll_sketch_agg` — what a daily MV would
+    * PERSIST), then monthly distinct-user estimates by MERGING the
+    * stored states (`hll_union_agg`) — the month rollup never rescans
+    * the event stream. At 100 TB this is the difference between
+    * re-reading a year of events per report and unioning 365 sketch
+    * rows of a few KB each. Estimates ⇒ rows-only; the spec pins the
+    * merge guarantee (union of day states ≡ one direct month sketch,
+    * bit-identical estimates) and a 5% error bound vs exact, and the
+    * oracle-checked [[distinctUsers]] stays the exact counterpart. */
+  def distinctRollup(spark: SparkSession, d: String): DataFrame =
+    dailySketches(Tables.events(spark, d))
+      .withColumn("month", date_trunc("month", col("day")))
+      .groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .orderBy("month")
+
+  /** The persisted-MV half: one HLL state per day (a binary column a
+    * real deployment writes to its daily rollup table). */
+  def dailySketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+
   /** Pivot: daily event counts fanned into one column per event type
     * (explicit value list keeps the schema static and broadcast-free). */
   def pivotDaily(spark: SparkSession, d: String): DataFrame =
@@ -309,6 +336,7 @@ object Relational extends QueryPack {
     "set_except" -> setExcept,
     "set_union" -> setUnion,
     "distinct_users" -> distinctUsers,
+    "distinct_rollup" -> distinctRollup,
     "pivot_daily" -> pivotDaily,
     "unpivot_daily" -> unpivotDaily,
     "rollup_events" -> rollupEvents,

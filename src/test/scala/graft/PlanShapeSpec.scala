@@ -181,6 +181,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "the last-value window must be present")
   }
 
+  test("corpus_shuffle never collapses to a single-partition window") {
+    val p = planOf(text.TextAnalysis.corpusShuffle(spark, sf0001))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global rank must use the AssignIds range/offset form:\n$p")
+    assert(p.contains("rangepartitioning"),
+      "the order must come from one range shuffle")
+  }
+
+  test("dedup_incremental candidates come from the band equi-join, never all-pairs") {
+    val p = planOf(dedup.Dedup.dedupIncremental(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-history candidates must be a band-key equi-join:\n$p")
+  }
+
   test("corpus_build and dedup_minhash never fall back to all-pairs joins") {
     for (q <- Seq(text.TextAnalysis.corpusBuild(spark, sf0001),
                   dedup.Dedup.minhashLsh(spark, sf0001))) {

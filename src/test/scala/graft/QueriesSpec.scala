@@ -26,6 +26,29 @@ class QueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("distinct_rollup: merged day states == one direct month sketch; <=5% err") {
+    val ev = Tables.events(spark, sf0001)
+    // merge guarantee (the uniqMerge contract): unioning the persisted
+    // per-day states must equal sketching the month directly — same
+    // lgK, lossless union, bit-identical estimates
+    val merged = graft.queries.Relational.distinctRollup(spark, sf0001)
+      .select($"month", $"est_users").as[(java.sql.Timestamp, Double)]
+      .collect().toMap
+    val direct = ev.groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("e"))
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(merged === direct, "day-state union must equal the direct sketch")
+    // error bound vs exact
+    val exact = ev.groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).cast("double").as("n"))
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(merged.keySet === exact.keySet)
+    merged.foreach { case (m, est) =>
+      val err = math.abs(est - exact(m)) / exact(m)
+      assert(err <= 0.05, s"month $m estimate $est vs exact ${exact(m)}: err $err")
+    }
+  }
+
   test("conditional-agg identity: incoming+outgoing <= per-user total (A2)") {
     val tm = graft.queries.Dashboard.topMovers(spark, sf0001)
       .select($"user_id", ($"incoming" + $"outgoing").as("io")).as[(Long, BigDecimal)].collect().toMap
