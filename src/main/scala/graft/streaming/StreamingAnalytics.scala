@@ -40,6 +40,26 @@ object StreamingAnalytics {
         count(lit(1)).as("n_sales"))
       .select(col("w.start").as("hour"), col("revenue"), col("units"), col("n_sales"))
 
+  /** Incremental distinct-count MV — the STREAMING half of the
+    * ClickHouse `uniqState` AggregatingMergeTree pattern
+    * ([[graft.queries.Relational.distinctRollup]] is the batch/merge
+    * half): a watermarked daily window maintains one DataSketches HLL
+    * state per day (a few KB of bounded state, not a distinct-user
+    * set), emitting (day, sketch state, estimate) when the watermark
+    * closes the window. The persisted `sk` column is the handoff —
+    * later monthly reports `hll_union_agg` the stored states without
+    * ever replaying the stream. Same logical plan batch or streaming
+    * (the TypedImperativeAggregate sketch is mergeable, so micro-batch
+    * partials combine exactly like shuffle partials). */
+  def dailyUniquesStream(events: DataFrame,
+      tsCol: String = "ts", idCol: String = "user_id"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 day")
+      .groupBy(window(col(tsCol), "1 day").as("w"))
+      .agg(expr(s"hll_sketch_agg($idCol)").as("sk"))
+      .select(col("w.start").as("day"), col("sk"),
+        expr("hll_sketch_estimate(sk)").as("est_users"))
+
   /** Keyed Misra–Gries heavy hitters over a stream — the sketch
     * (`functions/FreqItemsAgg`) is mergeable, so it runs as a normal
     * incremental streaming aggregate: each micro-batch's partial

@@ -81,6 +81,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily-uniques MV: sketch states match batch bit-for-bit") {
+    // the uniqState streaming half: two micro-batches with overlapping
+    // users; closed day windows must carry estimates identical to one
+    // batch sketch over the same rows (mergeable state contract)
+    val in = tmpDir("uq-in"); val ck = tmpDir("uq-ck")
+    def ev(ts: String, uid: Long) = s"""{"ts":"$ts","user_id":$uid}"""
+    Files.write(Paths.get(in, "b1.json"), Seq(
+      ev("2026-08-10 01:00:00", 1), ev("2026-08-10 02:00:00", 2),
+      ev("2026-08-10 03:00:00", 1), ev("2026-08-11 01:00:00", 2))
+      .mkString("\n").getBytes)
+    Files.write(Paths.get(in, "b2.json"), Seq(
+      ev("2026-08-10 04:00:00", 3), // late-but-in-horizon for day 10
+      ev("2026-08-11 02:00:00", 3),
+      ev("2026-08-13 00:30:00", 9)) // pushes watermark past both days
+      .mkString("\n").getBytes)
+    val schema = "ts TIMESTAMP, user_id BIGINT"
+    val typed = spark.readStream.schema(schema).json(in)
+    val q = StreamingAnalytics.dailyUniquesStream(typed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("uniq_out")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("uniq_out")
+      .select($"day".cast("string"), $"est_users")
+      .as[(String, Double)].collect().toMap
+    // both closed days present with exact small-cardinality estimates
+    assert(streamed === Map(
+      "2026-08-10 00:00:00" -> 3.0, "2026-08-11 00:00:00" -> 2.0))
+    // bit-identical to the batch plan over the same closed-day rows
+    val batch = StreamingAnalytics.dailyUniquesStream(
+      spark.read.schema(schema).json(in))
+      .filter($"day" < lit("2026-08-12").cast("timestamp"))
+      .select($"day".cast("string"), $"est_users")
+      .as[(String, Double)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("watermarked hourly MV appends finalized windows to durable parquet") {
     // the durable materialized-view shape: watermarked streaming agg →
     // append-mode parquet. A window row lands ONLY once the watermark
