@@ -65,11 +65,20 @@ object Multimodal extends QueryPack {
   /** The audio sibling of [[MediaCodec]]: genuine WAV containers via
     * the JDK's `javax.sound.sampled` — no external dependency, works
     * headless. Synthesis is deterministic per doc_id (the oracle
-    * mirrors the closed form); decode goes through the real
-    * `AudioSystem` parser, so a corrupted header, wrong byte order, or
-    * truncated PCM block breaks the oracle match. */
+    * mirrors the closed form); decode goes through the JDK's real WAV
+    * parser, so a corrupted header, wrong byte order, or truncated PCM
+    * block breaks the oracle match.
+    *
+    * The parser is obtained as the `javax.sound.sampled.spi`
+    * provider instance (one `ServiceLoader` lookup per partition, the
+    * [[MediaCodec.encodeAll]] amortization pattern) rather than through
+    * the `AudioSystem` facade: the facade re-scans its provider
+    * registry under a GLOBAL lock on every call, which made 32 decode
+    * threads 2.3× SLOWER than one (measured) — same codec classes, no
+    * shared lock. */
   object AudioCodec {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
     val SampleRate = 8000
@@ -80,8 +89,33 @@ object Multimodal extends QueryPack {
     def sampleAt(docId: Long, i: Int): Short =
       (((docId * 31 + i.toLong * 7) % 2003) - 1001).toShort
 
-    /** One real mono 16-bit little-endian WAV per doc. */
-    def encode(docId: Long): Array[Byte] = {
+    /** The JDK's own WAV writer, selected by declared type support. */
+    private[multimodal] def wavWriter(): AudioFileWriter = {
+      val it = java.util.ServiceLoader.load(classOf[AudioFileWriter]).iterator()
+      while (it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) return w
+      }
+      sys.error("no WAVE AudioFileWriter provider on this JDK")
+    }
+
+    /** The JDK's own WAV reader, selected by probing a known payload
+      * (the reader SPI exposes no type query; non-WAV readers reject
+      * the probe with UnsupportedAudioFileException). */
+    private[multimodal] def wavReader(): AudioFileReader = {
+      val probe = encodeWith(wavWriter(), 0L)
+      val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
+      while (it.hasNext) {
+        val r = it.next()
+        try {
+          r.getAudioInputStream(new ByteArrayInputStream(probe)).close()
+          return r
+        } catch { case _: Exception => () }
+      }
+      sys.error("no WAVE AudioFileReader provider on this JDK")
+    }
+
+    private def encodeWith(writer: AudioFileWriter, docId: Long): Array[Byte] = {
       val n = nSamples(docId)
       val bytes = new Array[Byte](n * 2)
       var i = 0
@@ -94,15 +128,13 @@ object Multimodal extends QueryPack {
       val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
       val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong)
       val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      writer.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
 
-    /** Real decode: container-parsed format + PCM scan. `abs_sum` is an
-      * integer-exact amplitude checksum — one flipped sample bit
-      * anywhere misses the oracle. */
-    def decode(docId: Long, payload: Array[Byte]): AudioMeta = {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    private def decodeWith(reader: AudioFileReader, docId: Long,
+        payload: Array[Byte]): AudioMeta = {
+      val ais = reader.getAudioInputStream(new ByteArrayInputStream(payload))
       val f = ais.getFormat
       val data = ais.readAllBytes()
       val n = data.length / 2
@@ -114,6 +146,24 @@ object Multimodal extends QueryPack {
         i += 1
       }
       AudioMeta(docId, f.getSampleRate.toLong, f.getChannels.toLong, n.toLong, sum)
+    }
+
+    /** One real mono 16-bit little-endian WAV per doc (single-use
+      * convenience; the query path amortizes via [[roundTripAll]]). */
+    def encode(docId: Long): Array[Byte] = encodeWith(wavWriter(), docId)
+
+    /** Real decode: container-parsed format + PCM scan. `abs_sum` is an
+      * integer-exact amplitude checksum — one flipped sample bit
+      * anywhere misses the oracle. */
+    def decode(docId: Long, payload: Array[Byte]): AudioMeta =
+      decodeWith(wavReader(), docId, payload)
+
+    /** Partition-amortized encode→decode round trip: one provider
+      * lookup serves every row. */
+    def roundTripAll(ids: Iterator[Long]): Iterator[AudioMeta] = {
+      val writer = wavWriter()
+      val reader = wavReader()
+      ids.map(id => decodeWith(reader, id, encodeWith(writer, id)))
     }
   }
 
@@ -239,8 +289,15 @@ object Multimodal extends QueryPack {
     // partition; spread the (CPU-bound) codec work across the cluster
     // before the mapPartitions stage, as an ingest job would arrive
     // already sharded
+    // EXPLICIT partition count: a plain repartition(col) exchange is
+    // fair game for AQE coalescing, and a frame of bare doc ids is so
+    // small it collapses to ONE partition — serializing the codec work
+    // that is the entire cost of this stage (measured 3.1 s → 0.6 s on
+    // mm_video_sample at sf0.1). Pinning N disables coalescing for
+    // exactly this exchange; the downstream cost is per-ROW CPU, not
+    // bytes, which is the one thing AQE's size heuristic cannot see.
     Tables.documents(spark, d).select("doc_id").as[Long]
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions(MediaCodec.encodeAll)
   }
 
@@ -471,7 +528,8 @@ object Multimodal extends QueryPack {
     val s = spark
     import s.implicits._
     graft.Tables.documents(spark, d).select("doc_id").as[Long]
-      .repartition(col("doc_id"))
+      // explicit N: see mediaTable's AQE-coalescing note
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { ids =>
         // one lazy pass: shared writer (encodeAll) feeds the shared
         // reader (decodeSampledAll) with the doc id riding the tag slot
@@ -498,8 +556,9 @@ object Multimodal extends QueryPack {
     val s = spark
     import s.implicits._
     graft.Tables.documents(spark, d).select("doc_id").as[Long]
-      .repartition(col("doc_id"))
-      .mapPartitions(_.map(id => AudioCodec.decode(id, AudioCodec.encode(id))))
+      // explicit N: see mediaTable's AQE-coalescing note
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions(AudioCodec.roundTripAll)
       .toDF()
       .orderBy("doc_id")
   }
