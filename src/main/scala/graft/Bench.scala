@@ -61,8 +61,11 @@ object Bench {
       // report the min — the standard steady-state statistic; both runs
       // do the full work, nothing is cached between them. A FAILED
       // second run contributes no time (its short elapsed would
-      // otherwise be billed as a fast success).
-      val dt = if (ok && t1 > 1.0) {
+      // otherwise be billed as a fast success). Threshold 0.5 s (was
+      // 1.0): the round-5 codec/graph optimizations pushed the heavier
+      // queries into the 0.6–1 s band, exactly where a one-off stall
+      // still doubles a reading.
+      val dt = if (ok && t1 > 0.5) {
         val (t2, ok2) = once()
         if (ok2) math.min(t1, t2) else t1
       } else t1
@@ -74,7 +77,7 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_2_if_over_1s","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_2_if_over_0.5s","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout can truncate the (long) per-query tail —
     // persist the complete line as a machine-readable artifact too

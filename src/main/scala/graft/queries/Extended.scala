@@ -685,6 +685,10 @@ object Extended extends QueryPack {
     // instead of re-scanning and re-joining the O(edges) flat frame;
     // the degree "join" of the old shape disappears into size(nbrs).
     // Same integer contributions, same exact sums — hash-identical.
+    // (AQE coalesces this shuffle to ~12 partitions at sf0.1 — measured
+    // A/B shows that parallelism is sufficient for the loop's explode
+    // and an explicit-N pin only adds exchange cost, unlike the
+    // byte-tiny-but-CPU-heavy Multimodal id frames where pinning wins)
     val adj = pairs.groupBy(col("pa"))
       .agg(collect_list(col("pb")).as("nbrs"))
       .select(col("pa"), col("nbrs"),
