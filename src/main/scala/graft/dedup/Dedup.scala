@@ -639,15 +639,22 @@ object Dedup extends QueryPack {
         greatest(col("doc_q"), col("doc_c")).as("doc_b"))
       .distinct()
       .localCheckpoint()
-    val verified = jaccardOf(hashedShingles(docs), Some(cand))
+    // checkpoint-before-fan-out, same reason as [[clusterLabelsWithRounds]]:
+    // the shingle frame feeds three subtrees inside jaccardOf, and the
+    // verified sliver feeds both branches of the re-orient union below —
+    // unmaterialized, the corpus shingle explode would plan (and run) 4×
+    val verified = jaccardOf(hashedShingles(docs).localCheckpoint(), Some(cand))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b")
-    // re-orient each verified pair around its batch member(s)
+      .localCheckpoint()
+    // re-orient each verified pair around its batch member(s); `matches`
+    // fans into the two grouped mins — materialize it once too
     val matches = verified
       .select(col("doc_a").as("bid"), col("doc_b").as("mid"))
       .union(verified.select(col("doc_b").as("bid"), col("doc_a").as("mid")))
       .join(docs.filter(isBatch).select(col("doc_id").as("bid")), Seq("bid"), "left_semi")
       .join(docs.select(col("doc_id").as("mid"), isBatch.as("m_in_batch")), "mid")
+      .localCheckpoint()
     val histM = matches.filter(!col("m_in_batch"))
       .groupBy("bid").agg(min(col("mid")).as("hist_match"))
     val batchM = matches.filter(col("m_in_batch") && col("mid") < col("bid"))

@@ -101,9 +101,12 @@ object Multimodal extends QueryPack {
 
     /** The JDK's own WAV reader, selected by probing a known payload
       * (the reader SPI exposes no type query; non-WAV readers reject
-      * the probe with UnsupportedAudioFileException). */
-    private[multimodal] def wavReader(): AudioFileReader = {
-      val probe = encodeWith(wavWriter(), 0L)
+      * the probe with UnsupportedAudioFileException). Callers that
+      * already hold the writer pass it in, skipping a second
+      * ServiceLoader scan. */
+    private[multimodal] def wavReader(
+        writer: AudioFileWriter = wavWriter()): AudioFileReader = {
+      val probe = encodeWith(writer, 0L)
       val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
       while (it.hasNext) {
         val r = it.next()
@@ -162,7 +165,7 @@ object Multimodal extends QueryPack {
       * lookup serves every row. */
     def roundTripAll(ids: Iterator[Long]): Iterator[AudioMeta] = {
       val writer = wavWriter()
-      val reader = wavReader()
+      val reader = wavReader(writer)
       ids.map(id => decodeWith(reader, id, encodeWith(writer, id)))
     }
   }
@@ -550,8 +553,10 @@ object Multimodal extends QueryPack {
   }
 
   /** Audio decode query: encode a real WAV per doc (partition-amortized,
-    * like [[mediaTable]]), parse it back through `AudioSystem`, emit
-    * container format + the exact amplitude checksum. */
+    * like [[mediaTable]]), parse it back through the JDK's WAV SPI
+    * provider (NOT the `AudioSystem` facade — see [[AudioCodec]]'s
+    * lock note), emit container format + the exact amplitude
+    * checksum. */
   def mmAudioMeta(spark: SparkSession, d: String): DataFrame = {
     val s = spark
     import s.implicits._

@@ -311,8 +311,7 @@ object Extended extends QueryPack {
     * the smallest keys would be selected wholesale instead of hashed. */
   def sampleDet(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
-      .filter((col("o_orderkey") % 2147483647L) * 48271L % 2147483647L
-        * 48271L % 2147483647L < 107374182L)
+      .filter(graft.functions.DetMix.lehmerMix(col("o_orderkey")) < 107374182L)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
@@ -326,8 +325,7 @@ object Extended extends QueryPack {
     * hash-vs-threshold: one codegen'd filter over the scan at any
     * scale. */
   def sampleStratified(spark: SparkSession, d: String): DataFrame = {
-    val h1 = (col("c_custkey") % 2147483647L) * 48271L % 2147483647L
-    val h = h1 * 48271L % 2147483647L
+    val h = graft.functions.DetMix.lehmerMix(col("c_custkey"))
     val threshold = when(col("c_mktsegment") === "BUILDING", 429496729L)
       .otherwise(107374182L)
     Tables.customer(spark, d)

@@ -386,7 +386,7 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val totals = docs.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
-    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L * 48271L % 2147483647L
+    val h = graft.functions.DetMix.lehmerMix(col("doc_id"))
     docs.join(broadcast(totals), "source")
       .filter(h < expr(s"(${budgetTokens}L * 2147483647L) div tot"))
       .select("doc_id", "source", "n_tokens")
@@ -409,8 +409,7 @@ object TextAnalysis extends QueryPack {
     corpusShuffleOf(Tables.documents(spark, d))
 
   def corpusShuffleOf(documents: DataFrame): DataFrame = {
-    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
-      48271L % 2147483647L
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     graft.operators.AssignIds
       .withContiguousIds(
         documents.select(col("doc_id"), mix.as("shuffle_key")),
@@ -431,8 +430,7 @@ object TextAnalysis extends QueryPack {
   private[graft] val ShardCount = 8
 
   def corpusShards(spark: SparkSession, d: String): DataFrame = {
-    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
-      48271L % 2147483647L
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     val perShard = Tables.documents(spark, d)
       .select((mix % ShardCount).as("shard"),
         size(split(col("text"), " ")).cast("long").as("nt"))
@@ -620,8 +618,7 @@ object TextAnalysis extends QueryPack {
     * nothing to the shuffle story of [[dsirSelectOf]]. */
   def dsirResampleOf(docs: DataFrame, target: String = "src0",
       rate: Double = 0.5): DataFrame = {
-    val mix = (col("doc_id") % 2147483647L) * 48271L % 2147483647L *
-      48271L % 2147483647L
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     dsirSelectOf(docs, target)
       .withColumn("keep_p", least(lit(1.0), col("importance") * rate))
       .filter(mix.cast("double") < col("keep_p") * 2147483647.0)
