@@ -312,6 +312,53 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Mixture-drift diagnostic: TOTAL-VARIATION distance between each
+    * source's unigram distribution and the whole-corpus distribution —
+    * the "has this slice's language shifted away from the mixture"
+    * monitor that complements [[sourceOverlap]] (shared content) with
+    * distributional shape. KL is the textbook choice but needs `ln()`
+    * (ULP-drifts between engines, and is undefined on absent terms);
+    * TV is ½·Σ|p_s − p| over the corpus vocabulary and stays EXACT:
+    * |c_st/T_s − c_t/T| = |c_st·T − c_t·T_s| / (T_s·T), an integer
+    * numerator, and the terms ABSENT from a source close in closed
+    * form — Σ_{absent} c_t = T − Σ_{present} c_t — so nothing ever
+    * enumerates the full vocabulary × source grid. One decimal-exact
+    * sum per source, one double division at the very end.
+    *
+    * Scale shape: the (source, term) count aggregate is
+    * vocabulary-bound; corpus term counts reuse it (no token rescan);
+    * per-source totals and the corpus total are model-sized broadcasts;
+    * the scoring join is term-partitioned. */
+  def sourceDrift(spark: SparkSession, d: String): DataFrame =
+    sourceDriftOf(Tables.documents(spark, d))
+
+  def sourceDriftOf(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val terms = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    // fans into corpus counts, source totals, and the scoring join
+    val st = terms.groupBy("source", "term")
+      .agg(count(lit(1)).as("c_st")).localCheckpoint()
+    val ct = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val ts = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
+    val tot = ts.agg(sum(col("t_s")).as("t_all"))
+    st.join(ct, "term")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("t_s"), col("t_all"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("c_st").cast(dec) * col("t_all")
+          - col("c_t").cast(dec) * col("t_s"))).as("num_present"),
+        sum(col("c_t")).as("ct_present"))
+      .select(col("source"), col("n_terms"), col("t_s"),
+        ((col("num_present")
+            + (col("t_all") - col("ct_present")).cast(dec) * col("t_s"))
+          .cast("double")
+          / (lit(2.0) * col("t_s").cast("double") * col("t_all").cast("double")))
+          .as("tv_drift"))
+      .orderBy("source")
+  }
+
   /** Document chunking — overlapping token windows (window 50, stride
     * 40), the context-window splitting stage of a training-data
     * pipeline. Chunk count per doc: 1 if it fits one window, else
@@ -646,7 +693,8 @@ object TextAnalysis extends QueryPack {
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
-    "bpe_pair_counts" -> bpePairCounts)
+    "bpe_pair_counts" -> bpePairCounts,
+    "source_drift" -> sourceDrift)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -1028,6 +1076,26 @@ object TextAnalysis extends QueryPack {
         |SELECT shard, n_docs, n_tokens,
         |       CAST(n_tokens * $ShardCount AS DOUBLE) / tot AS load_ratio
         |FROM s, t ORDER BY shard""".stripMargin,
+    "source_drift" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT source, term, COUNT(*) AS c_st FROM t GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t_all FROM ts),
+        |pres AS (
+        |  SELECT st.source, t_s, t_all,
+        |         COUNT(*) AS n_terms,
+        |         SUM(ABS(CAST(c_st AS HUGEINT) * t_all
+        |                 - CAST(c_t AS HUGEINT) * t_s)) AS num_present,
+        |         CAST(SUM(c_t) AS BIGINT) AS ct_present
+        |  FROM st JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN tot
+        |  GROUP BY st.source, t_s, t_all)
+        |SELECT source, n_terms, t_s,
+        |       CAST(num_present
+        |            + CAST(t_all - ct_present AS HUGEINT) * t_s AS DOUBLE)
+        |       / (2.0 * CAST(t_s AS DOUBLE) * CAST(t_all AS DOUBLE)) AS tv_drift
+        |FROM pres ORDER BY source""".stripMargin,
     "bpe_pair_counts" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

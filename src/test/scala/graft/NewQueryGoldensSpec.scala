@@ -65,6 +65,20 @@ class NewQueryGoldensSpec extends SparkSpec {
       (30L, "unique", None)))
   }
 
+  test("source_drift: hand-computed total-variation on a 2-source corpus") {
+    // A: "a a b" (T_s=3), B: "b c" (T_s=2); corpus a:2 b:2 c:1 (T=5)
+    // TV_A = ½(|2/3−2/5| + |1/3−2/5| + |0−1/5|) = 4/15
+    // TV_B = ½(|0−2/5| + |1/2−2/5| + |1/2−1/5|) = 2/5
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "b c"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.text.TextAnalysis.sourceDriftOf(docs)
+      .select("source", "n_terms", "t_s", "tv_drift")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3)) === List(("A", 2L, 3L), ("B", 2L, 2L)))
+    assert(math.abs(got(0)._4 - 4.0 / 15) < 1e-15, s"TV_A = ${got(0)._4}")
+    assert(math.abs(got(1)._4 - 2.0 / 5) < 1e-15, s"TV_B = ${got(1)._4}")
+  }
+
   test("sample_det mix never overflows ANSI arithmetic at huge key scales") {
     // raw Knuth multiply (key * 2654435761) leaves long range past
     // ~3.4e9; the Lehmer pre-mod mix must keep working up there
