@@ -15,6 +15,31 @@ class PropertiesSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("Lehmer mix: range, injectivity on [1, M-1], and overflow headroom") {
+    import graft.functions.DetMix.{Modulus, Multiplier}
+    // the scalar mirror of DetMix.lehmerMix's column expression
+    def mix(k: Long): Long = {
+      val r = ((k % Modulus + Modulus) % Modulus) // non-negative residue
+      r * Multiplier % Modulus * Multiplier % Modulus
+    }
+    // range for arbitrary non-negative keys, incl. huge ones where a raw
+    // Knuth multiply would overflow a long (the reason the mix exists)
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { k =>
+      val h = (k % Modulus) * Multiplier % Modulus * Multiplier % Modulus
+      h >= 0L && h < Modulus &&
+        // each product stays far inside long range (no ANSI overflow)
+        (k % Modulus) <= (Long.MaxValue / Multiplier)
+    })
+    // g is a unit mod the prime M, so two multiplications are a
+    // bijection on residues: distinct keys below M never collide
+    check(Prop.forAll(Gen.chooseNum(1L, Modulus - 1), Gen.chooseNum(1L, Modulus - 1)) {
+      (a, b) => (a == b) == (mix(a) == mix(b))
+    })
+    // two steps genuinely wrap small keys (one step would leave k<~44k
+    // as a monotone prefix — the sampling bug the second step prevents)
+    assert((1L to 100L).map(mix).sliding(2).exists(p => p.head > p.last))
+  }
+
   test("rolling hash: matches a reference fold for arbitrary strings incl. non-ASCII") {
     def reference(s: String): Long = {
       var acc = 0L
