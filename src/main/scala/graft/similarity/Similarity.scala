@@ -474,7 +474,51 @@ object Similarity extends QueryPack {
   private val cosSql =
     "(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))))"
 
+  /** The LSH bucket computation as DuckDB SQL, built from the SAME
+    * plane matrix the Spark expression carries — shortest-roundtrip
+    * Double.toString literals parse back to bit-identical float64, and
+    * `list_dot_product` is the same sequential fold as the
+    * expression's loop, so the sign bits (strict `> 0`) agree exactly.
+    * This is what lets the LSH queries be hash-checked rather than
+    * rows-only: the sketch is deterministic, only awkward to write by
+    * hand. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  private def bucketSql(tableIdx: Int): String =
+    (0 until BitsPerTable).map { k =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(planes(tableIdx * BitsPerTable + k))}) > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bksSql(nTables: Int): String =
+    (0 until nTables).map(bucketSql).mkString("[", ",\n", "]")
+
+  private def lshTopkSql(nTables: Int, probeExpr: String): String = {
+    val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, ${bksSql(nTables)} AS bks FROM e),
+       |qb AS (SELECT vec_id, t, $probeExpr AS bucket
+       |       FROM b, generate_series(1, $nTables) AS g(t) WHERE vec_id < 100),
+       |cb AS (SELECT vec_id, t, bks[t] AS bucket
+       |       FROM b, generate_series(1, $nTables) AS g(t) WHERE vec_id >= 100),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM qb q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket),
+       |sims AS (
+       |  SELECT cand.query_id, cand.neighbor_id, $cs AS cos_sim,
+       |         ROW_NUMBER() OVER (PARTITION BY cand.query_id
+       |                            ORDER BY $cs DESC, cand.neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.query_id
+       |  JOIN e c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM sims
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles = Map(
+    "ann_lsh" -> lshTopkSql(NumTables, "bks[t]"),
+    // the query side probes its own bucket plus every 1-bit flip
+    "ann_lsh_mp" -> lshTopkSql(MpTables,
+      "unnest([bks[t], xor(bks[t], 1), xor(bks[t], 2), xor(bks[t], 4), xor(bks[t], 8)])"),
     "embed_neardup" -> {
       val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
