@@ -24,7 +24,8 @@ class SqlParitySpec extends SparkSpec {
     "q12_shipmode", "q13_distribution", "q14_promo", "q15_top_supplier",
     "q16_supplier_cnt", "q17_small_qty", "q18_large_orders",
     "q19_disjunctive", "q20_promo_supplier", "q21_waiting_supplier",
-    "q22_idle_capital", "freq_items_verified", "assign_ids")
+    "q22_idle_capital", "freq_items_verified", "assign_ids",
+    "corpus_shuffle")
 
   test("portable oracle SQL runs on Spark and matches the DataFrame-API result") {
     Tables.registerViews(spark, sf0001)
