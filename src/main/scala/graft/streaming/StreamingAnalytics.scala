@@ -143,6 +143,65 @@ object StreamingAnalytics {
       .select("doc_id", "ref_id", "band")
   }
 
+  /** STREAMING CORPUS CURATION MV — the reference's
+    * Kafka→MV→MergeTree ingestion shape applied to the training-corpus
+    * domain, with the dedup state living in the SINK (the
+    * AggregatingMergeTree idea: the table IS the state):
+    *
+    * per micro-batch (`foreachBatch`, the canonical pattern for
+    * batch-grade logic inside a stream):
+    *  1. quality-gate the arriving docs
+    *     ([[graft.text.TextAnalysis.qualityGateOf]], stateless);
+    *  2. re-read the pass table as history and run the SAME
+    *     batch-vs-history triage the batch path uses
+    *     ([[graft.dedup.Dedup.dedupIncrementalOf]]: band-index probe +
+    *     candidate-restricted exact verify);
+    *  3. append unique docs to the pass table — which makes them
+    *     HISTORY for every later micro-batch (cross-batch dedup
+    *     without any streaming state) — and everything else, gate
+    *     rejects included, to the quarantine table with its reason.
+    *
+    * Spark streaming state carried: ZERO rows (no watermark, no
+    * aggregation state); exactly-once lands on the checkpoint +
+    * idempotent-append contract. At 100 TB the per-batch history
+    * re-read is the band-index probe only — text is touched just for
+    * band-colliding candidates. */
+  def curateStream(incoming: DataFrame, passPath: String,
+      quarantinePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val gated = graft.text.TextAnalysis.qualityGateOf(batch)
+          .select("doc_id", "text")
+        val rejected = batch.select("doc_id", "text")
+          .join(gated.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("reason", lit("quality_gate"))
+        val history =
+          try spark.read.parquet(passPath).select("doc_id", "text")
+          catch { case _: Exception =>       // first batch: no pass table yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, text STRING"))
+          }
+        val labeled = graft.dedup.Dedup.dedupIncrementalOf(
+          history.withColumn("source", lit("history"))
+            .unionByName(gated.withColumn("source", lit("arriving"))),
+          batchSource = "arriving")
+          .join(gated, "doc_id") // re-attach text for the sinks
+        labeled.filter(col("status") === "unique")
+          .select("doc_id", "text")
+          .write.mode("append").parquet(passPath)
+        labeled.filter(col("status") =!= "unique")
+          .select(col("doc_id"), col("text"), col("status").as("reason"))
+          .unionByName(rejected)
+          .write.mode("append").parquet(quarantinePath)
+        ()
+      }
+      .start()
+
   /** Train-batch / score-stream classifier composition: the model from
     * [[graft.text.TextAnalysis.nbModelOf]] (a STATIC, vocabulary-sized
     * frame — the fastText-file analog) is broadcast into a scoring plan

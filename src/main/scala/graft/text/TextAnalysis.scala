@@ -525,15 +525,25 @@ object TextAnalysis extends QueryPack {
     * over the filtered sliver only — order the stages cheapest-first and
     * each stage shrinks the next one's input. The per-source packing
     * window parallelizes by source group. */
-  def corpusBuild(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val W = 50; val S = 40; val B = 512
-    val good = withToks(Tables.documents(spark, d))
+  /** The corpus quality gate as a standalone stateless filter (length,
+    * type-token ratio, stopword ratio — the same predicate [[quality]]
+    * reports and the oracle mirrors). Shared by [[corpusBuild]] and the
+    * streaming curation MV
+    * ([[graft.streaming.StreamingAnalytics.curateStream]]); keeps
+    * every column of the input. */
+  def qualityGateOf(docs: DataFrame): DataFrame =
+    withToks(docs)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("ttr",
         size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
       .withColumn("stop_ratio", markerScore("en").cast("double") / col("n_tokens"))
       .filter(col("n_tokens") >= 10 && col("ttr") >= 0.15 && col("stop_ratio") <= 0.5)
+      .drop("toks", "n_tokens", "ttr", "stop_ratio")
+
+  def corpusBuild(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 50; val S = 40; val B = 512
+    val good = qualityGateOf(Tables.documents(spark, d))
       .select("doc_id", "text", "source")
     val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
       .join(good.select("doc_id", "source"), "doc_id")

@@ -227,6 +227,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: cross-micro-batch dedup through the pass-table-as-state MV") {
+    val in = tmpDir("cu-in"); val pass = tmpDir("cu-pass")
+    val quar = tmpDir("cu-quar"); val ck = tmpDir("cu-ck")
+    val longDoc = "the quick brown fox jumps over the lazy dog before noon today"
+    val otherDoc = "completely different sentences describing a second unique training document here"
+    // batch 1: one good doc, one in-batch duplicate pair member, one
+    // gate reject (too short)
+    Seq((1L, longDoc), (2L, longDoc + " x"), (3L, "too short"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+    val q = StreamingAnalytics.curateStream(stream, pass, quar, ck)
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives LATER: a near-dup of batch-1's doc 1 (cross-batch
+      // history hit — the pass table is the dedup state) + a fresh doc
+      Seq((10L, longDoc + " y"), (11L, otherDoc))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val passed = spark.read.parquet(pass)
+      .select($"doc_id").as[Long].collect().toSet
+    val quarantined = spark.read.parquet(quar)
+      .select($"doc_id", $"reason").as[(Long, String)].collect().toMap
+    // 1 unique; 2 deduped in-batch vs 1; 3 gate-rejected;
+    // 10 deduped against HISTORY (batch-1's pass table); 11 unique
+    assert(passed === Set(1L, 11L))
+    assert(quarantined === Map(
+      2L -> "dup_in_batch", 3L -> "quality_gate", 10L -> "dup_of_history"))
+  }
+
   test("curation stages (gopher gates, pii scrub) run unchanged on a stream") {
     // the Of variants are stateless projections, so the SAME code path
     // must compose into a readStream plan and produce the batch rows
