@@ -670,6 +670,21 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster SIZE DISTRIBUTION — the "how duplicated is this
+    * corpus, structurally" report (mostly singletons? a few giant
+    * boilerplate clusters?) that decides whether dedup is worth a
+    * pipeline stage at all. Composes the standard pair→components path
+    * with two more tiny hash aggregates (labels → sizes → histogram);
+    * output is at most `max cluster size` rows of model-sized data. */
+  def clusterSizes(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = minhashLshRowOf(docs).select("doc_a", "doc_b")
+    clusterLabels(docs.select("doc_id"), pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+  }
+
   /** Cross-source contamination matrix — for every source pair, the
     * count of distinct trigram shingles both contain and the Jaccard of
     * their shingle vocabularies. The "how much do my corpus slices
@@ -933,6 +948,7 @@ object Dedup extends QueryPack {
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_cluster_sizes" -> clusterSizes,
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
     "span_scrub" -> spanScrub,
@@ -1107,6 +1123,10 @@ object Dedup extends QueryPack {
         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_clusters_star" -> s"""$closureSql
         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    // histogram over the same closure: cluster size -> cluster count
+    "dedup_cluster_sizes" -> s"""$closureSql,
+        |s AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY cluster_id)
+        |SELECT sz, COUNT(*) AS n_clusters FROM s GROUP BY sz ORDER BY sz""".stripMargin,
     // per cluster: longest member (then smallest id) + cluster size
     "dedup_survivor_quality" -> s"""$closureSql,
         |tok AS (

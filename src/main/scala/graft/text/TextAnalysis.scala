@@ -312,6 +312,23 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** K-ANONYMITY audit over the release quasi-identifiers — the data-
+    * governance check next to [[piiScrub]]: any (source, lang) group
+    * smaller than k is a re-identification risk in a published corpus
+    * (Sweeney 2002, "k-anonymity: a model for protecting privacy").
+    * One map-side-combinable hash aggregate + a scan filter; output is
+    * the violating groups only — tiny by construction. The k constant
+    * is interpolated into BOTH the Scala filter and the oracle SQL (the
+    * corpus_mix single-edit-point rule). */
+  private[graft] val KAnonThreshold = 5L
+
+  def kAnonCheck(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < KAnonThreshold)
+      .orderBy("source", "lang")
+
   /** Mixture-drift diagnostic: TOTAL-VARIATION distance between each
     * source's unigram distribution and the whole-corpus distribution —
     * the "has this slice's language shifted away from the mixture"
@@ -704,7 +721,8 @@ object TextAnalysis extends QueryPack {
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
-    "source_drift" -> sourceDrift)
+    "source_drift" -> sourceDrift,
+    "k_anon_check" -> kAnonCheck)
 
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -1086,6 +1104,10 @@ object TextAnalysis extends QueryPack {
         |SELECT shard, n_docs, n_tokens,
         |       CAST(n_tokens * $ShardCount AS DOUBLE) / tot AS load_ratio
         |FROM s, t ORDER BY shard""".stripMargin,
+    "k_anon_check" ->
+      s"""SELECT source, lang, COUNT(*) AS n FROM documents
+        |GROUP BY source, lang HAVING COUNT(*) < $KAnonThreshold
+        |ORDER BY source, lang""".stripMargin,
     "source_drift" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
