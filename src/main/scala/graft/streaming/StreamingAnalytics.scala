@@ -162,10 +162,16 @@ object StreamingAnalytics {
     *     rejects included, to the quarantine table with its reason.
     *
     * Spark streaming state carried: ZERO rows (no watermark, no
-    * aggregation state); exactly-once lands on the checkpoint +
-    * idempotent-append contract. At 100 TB the per-batch history
-    * re-read is the band-index probe only — text is touched just for
-    * band-colliding candidates. */
+    * aggregation state). Delivery is AT-LEAST-ONCE: the checkpoint
+    * prevents re-consuming acknowledged input, but a crash inside
+    * foreachBatch can replay one batch and a plain parquet append is
+    * not idempotent — production closes that window by writing through
+    * a transactional table format or stamping rows with the batchId
+    * and deduping on read. (A replayed batch is also SAFE here in the
+    * dedup sense: its docs now match the pass-table copies from the
+    * failed attempt and quarantine as dup_of_history.) At 100 TB the
+    * per-batch history re-read is the band-index probe only — text is
+    * touched just for band-colliding candidates. */
   def curateStream(incoming: DataFrame, passPath: String,
       quarantinePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
