@@ -516,9 +516,11 @@ object Similarity extends QueryPack {
 
   val oracles = Map(
     "ann_lsh" -> lshTopkSql(NumTables, "bks[t]"),
-    // the query side probes its own bucket plus every 1-bit flip
+    // the query side probes its own bucket plus every 1-bit flip —
+    // derived from BitsPerTable like the Spark side, not hand-typed
     "ann_lsh_mp" -> lshTopkSql(MpTables,
-      "unnest([bks[t], xor(bks[t], 1), xor(bks[t], 2), xor(bks[t], 4), xor(bks[t], 8)])"),
+      (0 until BitsPerTable).map(k => s"xor(bks[t], ${1L << k})")
+        .mkString("unnest([bks[t], ", ", ", "])")),
     "embed_neardup" -> {
       val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -162,16 +162,19 @@ object StreamingAnalytics {
     *     rejects included, to the quarantine table with its reason.
     *
     * Spark streaming state carried: ZERO rows (no watermark, no
-    * aggregation state). Delivery is AT-LEAST-ONCE: the checkpoint
-    * prevents re-consuming acknowledged input, but a crash inside
-    * foreachBatch can replay one batch and a plain parquet append is
-    * not idempotent — production closes that window by writing through
-    * a transactional table format or stamping rows with the batchId
-    * and deduping on read. (A replayed batch is also SAFE here in the
-    * dedup sense: its docs now match the pass-table copies from the
-    * failed attempt and quarantine as dup_of_history.) At 100 TB the
-    * per-batch history re-read is the band-index probe only — text is
-    * touched just for band-colliding candidates. */
+    * aggregation state). Delivery: the checkpoint prevents
+    * re-consuming acknowledged input, and the PASS table is idempotent
+    * at doc_id granularity — a crash-replayed batch's docs anti-join
+    * out against the rows their first attempt appended, so the corpus
+    * never holds duplicates. The QUARANTINE side stays at-least-once
+    * (a replay can re-append reject rows); production closes that
+    * residual window with a transactional table format or batchId
+    * stamping. Scale note: THIS implementation re-bands the pass
+    * table's text each micro-batch (fine while history fits a scan;
+    * the probe itself touches text only for band-colliding
+    * candidates); the 100 TB deployment persists the band index and
+    * shingle store incrementally alongside the pass table — same
+    * appends, same triage joins, no per-batch re-derivation. */
   def curateStream(incoming: DataFrame, passPath: String,
       quarantinePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -179,24 +182,41 @@ object StreamingAnalytics {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // materialized once: the gate's tokenize + marker scan feeds the
+        // reject anti-join, the triage union, and both sink writes
         val gated = graft.text.TextAnalysis.qualityGateOf(batch)
-          .select("doc_id", "text")
+          .select("doc_id", "text").localCheckpoint()
         val rejected = batch.select("doc_id", "text")
           .join(gated.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("reason", lit("quality_gate"))
+        // only a MISSING/EMPTY pass table means "first batch, empty
+        // history" — a real read failure (transient FS error, corrupt
+        // footer) must fail the batch, not silently wipe the dedup
+        // history, so the probe checks for data files rather than
+        // swallowing read exceptions
+        val passDir = new org.apache.hadoop.fs.Path(passPath)
+        val fs = passDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(passDir) && fs.globStatus(
+          new org.apache.hadoop.fs.Path(passPath, "*.parquet")).nonEmpty
         val history =
-          try spark.read.parquet(passPath).select("doc_id", "text")
-          catch { case _: Exception =>       // first batch: no pass table yet
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType.fromDDL(
-                "doc_id BIGINT, text STRING"))
-          }
+          if (hasData) spark.read.parquet(passPath).select("doc_id", "text")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING"))
+        // doc_id-level idempotency: a crash-replayed batch re-arrives
+        // with ids its first attempt already appended — anti-join them
+        // out so the pass table never holds duplicate rows (and so the
+        // triage never sees the same id on both sides, which would
+        // double that doc's shingle counts)
+        val arriving = gated
+          .join(history.select("doc_id"), Seq("doc_id"), "left_anti")
         val labeled = graft.dedup.Dedup.dedupIncrementalOf(
           history.withColumn("source", lit("history"))
-            .unionByName(gated.withColumn("source", lit("arriving"))),
+            .unionByName(arriving.withColumn("source", lit("arriving"))),
           batchSource = "arriving")
           .join(gated, "doc_id") // re-attach text for the sinks
+          .localCheckpoint()     // one triage run serves both writes
         labeled.filter(col("status") === "unique")
           .select("doc_id", "text")
           .write.mode("append").parquet(passPath)

@@ -530,18 +530,6 @@ object TextAnalysis extends QueryPack {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
 
-  /** The whole training-corpus build, end to end in ONE lazy plan — the
-    * composition a pretraining data pipeline actually ships: quality
-    * gate (same predicate as [[quality]]) → exact + near-dup dedup with
-    * cluster survivors ([[graft.dedup.Dedup.dedupCorpus]]) → overlapping
-    * token chunks ([[docChunks]]'s window/stride) → fixed-budget
-    * sequence packing ([[docPacking]]'s bin rule, here over chunks).
-    *
-    * Scale shape: the gate is a stateless scan filter; everything
-    * downstream (sketches, verify joins, components, chunk explode) runs
-    * over the filtered sliver only — order the stages cheapest-first and
-    * each stage shrinks the next one's input. The per-source packing
-    * window parallelizes by source group. */
   /** The corpus quality gate as a standalone stateless filter (length,
     * type-token ratio, stopword ratio — the same predicate [[quality]]
     * reports and the oracle mirrors). Shared by [[corpusBuild]] and the
@@ -557,6 +545,18 @@ object TextAnalysis extends QueryPack {
       .filter(col("n_tokens") >= 10 && col("ttr") >= 0.15 && col("stop_ratio") <= 0.5)
       .drop("toks", "n_tokens", "ttr", "stop_ratio")
 
+  /** The whole training-corpus build, end to end in ONE lazy plan — the
+    * composition a pretraining data pipeline actually ships: quality
+    * gate ([[qualityGateOf]]) → exact + near-dup dedup with
+    * cluster survivors ([[graft.dedup.Dedup.dedupCorpus]]) → overlapping
+    * token chunks ([[docChunks]]'s window/stride) → fixed-budget
+    * sequence packing ([[docPacking]]'s bin rule, here over chunks).
+    *
+    * Scale shape: the gate is a stateless scan filter; everything
+    * downstream (sketches, verify joins, components, chunk explode) runs
+    * over the filtered sliver only — order the stages cheapest-first and
+    * each stage shrinks the next one's input. The per-source packing
+    * window parallelizes by source group. */
   def corpusBuild(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 50; val S = 40; val B = 512

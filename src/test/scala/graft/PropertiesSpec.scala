@@ -17,11 +17,10 @@ class PropertiesSpec extends AnyFunSuite {
 
   test("Lehmer mix: range, injectivity on [1, M-1], and overflow headroom") {
     import graft.functions.DetMix.{Modulus, Multiplier}
-    // the scalar mirror of DetMix.lehmerMix's column expression
-    def mix(k: Long): Long = {
-      val r = ((k % Modulus + Modulus) % Modulus) // non-negative residue
-      r * Multiplier % Modulus * Multiplier % Modulus
-    }
+    // the EXACT scalar mirror of DetMix.lehmerMix's column expression
+    // (sign-of-dividend %, no normalization — keys here are ids ≥ 0)
+    def mix(k: Long): Long =
+      (k % Modulus) * Multiplier % Modulus * Multiplier % Modulus
     // range for arbitrary non-negative keys, incl. huge ones where a raw
     // Knuth multiply would overflow a long (the reason the mix exists)
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { k =>

@@ -247,17 +247,31 @@ class StreamingAnalyticsSpec extends SparkSpec {
         .toDF("doc_id", "text").coalesce(1)
         .write.mode("append").parquet(in)
       q.processAllAvailable()
+      // batch 3 REPLAYS batch 1's rows verbatim (the crash-replay
+      // shape): already-passed ids must anti-join out — no duplicate
+      // pass rows — while rejects re-quarantine (at-least-once side)
+      Seq((1L, longDoc), (2L, longDoc + " x"), (3L, "too short"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
     } finally q.stop()
 
+    // full multisets, not Sets/Maps: a duplicate append (the failure
+    // mode the at-least-once quarantine doc names) must FAIL here
     val passed = spark.read.parquet(pass)
-      .select($"doc_id").as[Long].collect().toSet
+      .select($"doc_id").as[Long].collect().toList.sorted
     val quarantined = spark.read.parquet(quar)
-      .select($"doc_id", $"reason").as[(Long, String)].collect().toMap
+      .select($"doc_id", $"reason").as[(Long, String)].collect().toList.sorted
     // 1 unique; 2 deduped in-batch vs 1; 3 gate-rejected;
-    // 10 deduped against HISTORY (batch-1's pass table); 11 unique
-    assert(passed === Set(1L, 11L))
-    assert(quarantined === Map(
-      2L -> "dup_in_batch", 3L -> "quality_gate", 10L -> "dup_of_history"))
+    // 10 deduped against HISTORY (batch-1's pass table); 11 unique.
+    // The replayed batch adds NOTHING to pass (1 anti-joined out) but
+    // re-quarantines 2 (now dup_of_history — its partner 1 is history
+    // by then) and 3 (gate reject again).
+    assert(passed === List(1L, 11L))
+    assert(quarantined === List(
+      (2L, "dup_in_batch"), (2L, "dup_of_history"),
+      (3L, "quality_gate"), (3L, "quality_gate"),
+      (10L, "dup_of_history")))
   }
 
   test("curation stages (gopher gates, pii scrub) run unchanged on a stream") {
