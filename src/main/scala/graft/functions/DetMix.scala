@@ -8,8 +8,13 @@ import org.apache.spark.sql.Column
   * Why this exact shape (and why it must never be re-typed inline):
   * each product is at most (2³¹−2)·48271 ≈ 1.0e14, far inside a long,
   * so the arithmetic can never overflow (ANSI mode would throw, not
-  * wrap) at ANY key scale — unlike a raw Knuth multiply, which leaves
-  * long range once keys pass ~3.4e9. Two steps, not one: a single
+  * wrap) at any NON-NEGATIVE key scale — unlike a raw Knuth multiply,
+  * which leaves long range once keys pass ~3.4e9. Keys MUST be ≥ 0:
+  * SQL `%` follows the dividend's sign, so a negative key hashes
+  * negative and compares below every sampling threshold (selected
+  * wholesale). All current call sites pass non-negative ids
+  * (PropertiesSpec pins this); normalize with pmod before calling if a
+  * signed key ever appears. Two steps, not one: a single
   * multiply leaves keys below ~44k un-wrapped (k·48271 < 2³¹−1), so
   * the smallest keys would be selected wholesale instead of hashed.
   * Seedless and engine-neutral: the DuckDB oracles inline the same

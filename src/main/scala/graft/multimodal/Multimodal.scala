@@ -612,7 +612,7 @@ object Multimodal extends QueryPack {
          |       CAST(ps.s AS BIGINT) AS new_px_sum
          |FROM rr JOIN ps USING (doc_id) ORDER BY doc_id""".stripMargin,
     // per-frame pixel formula mirrored; the Spark side recovers it
-    // through real PNG decodes of only the sampled container entries
+    // through real BMP decodes of only the sampled container entries
     "mm_video_sample" ->
       s"""WITH m AS ($dimsSql),
          |s AS (SELECT *, (CAST(n_frames AS BIGINT) + 3) // 4 AS step FROM m),

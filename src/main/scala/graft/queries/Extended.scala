@@ -598,7 +598,7 @@ object Extended extends QueryPack {
     val variants = names.select(col("id"),
       explode(expr(
         "array_union(array(name), transform(sequence(1, length(name)), " +
-        "i -> concat(substring(name, 1, i-1), substring(name, i+1, 1000))))"))
+        "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
         .as("v"))
       .select(col("id"), xxhash64(col("v")).as("vh"))
     val cand = variants.select(col("id").as("id_a"), col("vh"))
@@ -673,7 +673,15 @@ object Extended extends QueryPack {
     * adjacency table with `d` on every edge costs 8 bytes/edge and
     * saves one join per round — 5 joins for the default iteration
     * count; the per-round plan is then exactly edges ⋈ ranks + one
-    * partial-agg sum). */
+    * partial-agg sum).
+    *
+    * SYMMETRIC GRAPHS ONLY: each round rebuilds the rank frame from the
+    * contribution groupBy, so a node that receives no contribution
+    * vanishes. On a symmetric edge frame every out-node is also an
+    * in-node and nothing is lost; a DIRECTED edge list would silently
+    * drop dangling-source nodes mid-iteration. Callers with directed
+    * graphs must symmetrize first (or keep a rank outer-join per round,
+    * which this deliberately avoids — one more O(nodes) join × iters). */
   private[graft] def pagerankOf(pairs: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
     // Adjacency-array form: the symmetric edge list folds into one row
@@ -829,7 +837,10 @@ object Extended extends QueryPack {
         |GROUP BY 1, 2
         |ORDER BY bin""".stripMargin,
     // iterations unrolled as chained CTEs (recursive CTEs forbid the
-    // per-round aggregation); integer fixed-point mirrors the Spark loop
+    // per-round aggregation); integer fixed-point mirrors the Spark loop.
+    // rank flows through SUM(BIGINT) → HUGEINT, which pandas reads back
+    // as float64 ("9.9e9" vs Spark's int64) — cast the final column to
+    // BIGINT or the driver's value hash fails on dtype alone.
     "pagerank" -> {
       val iters = (1 to PagerankIters).map { i =>
         s"""pr$i AS (
@@ -851,7 +862,7 @@ object Extended extends QueryPack {
          |  SELECT pa AS node, (SELECT $PagerankScale // nn FROM n) AS rank
          |  FROM deg),
          |$iters
-         |SELECT node, rank FROM pr$PagerankIters
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$PagerankIters
          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
     },
     // the naive quadratic fuzzy match — affordable for DuckDB at sf0.01;

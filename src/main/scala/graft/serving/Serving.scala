@@ -41,6 +41,33 @@ object Serving extends QueryPack {
         round(col("value"), 2).as("value"))
       .orderBy(desc("ts_label"), desc("event_id"))
 
+  /** Per-category latest-events feed — the `/api/recent` shape sliced
+    * per event_type (every dashboard "latest N per tab" endpoint),
+    * running through the custom [[graft.plans.TopKPerKey]] physical
+    * operator instead of the window formulation: bounded per-key heaps
+    * (k=3 rows live per key per partition), one hash exchange, NO
+    * per-partition full sort — the plan a serving query wants when the
+    * key count is small but each key's history is long (at 100 TB the
+    * window form sorts every partition's full event history; the heap
+    * form keeps 3 rows per key). PlanShapeSpec asserts the exec node
+    * replaces Sort+Window; the oracle is the equivalent window SQL.
+    *
+    * Label ordering note: ts_label ('yyyy-MM-dd HH:mm:ss') sorts
+    * lexicographically = chronologically, and event_id desc breaks
+    * same-second ties — the [[recentFeed]] determinism recipe. */
+  def topPerTypeFeed(spark: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.events(spark, d).select("event_type", "event_id", "ts", "value"),
+      Seq("event_type"),
+      Seq(col("ts").desc, col("event_id").desc),
+      k = 3)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_label"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), desc("ts_label"), desc("event_id"))
+
   /** `/api/status` shape: per-stream counts + overall readiness (the
     * reference reports `ready` once sales_count > 0, app.py:167). */
   def status(spark: SparkSession, d: String): DataFrame =
@@ -64,6 +91,7 @@ object Serving extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "serve_sales_chart" -> salesChart,
     "serve_recent_feed" -> recentFeed,
+    "serve_top_per_type" -> topPerTypeFeed,
     "serve_status" -> status)
 
   val oracles = Map(
@@ -86,5 +114,16 @@ object Serving extends QueryPack {
         |       COUNT(*) FILTER (WHERE event_type <> 'purchase') AS other_count,
         |       CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
         |            THEN 'ready' ELSE 'waiting' END AS status
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // the window formulation IS the oracle — the custom heap operator
+    // must be semantically indistinguishable from it
+    "serve_top_per_type" ->
+      """SELECT event_type, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_label,
+        |       round(value, 2) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY event_type, ts_label DESC, event_id DESC""".stripMargin)
 }

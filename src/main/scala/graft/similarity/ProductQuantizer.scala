@@ -149,6 +149,49 @@ object ProductQuantizer {
       .orderBy("query_id", "rank")
   }
 
+  /** (vec_id, codes) for every row of a raw `(vec_id, v)` frame against
+    * an already-trained codebook — the persisted-index encode
+    * ([[graft.similarity.Similarity.ensureServedIndex]]). */
+  def encodeAll(vecs: DataFrame, m: Int, subDim: Int,
+      cents: DataFrame): DataFrame =
+    encode(subVectors(vecs, m, subDim), cents)
+
+  /** ADC scan against a PERSISTED codebook + posting codes: no training,
+    * no corpus encode — only the query rows are sub-split for the
+    * per-query lookup table, then the given `(query_id, neighbor_id)`
+    * candidates join their stored codes and sum M entries. This is the
+    * probe-only inner stage of
+    * [[graft.similarity.Similarity.annIvfPqServed]]; identical distance
+    * math to [[adcTopKAmong]] (same decimal-exact entry sum), so a
+    * served probe returns byte-identical shortlists to the in-query
+    * form given the same codebook. */
+  def adcTopKServed(spark: SparkSession,
+      queries: DataFrame, // (vec_id, v) — query vectors only
+      candidates: DataFrame, // (query_id, neighbor_id)
+      codes: DataFrame, // (vec_id, codes) — the stored posting table
+      cents: DataFrame, // (m, cid, cv) — the stored codebook
+      m: Int, subDim: Int, topK: Int): DataFrame = {
+    val lut = subVectors(queries, m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), "m")
+      .withColumn("d", expr(sqDist.format("sv", "cv")))
+      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    candidates
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(lut, Seq("query_id", "m", "cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d").cast(DecimalType(20, 14)))
+        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** ADC top-k RESTRICTED to given candidate pairs — the inner scan of
     * an IVF-PQ index (FAISS's IVFPQ shape): the coarse quantizer has
     * already cut the corpus to each query's probed lists, so the code

@@ -430,6 +430,133 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Driver-visible recall floor for an approximate top-k stage — the
+    * ANN analog of [[graft.dedup.Dedup.simhashVerified]]'s gate: the
+    * exact top-5 pairs ([[annTopK]]'s brute-force scan, which IS
+    * oracle-expressible) are semi-joined against the sketch's results,
+    * and the single output row states whether the sketch recalled at
+    * least `floor` of them. `n_exact` is data-derived (the oracle
+    * recomputes it), `meets_floor` is the gate: a sketch regression
+    * below the floor emits `false`, hash-mismatches the oracle's
+    * `true`, and turns the driver row red — the recall bound becomes a
+    * CORRECTNESS row instead of a spec-only assertion. (The oracle
+    * cannot run k-means, so the sketch side itself stays rows-only —
+    * this is exactly the checkable statement that remains.) */
+  private def recallGate(spark: SparkSession, d: String,
+      sketch: DataFrame, floor: Double): DataFrame = {
+    val exact = annTopK(spark, d).select("query_id", "neighbor_id")
+    val found = exact.join(sketch.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(lit(floor).as("floor"), col("n_exact"),
+        (col("n_found") >= col("n_exact") * lit(floor)).as("meets_floor"))
+  }
+
+  /** Floors are the QueriesSpec values — conservative bounds under the
+    * measured recalls (0.92 / 0.76 / 0.82 at sf0.01), chosen so codebook
+    * jitter across corpus sizes can't flake the gate while a real
+    * regression (broken assignment, lost lists) still trips it. */
+  def annIvfVerified(spark: SparkSession, d: String): DataFrame =
+    recallGate(spark, d, annIvf(spark, d), 0.5)
+  def annPqVerified(spark: SparkSession, d: String): DataFrame =
+    recallGate(spark, d, annPq(spark, d), 0.4)
+  def annIvfPqVerified(spark: SparkSession, d: String): DataFrame =
+    recallGate(spark, d, annIvfPq(spark, d), 0.6)
+
+  // ---------- persisted-index (served) IVF-PQ ----------
+
+  private val ServedNList = 16
+  private val ServedNProbe = 4
+
+  /** Catalog table names for the served index, keyed by corpus dir so
+    * Verify (sf0.01) and Bench (sf0.1) never read each other's index. */
+  private def servedNames(d: String): (String, String, String) = {
+    val sfx = d.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    (s"ann_idx_coarse$sfx", s"ann_idx_codebook$sfx", s"ann_idx_codes$sfx")
+  }
+
+  /** Train-once: build the IVF-PQ index INTO CATALOG TABLES if absent —
+    * coarse centroids (cid, cv), PQ codebook (m, cid, cv), and the
+    * per-vector posting table (vec_id, list_id, codes). This is the
+    * production shape [[annIvfPq]]'s scaladoc promises: at 100 TB the
+    * k-means + encode cost amortizes offline into the index build, and
+    * the query path only probes. The index derives deterministically
+    * from the corpus (id-seeded Lloyd, decimal-exact means), so a
+    * rebuild and a reuse are bit-identical — "ensure" is idempotent.
+    * Session-scoped by design (in-memory catalog): a fresh JVM retrains
+    * once, which is the safe staleness semantic when the corpus files
+    * can change between rounds. */
+  def ensureServedIndex(spark: SparkSession, d: String): Unit = {
+    val (tc, tb, tv) = servedNames(d)
+    if (Seq(tc, tb, tv).forall(spark.catalog.tableExists)) return
+    // the in-memory catalog dies with the JVM but the warehouse dir does
+    // not: a location left by a previous session is ownerless garbage
+    // (its catalog entry is gone), and CTAS refuses to create a managed
+    // table over it — clear any orphan before rebuilding
+    Seq(tc, tb, tv).filterNot(spark.catalog.tableExists).foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val all = vecs(spark, d)
+    val coarse = trainCentroids(spark, all, ServedNList, iters = 2)
+    val assigned = nearestLists(coarse, all, "v", 1, "list_id")
+      .select("vec_id", "list_id")
+    val book = ProductQuantizer.train(spark, all, m = 8, subDim = 8, k = 16, iters = 1)
+    // the posting table encodes EVERY vector (an index can't know its
+    // future queries); encode is per-row, so corpus rows carry the same
+    // codes annIvfPq computes in-query and result parity holds
+    val codes = ProductQuantizer.encodeAll(all, m = 8, subDim = 8, book)
+    coarse.write.mode("overwrite").saveAsTable(tc)
+    book.write.mode("overwrite").saveAsTable(tb)
+    assigned.join(codes, "vec_id")
+      .write.mode("overwrite").saveAsTable(tv)
+  }
+
+  /** [[annIvfPq]] against the persisted index: the first invocation per
+    * session pays [[ensureServedIndex]] (train + encode + write); every
+    * later one ONLY probes — nearest lists for the 10 queries against
+    * the broadcast coarse table, candidates from the posting-table
+    * equi-join on list_id, ADC ranking from stored codes, exact cosine
+    * re-rank of the 40-row shortlist. Same parameters and deterministic
+    * training as [[annIvfPq]], so the results are byte-identical
+    * (QueriesSpec pins it); the recall bound is [[annIvfPqVerified]]'s
+    * driver row. Bench's min-of-reps therefore reports the probe path —
+    * the number a serving deployment sees. */
+  def annIvfPqServed(spark: SparkSession, d: String): DataFrame = {
+    ensureServedIndex(spark, d)
+    val (tc, tb, tv) = servedNames(d)
+    val coarse = spark.table(tc)
+    val book = spark.table(tb)
+    val posting = spark.table(tv)
+    val all = vecs(spark, d)
+    val q = nearestLists(coarse, all.filter(col("vec_id") < 10), "v",
+      ServedNProbe, "list_id")
+      .select(col("vec_id").as("query_id"), col("v"), col("list_id"))
+    val candidates = posting.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+      .join(q.select("query_id", "list_id"), "list_id")
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = ProductQuantizer.adcTopKServed(spark,
+      q.select(col("query_id").as("vec_id"), col("v")).dropDuplicates("vec_id"),
+      candidates, posting.select("vec_id", "codes"), book,
+      m = 8, subDim = 8, topK = 40)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * embedding-cosine near-dup pairs → connected components → keep the
@@ -438,15 +565,22 @@ object Similarity extends QueryPack {
     *
     * The pair stage here is the exact quadratic baseline
     * ([[embedNearDup]] — it doubles as the oracle and the corpus is
-    * model-sized); at 100 TB swap that single stage for [[annLsh]]/
-    * [[annIvf]] bucketed candidates verified with exact cosine — the
-    * component and survivor stages are
+    * model-sized); [[semanticDedupLsh]] is the same pipeline with the
+    * pair stage swapped for LSH-bucketed candidates — the 100 TB form.
+    * The component and survivor stages are
     * [[graft.dedup.Dedup.clusterLabels]] unchanged, which only ever
     * touches the near-dup edge sliver. */
   def semanticDedup(spark: SparkSession, d: String): DataFrame = {
     val pairs = embedNearDup(spark, d)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val nodes = vecs(spark, d).select(col("vec_id").as("doc_id"))
+    clusterized(vecs(spark, d), pairs)
+  }
+
+  /** CC + survivor tail shared by the semantic-dedup variants: label
+    * every vector with its component, attach the component size, keep
+    * the smallest vec_id. */
+  private def clusterized(vectors: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodes = vectors.select(col("vec_id").as("doc_id"))
     val labels = graft.dedup.Dedup.clusterLabels(nodes, pairs)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "cluster_id")
@@ -455,15 +589,62 @@ object Similarity extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Near-dup pairs from LSH candidates + exact-cosine verify — the
+    * scale-true pair stage: candidates come from the multi-table bucket
+    * equi-join (never all-pairs), carry ONLY id pairs through the
+    * candidate distinct (vectors would widen the heaviest shuffle 64×
+    * for nothing — the [[graft.queries.Extended.fuzzyJoinOf]] rule),
+    * and the exact cosine runs on the deduped candidate sliver after
+    * the vectors re-attach by id. */
+  private[graft] def lshNearDupPairs(spark: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    graft.functions.LshBucketKeysExpr.register(spark, "lsh_buckets", planes, BitsPerTable)
+    val base = vecs(spark, d)
+      .select(col("vec_id"), posexplode(expr("lsh_buckets(v)")).as(Seq("tbl", "bucket")))
+    val cand = base.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(base.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val v = vecs(spark, d)
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .filter(expr("cosine_sim(va, vb)") >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  }
+
+  /** [[semanticDedup]] at scale: the quadratic pair stage replaced by
+    * [[lshNearDupPairs]] (bucket equi-join candidates, exact-cosine
+    * verify on the candidate sliver), CC and survivor stages unchanged.
+    * The plan contains NO quadratic join — PlanShapeSpec asserts the
+    * absence of nested-loop/cartesian nodes.
+    *
+    * Deterministic (fixed hyperplanes, exact verify), so the DuckDB
+    * oracle mirrors the ENTIRE pipeline — bucket keys from the same
+    * plane literals, the same candidate join, the same recursive
+    * transitive closure — and the driver hash-checks it end to end.
+    * Recall vs the exact pair set is the sketch's documented trade
+    * (8×4-bit tables miss ~25% of borderline cos≈0.4 pairs on random
+    * hyperplane math); QueriesSpec floors the edge recall and pins
+    * survivor agreement with the exact [[semanticDedup]]. */
+  def semanticDedupLsh(spark: SparkSession, d: String): DataFrame =
+    clusterized(vecs(spark, d), lshNearDupPairs(spark, d, 0.4))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
     "semantic_dedup" -> semanticDedup,
+    "semantic_dedup_lsh" -> semanticDedupLsh,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
+    "ann_ivf_verified" -> annIvfVerified,
     "ann_pq" -> annPq,
+    "ann_pq_verified" -> annPqVerified,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_verified" -> annIvfPqVerified,
+    "ann_ivfpq_served" -> annIvfPqServed,
     "embed_label_sim" -> embedLabelSim,
     "embed_quantize" -> embedQuantize,
     "knn_classify" -> knnClassify)
@@ -514,8 +695,67 @@ object Similarity extends QueryPack {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The recall-gate oracle: the exact top-5 count is recomputed from
+    * data; `meets_floor` is the literal the gate must reach. The
+    * comparison is meaningful precisely because the Spark side computes
+    * `meets_floor` FROM the sketch — a recall regression emits `false`
+    * and the row goes red. */
+  private def recallGateSql(floor: Double): String = {
+    val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $cs DESC, c.vec_id) AS rank
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+       |SELECT CAST($floor AS DOUBLE) AS floor,
+       |       count(*) AS n_exact,
+       |       true AS meets_floor
+       |FROM sims WHERE rank <= 5""".stripMargin
+  }
+
   val oracles = Map(
     "ann_lsh" -> lshTopkSql(NumTables, "bks[t]"),
+    "ann_ivf_verified" -> recallGateSql(0.5),
+    "ann_pq_verified" -> recallGateSql(0.4),
+    "ann_ivfpq_verified" -> recallGateSql(0.6),
+    // the full LSH-candidate pipeline mirrored: same plane literals →
+    // same bucket keys → same candidate join → same exact-cosine verify
+    // → same recursive transitive closure as semantic_dedup's oracle.
+    // Hash-checked END TO END because the sketch is deterministic; the
+    // plan on the Spark side contains no quadratic join.
+    "semantic_dedup_lsh" -> {
+      val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, ${bksSql(NumTables)} AS bks FROM e),
+         |bb AS (SELECT vec_id, t, bks[t] AS bucket
+         |       FROM bk, generate_series(1, $NumTables) AS g(t)),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM bb x JOIN bb y ON x.t = y.t AND x.bucket = y.bucket
+         |                            AND x.vec_id < y.vec_id),
+         |pairs AS (
+         |  SELECT cand.va AS doc_a, cand.vb AS doc_b
+         |  FROM cand JOIN e a ON a.vec_id = cand.va
+         |            JOIN e b ON b.vec_id = cand.vb
+         |  WHERE $cs >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         |lab AS (
+         |  SELECT e.vec_id,
+         |         LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS cluster_id
+         |  FROM e LEFT JOIN reach r ON r.a = e.vec_id
+         |  GROUP BY e.vec_id),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.n_members,
+         |       l.vec_id = l.cluster_id AS is_survivor
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin
+    },
     // the query side probes its own bucket plus every 1-bit flip —
     // derived from BitsPerTable like the Spark side, not hand-typed
     "ann_lsh_mp" -> lshTopkSql(MpTables,

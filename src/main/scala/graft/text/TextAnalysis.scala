@@ -1016,7 +1016,10 @@ object TextAnalysis extends QueryPack {
         |           % 2147483647 AS DOUBLE)
         |      < least(1.0, importance * 0.5) * 2147483647.0
         |ORDER BY doc_id""".stripMargin,
-    // integer masses, one double division; decision boundary at 1
+    // integer masses, one double division; decision boundary at 1.
+    // DuckDB's SUM(BIGINT) returns HUGEINT, which pandas reads back as
+    // float64 — the driver's value hash then sees "123.0" vs Spark's
+    // "123" and fails. Every exposed sum must CAST back to BIGINT.
     "dsir_select" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1032,7 +1035,9 @@ object TextAnalysis extends QueryPack {
         |         sum(coalesce(ct.ct, 0)) AS t_mass, sum(cb.cb) AS b_mass
         |  FROM terms JOIN cb USING (term) LEFT JOIN ct USING (term)
         |  GROUP BY doc_id)
-        |SELECT m.doc_id, d.source, m.n_tokens, m.t_mass, m.b_mass,
+        |SELECT m.doc_id, d.source, m.n_tokens,
+        |       CAST(m.t_mass AS BIGINT) AS t_mass,
+        |       CAST(m.b_mass AS BIGINT) AS b_mass,
         |       CAST(m.t_mass * tb.b_total AS DOUBLE) / (m.b_mass * tt.t_total)
         |         AS importance,
         |       CAST(m.t_mass * tb.b_total AS DOUBLE) / (m.b_mass * tt.t_total)

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-6 profiler, mode-dispatched like [[ProfileR5]]:
+  *
+  *   sbt "runMain graft.tools.ProfileR6 <mode> [sfDir]"
+  *
+  *   trio   — q1_agg / q20 / q21 SOLO, n=3 reps each (VERDICT r5 #4:
+  *            these regressed 0.96→1.63 / 0.62→1.40 / 1.02→1.58 s in
+  *            the r5 gate bench with no code change; a solo run in an
+  *            idle JVM separates plan damage from suite contention).
+  *   served — ann_ivfpq in-query vs ann_ivfpq_served build + probe
+  *            reps, showing the amortized probe path the bench's
+  *            min-of-reps reports.
+  */
+object ProfileR6 {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("trio")
+    val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-profile-r6").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def time(name: String, reps: Int = 3)(f: => Unit): Double = {
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-24s min=${ts.min}%6.2fs  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      ts.min
+    }
+
+    mode match {
+      case "trio" =>
+        // one warmup pass each (the bench warms at sf0.01 too)
+        noop(graft.queries.Relational.queries("q1_agg")(spark, "/root/testdata/sf0.01"))
+        Seq("q20_promo_supplier", "q21_waiting_supplier").foreach { q =>
+          noop(graft.queries.TpcH.queries(q)(spark, "/root/testdata/sf0.01"))
+        }
+        time("q1_agg") { noop(graft.queries.Relational.queries("q1_agg")(spark, d)) }
+        time("q20_promo_supplier") {
+          noop(graft.queries.TpcH.queries("q20_promo_supplier")(spark, d)) }
+        time("q21_waiting_supplier") {
+          noop(graft.queries.TpcH.queries("q21_waiting_supplier")(spark, d)) }
+
+      case "served" =>
+        time("ann_ivfpq_inquery") {
+          noop(graft.similarity.Similarity.annIvfPq(spark, d)) }
+        // first rep builds the index tables, later reps probe only —
+        // print each so build vs probe costs are both visible
+        time("ann_ivfpq_served") {
+          noop(graft.similarity.Similarity.annIvfPqServed(spark, d)) }
+
+      case other => sys.error(s"unknown mode '$other'")
+    }
+    spark.stop()
+  }
+}

@@ -78,6 +78,27 @@ class PlanShapeSpec extends SparkSpec {
       "multi-probe expansion must stay on the query side of the same equi-join")
   }
 
+  test("semantic_dedup_lsh contains no quadratic join anywhere in the pipeline") {
+    // the whole point of the LSH variant: the pair stage is a bucket
+    // equi-join, unlike semantic_dedup's declared-quadratic baseline.
+    // Assert the PAIR stage's own plan — the CC loop checkpoints its
+    // edge frame, so the final frame's plan wouldn't show a quadratic
+    // join even if one existed upstream.
+    val pairs = planOf(similarity.Similarity.lshNearDupPairs(spark, sf0001, 0.4))
+    assert(!pairs.contains("BroadcastNestedLoopJoin") && !pairs.contains("CartesianProduct"),
+      s"LSH pair stage must be an equi-join:\n$pairs")
+    val p = planOf(similarity.Similarity.semanticDedupLsh(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("serve_top_per_type runs the TopKPerKey exec node, not Sort+Window") {
+    val p = planOf(serving.Serving.topPerTypeFeed(spark, sf0001))
+    assert(p.contains("TopKPerKey"),
+      s"the custom heap operator must plan the per-key top-3:\n$p")
+    assert(!p.contains("Window"),
+      s"no window (and its per-partition full sort) may remain:\n$p")
+  }
+
   test("EventSink layout enables partition pruning: month predicate reads one partition") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("prune")

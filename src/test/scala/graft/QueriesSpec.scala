@@ -242,4 +242,53 @@ class QueriesSpec extends SparkSpec {
     assert(r.nonEmpty)
     r.foreach { case (_, ranks) => assert(ranks.sorted === Seq(1, 2, 3, 4, 5)) }
   }
+
+  test("ANN recall gates: one row, floor echoed, meets_floor true") {
+    for ((fn, floor) <- Seq(
+        (graft.similarity.Similarity.annIvfVerified _, 0.5),
+        (graft.similarity.Similarity.annPqVerified _, 0.4),
+        (graft.similarity.Similarity.annIvfPqVerified _, 0.6))) {
+      val rows = fn(spark, sf0001)
+        .as[(Double, Long, Boolean)].collect()
+      assert(rows.length === 1)
+      val (f, nExact, meets) = rows.head
+      assert(f === floor)
+      assert(nExact === 50L) // 10 queries × exact top-5
+      assert(meets, s"recall gate at floor $floor failed")
+    }
+  }
+
+  test("served IVF-PQ equals the in-query form byte for byte") {
+    // same deterministic training (id-seeded Lloyd, decimal-exact
+    // means), so persisting the index must not change a single row
+    val inQuery = graft.similarity.Similarity.annIvfPq(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val served = graft.similarity.Similarity.annIvfPqServed(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served === inQuery)
+    // second invocation probes the existing catalog tables (ensure is
+    // idempotent) and still returns the identical result
+    val again = graft.similarity.Similarity.annIvfPqServed(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(again === inQuery)
+  }
+
+  test("semantic_dedup_lsh: survivor agreement with exact + edge recall floor") {
+    val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
+      .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
+    val lsh = graft.similarity.Similarity.semanticDedupLsh(spark, sf0001)
+      .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
+    assert(lsh.keySet === exact.keySet) // every vector labeled in both
+    // LSH can only MISS edges (its pairs are verified with the same
+    // exact cosine), so LSH survivors ⊇ exact survivors: a merged
+    // cluster never un-survives the exact representative
+    val exactSurvivors = exact.filter(_._2).keySet
+    val lshSurvivors = lsh.filter(_._2).keySet
+    assert(exactSurvivors.subsetOf(lshSurvivors))
+    // survivor agreement: the extra (missed-edge) survivors stay a
+    // small fraction of the corpus
+    val agree = lsh.count { case (k, v) => exact(k) == v }.toDouble / lsh.size
+    assert(agree >= 0.9, s"survivor agreement with exact semantic dedup fell to $agree")
+    info(f"survivor agreement $agree%.3f (${lshSurvivors.size - exactSurvivors.size} extra survivors)")
+  }
 }

@@ -14,7 +14,15 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(v):
+    """Driver-faithful cell key: dtype class + exact rendering.
+
+    An int64 28690 and a float64 28690.0 are EQUAL numerically but hash
+    differently driver-side (DuckDB HUGEINT → pandas float64 is the
+    classic leak: any uncast SUM(BIGINT) in an oracle). NaN collapses to
+    one token so NaN == NaN."""
     if isinstance(v, float):
+        if math.isnan(v):
+            return ('f', 'nan')
         return ('f', repr(v))
     return ('v', str(v))
 
@@ -47,11 +55,7 @@ def main(out_dir, sf_dir):
         bad = None
         for i, (rg, rw) in enumerate(zip(g, w)):
             for a, b in zip(rg, rw):
-                fa, fb = isinstance(a, float), isinstance(b, float)
-                if fa or fb:
-                    if not (a == b or (math.isnan(a) and math.isnan(b))):
-                        bad = (i, a, b); break
-                elif str(a) != str(b):
+                if norm(a) != norm(b):
                     bad = (i, a, b); break
             if bad: break
         if bad:
