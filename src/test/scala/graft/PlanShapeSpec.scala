@@ -89,6 +89,17 @@ class PlanShapeSpec extends SparkSpec {
       s"LSH pair stage must be an equi-join:\n$pairs")
     val p = planOf(similarity.Similarity.semanticDedupLsh(spark, sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the IVF (k-means cell) pair stage — the paper-faithful scale
+    // path. A BroadcastNestedLoopJoin IS expected here: the k-means
+    // assignment crosses every vector with the nlist-row centroid MODEL
+    // frame (linear in corpus × nlist, the trainCentroids shape). The
+    // quadratic danger is the corpus-pair stage, which must be the
+    // same-list equi-join — assert that key, and no CartesianProduct.
+    val ivf = planOf(similarity.Similarity.ivfNearDupPairs(spark, sf0001, 0.4))
+    assert(!ivf.contains("CartesianProduct"), s"no cartesian anywhere:\n$ivf")
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[list_id""".r
+      .findFirstIn(ivf).isDefined,
+      s"corpus pairs must come from the same-list equi-join:\n$ivf")
   }
 
   test("serve_top_per_type runs the TopKPerKey exec node, not Sort+Window") {

@@ -258,6 +258,40 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("recall gate goes RED when the sketch degrades (the gate is load-bearing)") {
+    // a broken sketch (lost all candidates) must flip meets_floor —
+    // this is the failure the driver row exists to catch
+    val empty = graft.similarity.Similarity.annTopK(spark, sf0001).limit(0)
+    val rows = graft.similarity.Similarity.recallGate(spark, sf0001, empty, 0.5)
+      .as[(Double, Long, Boolean)].collect()
+    assert(rows.length === 1)
+    assert(!rows.head._3, "an empty sketch must not meet the floor")
+    // and a half-broken one (only even query ids survive) too
+    val half = graft.similarity.Similarity.annTopK(spark, sf0001)
+      .filter($"query_id" % 2 === 0)
+    val hr = graft.similarity.Similarity.recallGate(spark, sf0001, half, 0.6)
+      .as[(Double, Long, Boolean)].collect()
+    assert(!hr.head._3, "recall 0.5 must fail a 0.6 floor")
+  }
+
+  test("ensureServedIndex clears an orphaned warehouse location from a dead session") {
+    // simulate a previous JVM's leftovers: location on disk, no catalog
+    // entry — the CTAS would otherwise fail with LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val orphan = new org.apache.hadoop.fs.Path(wh,
+      "ann_idx_coarse" + sf0001.toLowerCase.replaceAll("[^a-z0-9]", "_"))
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("ann_idx_coarse", "ann_idx_codebook", "ann_idx_codes").foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS $p" +
+        sf0001.toLowerCase.replaceAll("[^a-z0-9]", "_"))
+    }
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "stale.parquet")).close()
+    // must rebuild cleanly despite the orphan
+    val served = graft.similarity.Similarity.annIvfPqServed(spark, sf0001)
+    assert(served.count() > 0)
+  }
+
   test("served IVF-PQ equals the in-query form byte for byte") {
     // same deterministic training (id-seeded Lloyd, decimal-exact
     // means), so persisting the index must not change a single row
@@ -273,22 +307,26 @@ class QueriesSpec extends SparkSpec {
     assert(again === inQuery)
   }
 
-  test("semantic_dedup_lsh: survivor agreement with exact + edge recall floor") {
+  test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
-    val lsh = graft.similarity.Similarity.semanticDedupLsh(spark, sf0001)
-      .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
-    assert(lsh.keySet === exact.keySet) // every vector labeled in both
-    // LSH can only MISS edges (its pairs are verified with the same
-    // exact cosine), so LSH survivors ⊇ exact survivors: a merged
-    // cluster never un-survives the exact representative
     val exactSurvivors = exact.filter(_._2).keySet
-    val lshSurvivors = lsh.filter(_._2).keySet
-    assert(exactSurvivors.subsetOf(lshSurvivors))
-    // survivor agreement: the extra (missed-edge) survivors stay a
-    // small fraction of the corpus
-    val agree = lsh.count { case (k, v) => exact(k) == v }.toDouble / lsh.size
-    assert(agree >= 0.9, s"survivor agreement with exact semantic dedup fell to $agree")
-    info(f"survivor agreement $agree%.3f (${lshSurvivors.size - exactSurvivors.size} extra survivors)")
+    for ((name, fn) <- Seq(
+        ("lsh", graft.similarity.Similarity.semanticDedupLsh _),
+        ("ivf", graft.similarity.Similarity.semanticDedupIvf _))) {
+      val approx = fn(spark, sf0001)
+        .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
+      assert(approx.keySet === exact.keySet) // every vector labeled in both
+      // a candidate net can only MISS edges (pairs are verified with the
+      // same exact cosine), so approx survivors ⊇ exact survivors: a
+      // merged cluster never un-survives the exact representative
+      val s = approx.filter(_._2).keySet
+      assert(exactSurvivors.subsetOf(s), s"$name lost an exact survivor")
+      // survivor agreement: the extra (missed-edge) survivors stay a
+      // small fraction of the corpus
+      val agree = approx.count { case (k, v) => exact(k) == v }.toDouble / approx.size
+      assert(agree >= 0.9, s"$name survivor agreement fell to $agree")
+      info(f"$name%s survivor agreement $agree%.3f (${s.size - exactSurvivors.size} extra survivors)")
+    }
   }
 }
