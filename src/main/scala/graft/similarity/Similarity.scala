@@ -204,7 +204,7 @@ object Similarity extends QueryPack {
   /** Nearest coarse-quantizer lists for every row of `df`: one list per
     * corpus vector (argmax as a hash aggregate, no window sort), or the
     * `n`-probe expansion for query rows (window over queries only). */
-  private def nearestLists(centroids: DataFrame, df: DataFrame,
+  private[graft] def nearestLists(centroids: DataFrame, df: DataFrame,
       vcol: String, n: Int, out: String): DataFrame = {
     val scored = df.join(broadcast(centroids))
       .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))

@@ -228,6 +228,74 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** STREAMING ANN-INDEX MAINTENANCE — the serving-index sibling of
+    * [[curateStream]] (same table-as-state discipline, applied to the
+    * vector domain): new embedding vectors arrive as a stream and are
+    * folded into a persisted IVF-PQ posting table of the exact shape
+    * [[graft.similarity.Similarity.annIvfPqServed]] probes — point
+    * `postingPath` at the served table's warehouse location (parquet
+    * appends are immediately visible to the catalog table's scans) and
+    * the next probe sees the arrivals.
+    *
+    * Per micro-batch (`foreachBatch`):
+    *  1. idempotency guard — replayed vec_ids anti-join out against the
+    *    posting table's existing ids (the pass-table recipe), so a
+    *    crash-replayed batch appends nothing;
+    *  2. coarse assignment — the SAME argmax-as-hash-aggregate the batch
+    *    index build uses ([[graft.similarity.Similarity.nearestLists]])
+    *    against the broadcast FROZEN centroid table;
+    *  3. PQ encode against the frozen codebook
+    *    ([[graft.similarity.ProductQuantizer.encodeAll]], per-row);
+    *  4. append (vec_id, list_id, codes) to the posting table — visible
+    *    to the next served probe.
+    *
+    * Spark streaming state: ZERO rows — both models are broadcast
+    * static frames and every step is a stateless projection/aggregate
+    * over the arriving sliver. The models are deliberately FROZEN: an
+    * index must encode arrivals with the codebook its stored codes were
+    * built with (mixing codebooks corrupts ADC distances); when drift
+    * warrants retraining, production rebuilds the index offline
+    * ([[graft.similarity.Similarity.ensureServedIndex]]) and swaps —
+    * the FAISS lifecycle. Even if the anti-join guard were dropped, a
+    * duplicate posting row only duplicates a candidate, and the served
+    * probe's dropDuplicates absorbs it — degradation, not corruption.
+    * StreamingAnalyticsSpec pins stream-built == batch-built postings
+    * and replay idempotence. */
+  def annIndexStream(incoming: DataFrame, // streaming (vec_id, embedding)
+      coarse: DataFrame, codebook: DataFrame,
+      postingPath: String, checkpoint: String,
+      m: Int = 8, subDim: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorFunctions.register(spark)
+        val vs = batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        // missing/empty table = first batch; a real read failure must
+        // fail the batch, not wipe the idempotency guard (the
+        // curateStream probe rule)
+        val postDir = new org.apache.hadoop.fs.Path(postingPath)
+        val fs = postDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(postDir) && fs.globStatus(
+          new org.apache.hadoop.fs.Path(postingPath, "*.parquet")).nonEmpty
+        val arriving =
+          (if (hasData)
+            vs.join(spark.read.parquet(postingPath).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          else vs).localCheckpoint() // one materialization feeds assign + encode
+        val assigned = graft.similarity.Similarity
+          .nearestLists(coarse, arriving, "v", 1, "list_id")
+          .select("vec_id", "list_id")
+        val codes = graft.similarity.ProductQuantizer
+          .encodeAll(arriving, m, subDim, codebook)
+        assigned.join(codes, "vec_id")
+          .write.mode("append").parquet(postingPath)
+        ()
+      }
+      .start()
+
   /** Train-batch / score-stream classifier composition: the model from
     * [[graft.text.TextAnalysis.nbModelOf]] (a STATIC, vocabulary-sized
     * frame — the fastText-file analog) is broadcast into a scoring plan

@@ -52,6 +52,34 @@ object ProfileR6 {
         time("q21_waiting_supplier") {
           noop(graft.queries.TpcH.queries("q21_waiting_supplier")(spark, d)) }
 
+      case "fuzzy" =>
+        import org.apache.spark.sql.functions._
+        val names = graft.Tables.customer(spark, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        time("variants_build") {
+          names.select(col("id"), explode(expr(
+            "array_union(array(name), transform(sequence(1, length(name)), " +
+            "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
+            .as("v"))
+            .select(col("id"), xxhash64(col("v")).as("vh"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("cand_join_distinct") {
+          val variants = names.select(col("id"), explode(expr(
+            "array_union(array(name), transform(sequence(1, length(name)), " +
+            "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
+            .as("v"))
+            .select(col("id"), xxhash64(col("v")).as("vh"))
+          variants.select(col("id").as("id_a"), col("vh"))
+            .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct()
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("fuzzy_full") {
+          noop(graft.queries.Extended.fuzzyJoin(spark, d))
+        }
+
       case "served" =>
         time("ann_ivfpq_inquery") {
           noop(graft.similarity.Similarity.annIvfPq(spark, d)) }

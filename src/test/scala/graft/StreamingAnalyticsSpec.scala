@@ -274,6 +274,42 @@ class StreamingAnalyticsSpec extends SparkSpec {
       (10L, "dup_of_history")))
   }
 
+  test("annIndexStream: stream-built postings == batch encode; replay appends nothing") {
+    val in = tmpDir("ai-in"); val post = tmpDir("ai-post"); val ck = tmpDir("ai-ck")
+    graft.functions.VectorFunctions.register(spark)
+    val all = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // frozen models, trained once from the full corpus (the offline build)
+    val coarse = graft.similarity.Similarity
+      .trainCentroids(spark, all, 16, iters = 2).localCheckpoint()
+    val book = graft.similarity.ProductQuantizer
+      .train(spark, all, m = 8, subDim = 8, k = 16, iters = 1).localCheckpoint()
+    val src = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    src.filter($"vec_id" < 100).coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(src.schema).parquet(in)
+    val q = StreamingAnalytics.annIndexStream(stream, coarse, book, post, ck)
+    try {
+      q.processAllAvailable()
+      // batch 2: the rest of the corpus arrives later
+      src.filter($"vec_id" >= 100).coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // batch 3 REPLAYS batch 1 verbatim — ids must anti-join out
+      src.filter($"vec_id" < 100).coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"list_id", $"codes")
+      .as[(Long, Long, Seq[Int])].collect().toList.sortBy(_._1)
+    val streamed = key(spark.read.parquet(post))
+    // the batch-side index build over the same vectors with the same
+    // frozen models — per-row deterministic, so rows must be identical
+    val expected = key(graft.similarity.Similarity
+      .nearestLists(coarse, all, "v", 1, "list_id").select("vec_id", "list_id")
+      .join(graft.similarity.ProductQuantizer.encodeAll(all, 8, 8, book), "vec_id"))
+    assert(streamed.map(_._1) === streamed.map(_._1).distinct, "replay duplicated a row")
+    assert(streamed === expected)
+  }
+
   test("curation stages (gopher gates, pii scrub) run unchanged on a stream") {
     // the Of variants are stateless projections, so the SAME code path
     // must compose into a readStream plan and produce the batch rows
