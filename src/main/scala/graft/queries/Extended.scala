@@ -594,17 +594,30 @@ object Extended extends QueryPack {
     * would widen the heaviest shuffle ~5× for nothing — and the two
     * name lookups re-attach by id on the (small) deduped candidate
     * set, where AQE broadcasts the name table at this scale. */
-  def fuzzyJoinOf(names: DataFrame): DataFrame = {
-    val variants = names.select(col("id"),
+  /** The FastSS blocking key stage: each name's {self + 1-deletion
+    * variants} hashed to 8-byte keys — (len+1) rows per record. Exposed
+    * for the stage profiler (tools/ProfileR6 fuzzy) so its timings
+    * measure the very expression the query runs. */
+  private[graft] def fuzzyVariantsOf(names: DataFrame): DataFrame =
+    names.select(col("id"),
       explode(expr(
         "array_union(array(name), transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
         .as("v"))
       .select(col("id"), xxhash64(col("v")).as("vh"))
-    val cand = variants.select(col("id").as("id_a"), col("vh"))
+
+  /** Candidate id pairs from colliding variant hashes — the heaviest
+    * shuffle, ids + 8-byte keys only. */
+  private[graft] def fuzzyCandidatesOf(names: DataFrame): DataFrame = {
+    val variants = fuzzyVariantsOf(names)
+    variants.select(col("id").as("id_a"), col("vh"))
       .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def fuzzyJoinOf(names: DataFrame): DataFrame = {
+    val cand = fuzzyCandidatesOf(names)
     cand
       .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
       .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")

@@ -127,16 +127,13 @@ object ProductQuantizer {
     val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
     val cents = trainFrom(spark, sub, k, iters)
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
-    val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cents), "m")
-      .withColumn("d", expr(sqDist.format("sv", "cv")))
-      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val lut = lutOf(sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id"), cents)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    // decimal-exact sum of the M table entries: a double sum's merge
-    // order follows shuffle fetch order, and a last-ulp difference at
-    // the shortlist boundary would make the result run-dependent
+    // whole-corpus scan: the LUT joins on (m, cid) alone — every corpus
+    // code row matches its query entries — so this keeps its own join
+    // shape rather than adcRank's candidate-restricted (query_id, m,
+    // cid) join; the decimal-exact entry sum is identical
     codes.select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "cid")))
       .join(lut, Seq("m", "cid"))
@@ -156,26 +153,24 @@ object ProductQuantizer {
       cents: DataFrame): DataFrame =
     encode(subVectors(vecs, m, subDim), cents)
 
-  /** ADC scan against a PERSISTED codebook + posting codes: no training,
-    * no corpus encode — only the query rows are sub-split for the
-    * per-query lookup table, then the given `(query_id, neighbor_id)`
-    * candidates join their stored codes and sum M entries. This is the
-    * probe-only inner stage of
-    * [[graft.similarity.Similarity.annIvfPqServed]]; identical distance
-    * math to [[adcTopKAmong]] (same decimal-exact entry sum), so a
-    * served probe returns byte-identical shortlists to the in-query
-    * form given the same codebook. */
-  def adcTopKServed(spark: SparkSession,
-      queries: DataFrame, // (vec_id, v) — query vectors only
-      candidates: DataFrame, // (query_id, neighbor_id)
-      codes: DataFrame, // (vec_id, codes) — the stored posting table
-      cents: DataFrame, // (m, cid, cv) — the stored codebook
-      m: Int, subDim: Int, topK: Int): DataFrame = {
-    val lut = subVectors(queries, m, subDim)
+  /** The per-query ADC lookup table: one (query, subspace, codeword)
+    * distance row per codebook entry. */
+  private def lutOf(querySub: DataFrame, cents: DataFrame): DataFrame =
+    querySub
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .withColumn("d", expr(sqDist.format("sv", "cv")))
       .select(col("query_id"), col("m"), col("cid"), col("d"))
+
+  /** The candidate-restricted ADC ranking tail shared by every PQ
+    * search path: candidates join their codes, the per-query LUT is
+    * joined on (query_id, m, cid), and the M entries sum decimal-exact
+    * (a double sum's merge order follows shuffle fetch order, and a
+    * last-ulp difference at the shortlist boundary would make the
+    * result run-dependent). ONE implementation on purpose — the
+    * served/in-query byte-parity guarantee rests on it. */
+  private def adcRank(candidates: DataFrame, codes: DataFrame,
+      lut: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     candidates
@@ -191,6 +186,23 @@ object ProductQuantizer {
       .select("query_id", "neighbor_id", "adc_dist", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** ADC scan against a PERSISTED codebook + posting codes: no training,
+    * no corpus encode — only the query rows are sub-split for the
+    * per-query lookup table, then the given `(query_id, neighbor_id)`
+    * candidates join their stored codes through the shared [[adcRank]]
+    * tail. This is the probe-only inner stage of
+    * [[graft.similarity.Similarity.annIvfPqServed]]; the distance math
+    * IS [[adcTopKAmong]]'s (same code path), so a served probe returns
+    * byte-identical shortlists to the in-query form given the same
+    * codebook. */
+  def adcTopKServed(
+      queries: DataFrame, // (vec_id, v) — query vectors only
+      candidates: DataFrame, // (query_id, neighbor_id)
+      codes: DataFrame, // (vec_id, codes) — the stored posting table
+      cents: DataFrame, // (m, cid, cv) — the stored codebook
+      m: Int, subDim: Int, topK: Int): DataFrame =
+    adcRank(candidates, codes, lutOf(subVectors(queries, m, subDim), cents), topK)
 
   /** ADC top-k RESTRICTED to given candidate pairs — the inner scan of
     * an IVF-PQ index (FAISS's IVFPQ shape): the coarse quantizer has
@@ -211,24 +223,7 @@ object ProductQuantizer {
     val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
     val cents = trainFrom(spark, sub, k, iters)
     val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
-    val lut = sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id")
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cents), "m")
-      .withColumn("d", expr(sqDist.format("sv", "cv")))
-      .select(col("query_id"), col("m"), col("cid"), col("d"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    candidates
-      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("m", "cid")))
-      .join(lut, Seq("query_id", "m", "cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d").cast(DecimalType(20, 14)))
-        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "neighbor_id", "adc_dist", "rank")
-      .orderBy("query_id", "rank")
+    val lut = lutOf(sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id"), cents)
+    adcRank(candidates, codes, lut, topK)
   }
 }

@@ -444,7 +444,11 @@ object Similarity extends QueryPack {
     * this is exactly the checkable statement that remains.) */
   private[graft] def recallGate(spark: SparkSession, d: String,
       sketch: DataFrame, floor: Double): DataFrame = {
+    // materialize the exact top-k once: without it the brute-force
+    // ranked scan (the gate's heaviest stage) would run twice — once
+    // under each count. The checkpointed frame is queries×k rows.
     val exact = annTopK(spark, d).select("query_id", "neighbor_id")
+      .localCheckpoint()
     val found = exact.join(sketch.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -470,10 +474,15 @@ object Similarity extends QueryPack {
   private val ServedNProbe = 4
 
   /** Catalog table names for the served index, keyed by corpus dir so
-    * Verify (sf0.01) and Bench (sf0.1) never read each other's index. */
-  private def servedNames(d: String): (String, String, String) = {
-    val sfx = d.toLowerCase.replaceAll("[^a-z0-9]", "_")
-    (s"ann_idx_coarse$sfx", s"ann_idx_codebook$sfx", s"ann_idx_codes$sfx")
+    * Verify (sf0.01) and Bench (sf0.1) never read each other's index.
+    * The readable suffix alone would collapse dirs differing only in
+    * case or punctuation ("/data/sf0.1" vs "/data/sf0_1") onto one
+    * index — silently serving the wrong corpus — so the exact dir
+    * string's hash is appended to make the key injective-in-practice. */
+  private[graft] def servedNames(d: String): (String, String, String) = {
+    val sfx = d.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+      "_" + (d.hashCode & 0x7fffffff).toHexString
+    (s"ann_idx_coarse_$sfx", s"ann_idx_codebook_$sfx", s"ann_idx_codes_$sfx")
   }
 
   /** Train-once: build the IVF-PQ index INTO CATALOG TABLES if absent —
@@ -540,7 +549,7 @@ object Similarity extends QueryPack {
       .join(q.select("query_id", "list_id"), "list_id")
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val shortlist = ProductQuantizer.adcTopKServed(spark,
+    val shortlist = ProductQuantizer.adcTopKServed(
       q.select(col("query_id").as("vec_id"), col("v")).dropDuplicates("vec_id"),
       candidates, posting.select("vec_id", "codes"), book,
       m = 8, subDim = 8, topK = 40)

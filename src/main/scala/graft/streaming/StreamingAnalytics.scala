@@ -232,10 +232,18 @@ object StreamingAnalytics {
     * [[curateStream]] (same table-as-state discipline, applied to the
     * vector domain): new embedding vectors arrive as a stream and are
     * folded into a persisted IVF-PQ posting table of the exact shape
-    * [[graft.similarity.Similarity.annIvfPqServed]] probes — point
-    * `postingPath` at the served table's warehouse location (parquet
-    * appends are immediately visible to the catalog table's scans) and
-    * the next probe sees the arrivals.
+    * [[graft.similarity.Similarity.annIvfPqServed]] probes.
+    *
+    * Integration caveats (what "feeds the served probe" requires):
+    * a probe session that already scanned the posting table holds its
+    * file listing in the relation cache — it must
+    * `spark.catalog.refreshTable`/`refreshByPath` after external
+    * appends to see them; and the served probe re-ranks from the
+    * CORPUS store's float vectors (the index holds codes, not
+    * vectors), so an arrival must land in the corpus table as well or
+    * it will rank in the shortlist and then drop at the re-rank join.
+    * Production appends both stores per batch — this operator is the
+    * posting-side half.
     *
     * Per micro-batch (`foreachBatch`):
     *  1. idempotency guard — replayed vec_ids anti-join out against the
@@ -256,11 +264,12 @@ object StreamingAnalytics {
     * built with (mixing codebooks corrupts ADC distances); when drift
     * warrants retraining, production rebuilds the index offline
     * ([[graft.similarity.Similarity.ensureServedIndex]]) and swaps —
-    * the FAISS lifecycle. Even if the anti-join guard were dropped, a
-    * duplicate posting row only duplicates a candidate, and the served
-    * probe's dropDuplicates absorbs it — degradation, not corruption.
-    * StreamingAnalyticsSpec pins stream-built == batch-built postings
-    * and replay idempotence. */
+    * the FAISS lifecycle. The no-duplicates guarantee (in-batch dedup +
+    * table anti-join) is load-bearing: a duplicated posting row doubles
+    * that vector's summed ADC distance in the probe and evicts it from
+    * the shortlist — the probe's dropDuplicates dedups candidates, not
+    * the codes join. StreamingAnalyticsSpec pins stream-built ==
+    * batch-built postings and replay idempotence. */
   def annIndexStream(incoming: DataFrame, // streaming (vec_id, embedding)
       coarse: DataFrame, codebook: DataFrame,
       postingPath: String, checkpoint: String,
@@ -271,8 +280,14 @@ object StreamingAnalytics {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         graft.functions.VectorFunctions.register(spark)
+        // in-batch dedup FIRST: two files delivering the same vec_id in
+        // one trigger would both survive the table anti-join and append
+        // twice — and a duplicated posting row doubles that vector's
+        // summed ADC distance in the probe (codes join is not deduped),
+        // evicting it from the shortlist. Not mere degradation.
         val vs = batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
+          .dropDuplicates("vec_id")
         // missing/empty table = first batch; a real read failure must
         // fail the batch, not wipe the idempotency guard (the
         // curateStream probe rule)

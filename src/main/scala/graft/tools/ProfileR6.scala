@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   served — ann_ivfpq in-query vs ann_ivfpq_served build + probe
   *            reps, showing the amortized probe path the bench's
   *            min-of-reps reports.
+  *   fuzzy  — fuzzy_join stage split (variant build / candidate join /
+  *            full), reusing the query's own stage helpers.
   */
 object ProfileR6 {
   def main(args: Array[String]): Unit = {
@@ -53,28 +55,17 @@ object ProfileR6 {
           noop(graft.queries.TpcH.queries("q21_waiting_supplier")(spark, d)) }
 
       case "fuzzy" =>
-        import org.apache.spark.sql.functions._
+        // the stages are the query's OWN private[graft] helpers, so a
+        // change to the production expression is automatically what
+        // gets profiled here
+        import org.apache.spark.sql.functions.col
         val names = graft.Tables.customer(spark, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
         time("variants_build") {
-          names.select(col("id"), explode(expr(
-            "array_union(array(name), transform(sequence(1, length(name)), " +
-            "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
-            .as("v"))
-            .select(col("id"), xxhash64(col("v")).as("vh"))
-            .write.format("noop").mode("overwrite").save()
+          noop(graft.queries.Extended.fuzzyVariantsOf(names))
         }
         time("cand_join_distinct") {
-          val variants = names.select(col("id"), explode(expr(
-            "array_union(array(name), transform(sequence(1, length(name)), " +
-            "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name)))))"))
-            .as("v"))
-            .select(col("id"), xxhash64(col("v")).as("vh"))
-          variants.select(col("id").as("id_a"), col("vh"))
-            .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
-            .filter(col("id_a") < col("id_b"))
-            .select("id_a", "id_b").distinct()
-            .write.format("noop").mode("overwrite").save()
+          noop(graft.queries.Extended.fuzzyCandidatesOf(names))
         }
         time("fuzzy_full") {
           noop(graft.queries.Extended.fuzzyJoin(spark, d))

@@ -278,13 +278,10 @@ class QueriesSpec extends SparkSpec {
     // simulate a previous JVM's leftovers: location on disk, no catalog
     // entry — the CTAS would otherwise fail with LOCATION_ALREADY_EXISTS
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val orphan = new org.apache.hadoop.fs.Path(wh,
-      "ann_idx_coarse" + sf0001.toLowerCase.replaceAll("[^a-z0-9]", "_"))
+    val (tc, tb, tv) = graft.similarity.Similarity.servedNames(sf0001)
+    val orphan = new org.apache.hadoop.fs.Path(wh, tc)
     val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("ann_idx_coarse", "ann_idx_codebook", "ann_idx_codes").foreach { p =>
-      spark.sql(s"DROP TABLE IF EXISTS $p" +
-        sf0001.toLowerCase.replaceAll("[^a-z0-9]", "_"))
-    }
+    Seq(tc, tb, tv).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     fs.mkdirs(orphan)
     fs.create(new org.apache.hadoop.fs.Path(orphan, "stale.parquet")).close()
     // must rebuild cleanly despite the orphan
