@@ -155,6 +155,53 @@ object Extended extends QueryPack {
            countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Driver-visible error gate for [[approxDistinct]] — the
+    * [[graft.similarity.Similarity.recallGate]] pattern applied to the
+    * HLL++ sketch: `exact_users` is recomputed by the oracle from data;
+    * `within_bound` asserts the estimate landed inside 3× the sketch's
+    * default relative standard deviation (rsd 0.05 → bound 0.15). HLL
+    * register merges are max() — commutative — so the estimate is
+    * deterministic under any partitioning and the gate can't flake;
+    * a broken sketch (lost registers, bad hashing) trips it. */
+  def approxDistinctVerified(spark: SparkSession, d: String): DataFrame =
+    approxDistinct(spark, d)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * lit(0.15)).as("within_bound"))
+      .orderBy("event_type")
+
+  /** Driver-visible RANK-error gate for [[quantilesSketch]] — the MRL
+    * summary guarantees rank accuracy, not value accuracy, so the
+    * checkable statement is: the rank interval the estimated quantile
+    * value occupies in its group, `[count(x < v), count(x ≤ v)]`, must
+    * intersect `[(φ−ε)·n, (φ+ε)·n]`. ε = 0.05, the lax bound
+    * QuantileSketchSpec pins (classical bound for k=256 is ~0.3% at
+    * this n — the driver gate leaves margin, a broken sketch misses by
+    * miles). One extra scan of the grouped column per check — the rank
+    * lookup joins the 3-quantile frame against the data, map-side
+    * combinable. Oracle recomputes n per (status, φ) from data. */
+  def quantilesSketchVerified(spark: SparkSession, d: String): DataFrame = {
+    val eps = 0.05
+    val est = quantilesSketch(spark, d)
+      .select(col("o_orderstatus"),
+        explode(array(
+          struct(lit(0.25).as("phi"), col("p25_est").as("v")),
+          struct(lit(0.5).as("phi"), col("p50_est").as("v")),
+          struct(lit(0.75).as("phi"), col("p75_est").as("v")))).as("q"))
+      .select(col("o_orderstatus"), col("q.phi").as("phi"), col("q.v").as("v"))
+    val o = Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double").as("x"))
+    est.join(o, "o_orderstatus")
+      .groupBy("o_orderstatus", "phi", "v") // v is functionally dependent on (status, phi)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("rank_hi"))
+      .select(col("o_orderstatus"), col("phi"), col("n"),
+        (col("rank_hi").cast("double") >= (col("phi") - eps) * col("n") &&
+         col("rank_lo").cast("double") <= (col("phi") + eps) * col("n")).as("rank_ok"))
+      .orderBy("o_orderstatus", "phi")
+  }
+
   /** Statistical aggregates computed deterministically: mean / population
     * variance / stddev derived from exact decimal first and second
     * moments (built-in stddev over doubles is accumulation-order-
@@ -811,6 +858,8 @@ object Extended extends QueryPack {
     "window_frames" -> windowFrames,
     "grouping_sets" -> groupingSets,
     "approx_distinct" -> approxDistinct,
+    "approx_distinct_verified" -> approxDistinctVerified,
+    "quantiles_sketch_verified" -> quantilesSketchVerified,
     "stats_agg" -> statsAgg,
     "string_funcs" -> stringFuncs,
     "range_join" -> rangeJoin,
@@ -841,6 +890,19 @@ object Extended extends QueryPack {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean) / s.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+    // the sketch-bound gates: the data-derived column is recomputed
+    // exactly; the boolean is the gate — a degraded sketch flips it
+    // Spark-side and hash-fails the row (recallGate's contract)
+    "approx_distinct_verified" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "quantiles_sketch_verified" ->
+      """SELECT o_orderstatus, CAST(p.phi AS DOUBLE) AS phi,
+        |       count(*) AS n, true AS rank_ok
+        |FROM orders CROSS JOIN (VALUES (0.25), (0.5), (0.75)) p(phi)
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, phi""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
         |       CAST(CAST(floor(value / 50) AS BIGINT) * 50 AS DOUBLE) AS lo,

@@ -258,6 +258,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sketch-bound gates: HLL within 3·rsd, quantile ranks within ε, all rows true") {
+    val ad = graft.queries.Extended.approxDistinctVerified(spark, sf0001)
+      .as[(String, Long, Boolean)].collect()
+    assert(ad.nonEmpty)
+    assert(ad.forall(_._3), s"HLL estimate left the 15% bound: ${ad.mkString(",")}")
+    val qs = graft.queries.Extended.quantilesSketchVerified(spark, sf0001)
+      .as[(String, Double, Long, Boolean)].collect()
+    assert(qs.map(_._2).distinct.sorted === Seq(0.25, 0.5, 0.75))
+    assert(qs.forall(_._4), s"sketch quantile rank left the ε band: ${qs.mkString(",")}")
+  }
+
   test("recall gate goes RED when the sketch degrades (the gate is load-bearing)") {
     // a broken sketch (lost all candidates) must flip meets_floor —
     // this is the failure the driver row exists to catch
