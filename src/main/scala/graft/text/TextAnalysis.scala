@@ -530,6 +530,87 @@ object TextAnalysis extends QueryPack {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
 
+  /** Number of merge rounds [[bpeTrain]] runs — shared with the oracle
+    * builder so both engines unroll the identical loop. */
+  private[graft] val BpeMerges = 8
+
+  /** The FULL BPE merge-training loop (Sennrich et al. 2016) at word
+    * level — [[bpePairCounts]] is round 1's statistics; this runs the
+    * actual iteration: count adjacent pairs → take the most frequent
+    * (count desc, then pair asc — deterministic ties) → fuse every
+    * occurrence with the `@@` joiner (the subword-nmt convention) →
+    * recount on the rewritten corpus, [[BpeMerges]] times. Output is
+    * the learned merge table (rank, a, b, n) — the tokenizer model.
+    *
+    * Merge application is a LOCAL per-position rule, which is what
+    * makes the rewrite exact in both engines: position i fuses iff
+    * `t[i]=a ∧ t[i+1]=b`, and is consumed iff `t[i-1]=a ∧ t[i]=b`.
+    * Locality holds because self-pairs (a = b) are excluded from merge
+    * selection — for a ≠ b, occurrences of the pair can never overlap,
+    * so simultaneous rewrite ≡ subword-nmt's leftmost-greedy pass. (A
+    * self-pair merge would need run-parity state; documented trade for
+    * a bit-exact cross-engine rewrite. Self-pairs are filtered before
+    * the count — the argmax is the table's only consumer.)
+    *
+    * Scale shape: each round is one explode → map-side-combinable
+    * count → a ONE-ROW argmax collect (the merge decision is model
+    * state, exactly like a centroid round) → a stateless rewrite
+    * projection; `localCheckpoint` truncates lineage per round. 100 TB
+    * honesty: this is 1 corpus scan per merge — production BPE
+    * trainers (subword-nmt, HuggingFace) maintain incremental
+    * pair-count deltas per merge; the scan-per-round form is the
+    * Spark-first declarative equivalent, and the per-round scan cost
+    * is the explode+count everything else here already pays. */
+  def bpeTrain(spark: SparkSession, d: String): DataFrame =
+    bpeTrainOf(spark, Tables.documents(spark, d), BpeMerges)
+
+  def bpeTrainOf(spark: SparkSession, documents: DataFrame,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    var txt = documents.select(col("text"))
+    val learned = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var r = 1
+    var dry = false // corpus can run out of non-self pairs before `merges`
+    while (r <= merges && !dry) {
+      val top = txt.select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect().headOption
+      top match {
+        case None => dry = true
+        case Some((a, b, n)) =>
+          learned += ((r.toLong, a, b, n))
+          val (pa, pb) = (lit(a), lit(b))
+          val fused = lit(a + "@@" + b)
+          // try_element_at is 1-based; transform's i is 0-based: next
+          // = i+2 (element_at would THROW past the end in Spark 4;
+          // try_ returns NULL → condition falls through). The prev
+          // read at greatest(i, 1) stays in range; at i = 0 it reads x
+          // itself, making the consumed-check x=a ∧ x=b — false by
+          // the a ≠ b guarantee.
+          txt = txt.select(split(col("text"), " ").as("t"))
+            .select(array_join(
+              filter(
+                transform(col("t"), (x, i) =>
+                  when(x === pa &&
+                    try_element_at(col("t"), i + lit(2)) === pb, fused)
+                  .when(element_at(col("t"), greatest(i, lit(1))) === pa &&
+                    x === pb, lit(null: String))
+                  .otherwise(x)),
+                x => x.isNotNull),
+              " ").as("text"))
+            .localCheckpoint()
+      }
+      r += 1
+    }
+    learned.toSeq.toDF("rank", "a", "b", "n").orderBy("rank")
+  }
+
   /** The corpus quality gate as a standalone stateless filter (length,
     * type-token ratio, stopword ratio — the same predicate [[quality]]
     * reports and the oracle mirrors). Shared by [[corpusBuild]] and the
@@ -721,6 +802,7 @@ object TextAnalysis extends QueryPack {
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
+    "bpe_train" -> bpeTrain,
     "source_drift" -> sourceDrift,
     "k_anon_check" -> kAnonCheck)
 
@@ -1142,5 +1224,35 @@ object TextAnalysis extends QueryPack {
         |                i -> t[i] || ' ' || t[i+1])) AS pair
         |  FROM toks)
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
-        |ORDER BY n DESC, pair LIMIT 50""".stripMargin)
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // the merge loop unrolled as chained CTEs (the pagerank recipe):
+    // round r picks its argmax pair pr from corpus state t(r-1), and tr
+    // applies the SAME local fuse/consume rule the Scala loop runs —
+    // DuckDB's lambda index is 1-based where Spark's transform i is
+    // 0-based, so prev/next read t[i-1] / t[i+1] here vs element_at
+    // i / i+2 there. COUNT(*) keeps everything BIGINT (no HUGEINT).
+    "bpe_train" -> {
+      val rounds = (1 to BpeMerges).map { r =>
+        s"""p$r AS (
+           |  SELECT pr.pa AS a, pr.pb AS b, count(*) AS n FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |                  i -> struct_pack(pa := t[i], pb := t[i+1]))) AS pr
+           |    FROM t${r - 1} WHERE len(t) >= 2) q
+           |  WHERE pr.pa <> pr.pb
+           |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+           |t$r AS (
+           |  SELECT list_filter(list_transform(t, (x, i) -> CASE
+           |    WHEN x = p.a AND t[i+1] = p.b THEN p.a || '@@' || p.b
+           |    WHEN t[i-1] = p.a AND x = p.b THEN NULL
+           |    ELSE x END), x -> x IS NOT NULL) AS t
+           |  FROM t${r - 1} CROSS JOIN p$r p)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeMerges)
+        .map(r => s"SELECT $r AS rank, a, b, n FROM p$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH t0 AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |$rounds
+         |SELECT CAST(rank AS BIGINT) AS rank, a, b, n FROM (
+         |$out) ORDER BY rank""".stripMargin
+    })
 }

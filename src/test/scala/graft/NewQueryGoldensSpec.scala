@@ -20,6 +20,35 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(keys(13) === a)
   }
 
+  test("bpe_train: hand-traced two-round merge table; greedy overlap; dry-out stop") {
+    val docs = Seq(
+      (1L, "a b a b c"), // round 1: (a,b)x2 here
+      (2L, "a b x")      //          (a,b) again → top (a,b,3)
+    ).toDF("doc_id", "text")
+    // round 1 rewrites to "a@@b a@@b c" / "a@@b x"; round 2's non-self
+    // pairs: (a@@b,c)=1 and (a@@b,x)=1 — tie broken by b asc → c.
+    // ((a@@b,a@@b) is a self-pair: excluded from selection.)
+    val got = graft.text.TextAnalysis.bpeTrainOf(spark, docs, merges = 2)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(got === List((1L, "a", "b", 3L), (2L, "a@@b", "c", 1L)))
+
+    // greedy-overlap semantics on back-to-back occurrences: "a b a b a"
+    // fuses positions (0,1) and (2,3), leaving the trailing a — so the
+    // round-2 top pair is (a@@b, a@@b)... which is a SELF-pair, leaving
+    // only (a@@b, a): the rewrite must have produced exactly 2 fusions
+    val g2 = graft.text.TextAnalysis.bpeTrainOf(spark,
+      Seq((1L, "a b a b a")).toDF("doc_id", "text"), merges = 2)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(g2 === List((1L, "a", "b", 2L), (2L, "a@@b", "a", 1L)))
+
+    // a corpus with ONLY self-pairs can't merge: the table is empty,
+    // not an exception, and the loop stops before `merges`
+    val g3 = graft.text.TextAnalysis.bpeTrainOf(spark,
+      Seq((1L, "a a a")).toDF("doc_id", "text"), merges = 3)
+      .collect()
+    assert(g3.isEmpty)
+  }
+
   test("bpe_pair_counts: hand-counted pairs, occurrence (not per-doc) semantics") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b", "b a", "a b"  — "a b" twice IN ONE DOC
