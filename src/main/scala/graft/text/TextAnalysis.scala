@@ -531,8 +531,11 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("n").desc, col("pair")).limit(50)
 
   /** Number of merge rounds [[bpeTrain]] runs — shared with the oracle
-    * builder so both engines unroll the identical loop. */
-  private[graft] val BpeMerges = 8
+    * builder so both engines unroll the identical loop. 5, the
+    * [[graft.queries.Extended.PagerankIters]] precedent: at bench scale
+    * every round costs fixed job overhead (one count job + one rewrite
+    * job), and 5 chained rounds already prove the iteration exact. */
+  private[graft] val BpeMerges = 5
 
   /** The FULL BPE merge-training loop (Sennrich et al. 2016) at word
     * level — [[bpePairCounts]] is round 1's statistics; this runs the
@@ -567,12 +570,15 @@ object TextAnalysis extends QueryPack {
   def bpeTrainOf(spark: SparkSession, documents: DataFrame,
       merges: Int): DataFrame = {
     import spark.implicits._
-    var txt = documents.select(col("text"))
+    // corpus state stays an ARRAY column between rounds — the oracle's
+    // CTE chain keeps lists too, and re-joining/re-splitting text per
+    // round would only add two string passes per iteration
+    var toks = documents.select(split(col("text"), " ").as("t"))
     val learned = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var r = 1
     var dry = false // corpus can run out of non-self pairs before `merges`
     while (r <= merges && !dry) {
-      val top = txt.select(split(col("text"), " ").as("t"))
+      val top = toks
         .filter(size(col("t")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
@@ -593,8 +599,8 @@ object TextAnalysis extends QueryPack {
           // read at greatest(i, 1) stays in range; at i = 0 it reads x
           // itself, making the consumed-check x=a ∧ x=b — false by
           // the a ≠ b guarantee.
-          txt = txt.select(split(col("text"), " ").as("t"))
-            .select(array_join(
+          toks = toks
+            .select(
               filter(
                 transform(col("t"), (x, i) =>
                   when(x === pa &&
@@ -602,8 +608,7 @@ object TextAnalysis extends QueryPack {
                   .when(element_at(col("t"), greatest(i, lit(1))) === pa &&
                     x === pb, lit(null: String))
                   .otherwise(x)),
-                x => x.isNotNull),
-              " ").as("text"))
+                x => x.isNotNull).as("t"))
             .localCheckpoint()
       }
       r += 1
