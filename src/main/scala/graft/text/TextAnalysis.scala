@@ -568,12 +568,48 @@ object TextAnalysis extends QueryPack {
     bpeTrainOf(spark, Tables.documents(spark, d), BpeMerges)
 
   def bpeTrainOf(spark: SparkSession, documents: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int): DataFrame =
+    bpeLoopOf(spark, documents, merges)._1
+
+  /** TOKENIZE with the model [[bpeTrain]] learns — the apply half of
+    * the tokenizer lifecycle (subword-nmt's `apply_bpe`): run the same
+    * merge loop and emit the final rewritten corpus per document
+    * instead of the merge table. Train and encode on the same corpus
+    * compose into one pass here because applying merges 1..k to the
+    * training corpus IS the loop's corpus state after round k — no
+    * second apply pass needed (encoding a NEW corpus would replay the
+    * learned table as k stateless rewrites, same per-round rule, no
+    * argmax). Output per doc: the BPE token count (the number a
+    * training-data pipeline budgets by), how many tokens are fused
+    * units, and the rewritten text.
+    *
+    * Scale shape: identical to [[bpeTrain]] (the rewrite chain is the
+    * same jobs), plus one final stateless projection; nothing about
+    * the output is wider than the input corpus. */
+  def bpeEncode(spark: SparkSession, d: String): DataFrame =
+    bpeEncodeOf(spark, Tables.documents(spark, d), BpeMerges)
+
+  def bpeEncodeOf(spark: SparkSession, documents: DataFrame,
+      merges: Int): DataFrame =
+    bpeLoopOf(spark, documents, merges)._2
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), x => x.contains("@@"))).cast("long")
+          .as("n_fused"),
+        array_join(col("t"), " ").as("text_bpe"))
+      .orderBy("doc_id")
+
+  /** The shared merge loop: returns (learned merge table, final corpus
+    * state as `(doc_id, t)`). `doc_id` rides along for [[bpeEncode]];
+    * the pair-count stage never reads it, so Catalyst prunes it out of
+    * [[bpeTrain]]'s count jobs. */
+  private[graft] def bpeLoopOf(spark: SparkSession, documents: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     // corpus state stays an ARRAY column between rounds — the oracle's
     // CTE chain keeps lists too, and re-joining/re-splitting text per
     // round would only add two string passes per iteration
-    var toks = documents.select(split(col("text"), " ").as("t"))
+    var toks = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
     val learned = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var r = 1
     var dry = false // corpus can run out of non-self pairs before `merges`
@@ -600,7 +636,7 @@ object TextAnalysis extends QueryPack {
           // itself, making the consumed-check x=a ∧ x=b — false by
           // the a ≠ b guarantee.
           toks = toks
-            .select(
+            .select(col("doc_id"),
               filter(
                 transform(col("t"), (x, i) =>
                   when(x === pa &&
@@ -613,7 +649,7 @@ object TextAnalysis extends QueryPack {
       }
       r += 1
     }
-    learned.toSeq.toDF("rank", "a", "b", "n").orderBy("rank")
+    (learned.toSeq.toDF("rank", "a", "b", "n").orderBy("rank"), toks)
   }
 
   /** The corpus quality gate as a standalone stateless filter (length,
@@ -808,6 +844,7 @@ object TextAnalysis extends QueryPack {
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_train" -> bpeTrain,
+    "bpe_encode" -> bpeEncode,
     "source_drift" -> sourceDrift,
     "k_anon_check" -> kAnonCheck)
 
@@ -1231,33 +1268,53 @@ object TextAnalysis extends QueryPack {
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // the merge loop unrolled as chained CTEs (the pagerank recipe):
-    // round r picks its argmax pair pr from corpus state t(r-1), and tr
-    // applies the SAME local fuse/consume rule the Scala loop runs —
-    // DuckDB's lambda index is 1-based where Spark's transform i is
-    // 0-based, so prev/next read t[i-1] / t[i+1] here vs element_at
-    // i / i+2 there. COUNT(*) keeps everything BIGINT (no HUGEINT).
+    // see bpeChainSql; the final select reads only the p-r argmax rows
     "bpe_train" -> {
-      val rounds = (1 to BpeMerges).map { r =>
-        s"""p$r AS (
-           |  SELECT pr.pa AS a, pr.pb AS b, count(*) AS n FROM (
-           |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-           |                  i -> struct_pack(pa := t[i], pb := t[i+1]))) AS pr
-           |    FROM t${r - 1} WHERE len(t) >= 2) q
-           |  WHERE pr.pa <> pr.pb
-           |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
-           |t$r AS (
-           |  SELECT list_filter(list_transform(t, (x, i) -> CASE
-           |    WHEN x = p.a AND t[i+1] = p.b THEN p.a || '@@' || p.b
-           |    WHEN t[i-1] = p.a AND x = p.b THEN NULL
-           |    ELSE x END), x -> x IS NOT NULL) AS t
-           |  FROM t${r - 1} CROSS JOIN p$r p)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeMerges)
         .map(r => s"SELECT $r AS rank, a, b, n FROM p$r")
         .mkString("\nUNION ALL ")
-      s"""WITH t0 AS (SELECT string_split(text, ' ') AS t FROM documents),
-         |$rounds
+      s"""WITH $bpeChainSql
          |SELECT CAST(rank AS BIGINT) AS rank, a, b, n FROM (
          |$out) ORDER BY rank""".stripMargin
-    })
+    },
+    // same chain, final select reads the rewritten corpus state instead
+    // of the merge table
+    "bpe_encode" ->
+      s"""WITH $bpeChainSql
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(t, x -> contains(x, '@@'))) AS BIGINT)
+         |         AS n_fused,
+         |       array_to_string(t, ' ') AS text_bpe
+         |FROM t$BpeMerges ORDER BY doc_id""".stripMargin)
+
+  /** The BPE merge loop unrolled as chained CTEs, shared by the
+    * `bpe_train` / `bpe_encode` oracles: round r picks its argmax pair
+    * p_r from corpus state t_(r-1), and t_r applies the SAME local
+    * fuse/consume rule the Scala loop runs — DuckDB's lambda index is
+    * 1-based where Spark's transform i is 0-based, so prev/next read
+    * t[i-1] / t[i+1] here vs element_at i / i+2 there. COUNT(*) keeps
+    * everything BIGINT (no HUGEINT). `LEFT JOIN ON TRUE` (not CROSS
+    * JOIN) so an empty p_r — the corpus running dry of non-self pairs —
+    * leaves t_r as the identity rewrite (NULL comparisons fall through
+    * to ELSE x), exactly the Scala loop's early stop; a cross join
+    * would erase the corpus instead. */
+  private def bpeChainSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pr.pa AS a, pr.pb AS b, count(*) AS n FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |                  i -> struct_pack(pa := t[i], pb := t[i+1]))) AS pr
+         |    FROM t${r - 1} WHERE len(t) >= 2) q
+         |  WHERE pr.pa <> pr.pb
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |t$r AS (
+         |  SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
+         |    WHEN x = p.a AND t[i+1] = p.b THEN p.a || '@@' || p.b
+         |    WHEN t[i-1] = p.a AND x = p.b THEN NULL
+         |    ELSE x END), x -> x IS NOT NULL) AS t
+         |  FROM t${r - 1} LEFT JOIN p$r p ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$rounds""".stripMargin
+  }
 }

@@ -49,6 +49,28 @@ class NewQueryGoldensSpec extends SparkSpec {
     assert(g3.isEmpty)
   }
 
+  test("bpe_encode: rewritten corpus equals the hand-traced merge application") {
+    val docs = Seq(
+      (1L, "a b a b c"), // after (a,b) then (a@@b,c): [a@@b, a@@b@@c]
+      (2L, "a b x"),     // [a@@b@@c? no — (a@@b,x) lost the tie] → [a@@b, x]
+      (3L, "z")          // untouched single token rides through
+    ).toDF("doc_id", "text")
+    // round 1 merges (a,b); round 2's candidates (a@@b,a@@b) self-pair
+    // excluded, (a@@b,c)=1 vs (a@@b,x)=1 tie → c by pair asc
+    val got = graft.text.TextAnalysis.bpeEncodeOf(spark, docs, merges = 2)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got === List(
+      (1L, 2L, 2L, "a@@b a@@b@@c"),
+      (2L, 2L, 1L, "a@@b x"),
+      (3L, 1L, 0L, "z")))
+
+    // dry-out: merges beyond exhaustion leave the corpus state as-is
+    val g2 = graft.text.TextAnalysis.bpeEncodeOf(spark,
+      Seq((1L, "a a a")).toDF("doc_id", "text"), merges = 3)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(g2 === List((1L, 3L, 0L, "a a a")))
+  }
+
   test("bpe_pair_counts: hand-counted pairs, occurrence (not per-doc) semantics") {
     val docs = Seq(
       (1L, "a b a b"),   // pairs: "a b", "b a", "a b"  — "a b" twice IN ONE DOC
