@@ -701,18 +701,34 @@ object Extended extends QueryPack {
     * [[graft.dedup.Dedup.clusterLabels]]. The only driver value is the
     * node count (one long). */
   def pagerank(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
+    // no checkpoint on the half frame here: pagerankOf folds the edge
+    // list straight into its (checkpointed) adjacency table, so
+    // materializing the 2.4M-row intermediate would be a second full
+    // pass for nothing
+    val half = coOccurHalf(spark, d)
+    val pairs = half
+      .union(half.select(col("pb").as("pa"), col("pa").as("pb")))
+    pagerankOf(pairs).orderBy(col("rank").desc, col("node")).limit(100)
+  }
+
+  /** The `pa < pb` half of the product co-occurrence edge set (parts
+    * appearing in the same order) — shared by [[pagerank]] (which
+    * mirrors it into the symmetric frame) and [[graphTriangles]]
+    * (which re-orients it by degree).
+    *
+    * Edge build without the self-join: one groupBy collects each
+    * order's (distinct, sorted) part set, a codegen'd HOF emits the
+    * pa < pb combinations in-array, and only that HALF of the
+    * symmetric edge set pays the distinct shuffle — the mirror half is
+    * a free projection union'd on afterwards. vs the join+distinct
+    * formulation this trades two 600k-row join shuffles for one
+    * groupBy and halves the distinct's input (measured ~1.7× on the
+    * build stage at sf0.1); the edge SET is identical, so the oracles'
+    * join-based SQL still hash-matches. */
+  private[graft] def coOccurHalf(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // Edge build without the self-join: one groupBy collects each
-    // order's (distinct, sorted) part set, a codegen'd HOF emits the
-    // pa < pb combinations in-array, and only that HALF of the
-    // symmetric edge set pays the distinct shuffle — the mirror half is
-    // a free projection union'd on afterwards. vs the join+distinct
-    // formulation this trades two 600k-row join shuffles for one
-    // groupBy and halves the distinct's input (measured ~1.7× on the
-    // build stage at sf0.1); the edge SET is identical, so the oracle's
-    // join-based SQL still hash-matches.
-    val half = li.groupBy("ok")
+      .groupBy("ok")
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -720,12 +736,65 @@ object Extended extends QueryPack {
           .stripMargin)).as("e"))
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .distinct()
-    // no checkpoint here: pagerankOf folds the edge list straight into
-    // its (checkpointed) adjacency table, so materializing the 2.4M-row
-    // intermediate would be a second full pass for nothing
-    val pairs = half
-      .union(half.select(col("pb").as("pa"), col("pa").as("pb")))
-    pagerankOf(pairs).orderBy(col("rank").desc, col("node")).limit(100)
+
+  /** Per-node triangle counts over the product co-occurrence graph —
+    * the local-clustering signal next to [[pagerank]]'s centrality and
+    * the dedup family's connected components. All-integer (counting
+    * only), so the top-100 result hash-matches the oracle exactly.
+    *
+    * Scale shape — the "curse of the last reducer" cure (Suri &
+    * Vassilvitskii, WWW'11): every undirected edge is ORIENTED from its
+    * (degree, id)-smaller endpoint to its larger one, and wedges are
+    * generated only at each edge's low-degree corner. Naively a hub of
+    * degree d contributes C(d,2) wedges — the reducer that never
+    * finishes on a power-law graph; oriented, every node's wedge count
+    * is bounded by its OUT-degree squared, and the max out-degree of
+    * this orientation is O(√m) on ANY graph, so the wedge stage stays
+    * balanced at 1000 executors no matter how skewed the part
+    * popularity gets. The triangle SET is unchanged — each triangle is
+    * emitted exactly once, from its smallest-(degree, id) corner — so
+    * the naive a<b<c three-way self-join the DuckDB oracle runs yields
+    * the identical per-node counts. Shuffles carry only 8-byte node
+    * ids (+ one long degree on the oriented frame); the closing-edge
+    * probe is an equi-join of wedges against the oriented edge list. */
+  def graphTriangles(spark: SparkSession, d: String): DataFrame =
+    trianglesOf(coOccurHalf(spark, d))
+      .orderBy(col("triangles").desc, col("node")).limit(100)
+
+  /** The orientation + wedge + close pipeline over a `pa < pb` half
+    * frame. Exposed separately so the unit spec can feed constructed
+    * graphs (K4, paths, stars) with hand-countable triangles. */
+  private[graft] def trianglesOf(half: DataFrame): DataFrame = {
+    // degree over the UNDIRECTED graph: each half edge counts for both
+    // endpoints; O(nodes) rows — model-state-sized, broadcast below
+    val deg = half.select(col("pa").as("n"))
+      .union(half.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orient by (degree, id): ties broken by id keep the relation total
+    val oriented = half
+      .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
+      .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
+      .select(when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"), col("db").as("dd")))
+        .otherwise(
+          struct(col("pb").as("src"), col("pa").as("dst"), col("da").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+      .localCheckpoint() // consumed three times: two wedge sides + probe
+    // wedges at the low corner, (dv, v) < (dw, w) so each unordered
+    // out-neighbor pair appears once AND the closing edge — if it
+    // exists — is oriented exactly v→w under the same total order
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("src"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("src"), col("v"), col("w"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
   /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
@@ -839,6 +908,7 @@ object Extended extends QueryPack {
     "assign_ids" -> assignIds,
     "fuzzy_join" -> fuzzyJoin,
     "pagerank" -> pagerank,
+    "graph_triangles" -> graphTriangles,
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
@@ -940,6 +1010,26 @@ object Extended extends QueryPack {
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$PagerankIters
          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
     },
+    // the naive a<b<c three-way self-join — affordable for DuckDB at
+    // sf0.01; the Spark side must find the identical triangle set from
+    // the degree-oriented wedge formulation
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |  JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, COUNT(*) AS triangles
+        |FROM corners GROUP BY node
+        |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
     // the naive quadratic fuzzy match — affordable for DuckDB at sf0.01;
     // the Spark side must find the identical pairs from the
     // deletion-neighborhood blocking

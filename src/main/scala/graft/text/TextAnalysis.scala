@@ -822,6 +822,51 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model fluency scoring — the CCNet-style quality
+    * filter (Wenzek et al. 2020 score documents by the perplexity of an
+    * LM trained on trusted text; here the LM is the corpus's own MLE
+    * bigram model, so low scores flag distributional outliers). The
+    * textbook score is the per-token mean of `ln p(w2|w1)`; `ln()` is
+    * not correctly-rounded and its parallel sum is order-dependent (the
+    * repo-wide ULP policy — see [[langConfusion]]'s TV-vs-KL note), so
+    * the score is the house rational surrogate: per document,
+    * `fluency = Σ c(w1,w2) / Σ c(w1)` — exact integer numerator and
+    * denominator (the summed MLE transition masses) with ONE double
+    * division, bit-identical across engines. The surprise TAIL — what
+    * perplexity is actually used to catch — is reported exactly as
+    * `rare_bigrams`, the count of transitions seen nowhere else in the
+    * corpus.
+    *
+    * Scale shape: one stateless bigram explode (zip_with over the token
+    * array — no positional self-join), two count aggregates keyed on
+    * the bigram/left-token strings (at 100 TB these keys ship as 8-byte
+    * xxhash64 digests, the [[graft.dedup.Dedup]] `dedup_exact_hashkey`
+    * form; strings are kept here so the DuckDB oracle's equality is
+    * literal), one bigram-partitioned equi-join back against the
+    * stream, one per-doc sum. Nothing wider than a bigram on any
+    * shuffle, and the count tables are vocabulary-sized. */
+  def lmBigramScore(spark: SparkSession, d: String): DataFrame =
+    lmBigramScoreOf(Tables.documents(spark, d))
+
+  def lmBigramScoreOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("bi_mass"),
+        sum(col("c1")).as("left_mass"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("rare_bigrams"))
+      .withColumn("fluency", col("bi_mass").cast("double") / col("left_mass"))
+      .orderBy("doc_id")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "corpus_build" -> corpusBuild,
     "text_lang_confusion" -> langConfusion,
@@ -834,6 +879,7 @@ object TextAnalysis extends QueryPack {
     "text_freq_score" -> freqScore,
     "pii_scrub" -> piiScrub,
     "nb_classify" -> nbClassify,
+    "lm_bigram_score" -> lmBigramScore,
     "dsir_select" -> dsirSelect,
     "dsir_resample" -> ((s: SparkSession, d: String) =>
       dsirResampleOf(Tables.documents(s, d))),
@@ -1144,6 +1190,24 @@ object TextAnalysis extends QueryPack {
     // DuckDB's SUM(BIGINT) returns HUGEINT, which pandas reads back as
     // float64 — the driver's value hash then sees "123.0" vs Spark's
     // "123" and fails. Every exposed sum must CAST back to BIGINT.
+    "lm_bigram_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+        |SELECT b.doc_id,
+        |       COUNT(*) AS n_bigrams,
+        |       CAST(SUM(c12.c12) AS BIGINT) AS bi_mass,
+        |       CAST(SUM(c1.c1) AS BIGINT) AS left_mass,
+        |       CAST(SUM(CASE WHEN c12.c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rare_bigrams,
+        |       CAST(SUM(c12.c12) AS DOUBLE) / SUM(c1.c1) AS fluency
+        |FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "dsir_select" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
