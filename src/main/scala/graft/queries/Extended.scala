@@ -797,6 +797,48 @@ object Extended extends QueryPack {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Degree moments + Newman assortativity of the co-occurrence graph —
+    * the one-row structural profile that tells a pipeline whether its
+    * graph ops face a power-law hub problem (the very skew
+    * [[graphTriangles]]' orientation and the skew-join cures exist
+    * for). All moments are EXACT integers; the assortativity
+    * coefficient is the house rational form — for an undirected graph
+    * with each edge once and endpoint degrees (j, k),
+    * `r = (4m·Σjk − (Σ(j+k))²) / (2m·Σ(j²+k²) − (Σ(j+k))²)` — integer
+    * numerator and denominator, ONE double division (NULL on the
+    * zero-variance regular graph, where r is undefined).
+    *
+    * Scale shape: the degree frame is O(nodes) model state broadcast
+    * into the half-edge join; the moment aggregate is a map-side
+    * partial reduce whose shuffle carries ONE row of longs. Nothing
+    * here collects data. Int64 headroom: Σjk ≤ m·dmax² — at 1e9 edges
+    * and dmax 1e4 that is 1e17, inside int64; corpora past that scale
+    * the moments to DECIMAL(38,0) before the products. */
+  def graphDegreeStats(spark: SparkSession, d: String): DataFrame =
+    degreeStatsOf(coOccurHalf(spark, d))
+
+  private[graft] def degreeStatsOf(half: DataFrame): DataFrame = {
+    val deg = half.select(col("pa").as("n"))
+      .union(half.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val m = half
+      .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
+      .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
+      .agg(count(lit(1)).as("edges"),
+        sum(col("da") * col("db")).as("s_jk"),
+        sum(col("da") + col("db")).as("s_sum"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
+    val nd = deg.agg(count(lit(1)).as("nodes"), max(col("dg")).as("max_degree"))
+    // two 1-row frames; the cross join is a no-op physically
+    nd.crossJoin(m)
+      .withColumn("num", lit(4L) * col("edges") * col("s_jk") - col("s_sum") * col("s_sum"))
+      .withColumn("den", lit(2L) * col("edges") * col("s_sq") - col("s_sum") * col("s_sum"))
+      .select(col("nodes"), col("edges"), col("max_degree"),
+        col("s_jk"), col("s_sum"), col("s_sq"),
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den")).as("assortativity"))
+  }
+
   /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
     * out-degree is folded into the edge list ONCE before the loop (an
     * adjacency table with `d` on every edge costs 8 bytes/edge and
@@ -909,6 +951,7 @@ object Extended extends QueryPack {
     "fuzzy_join" -> fuzzyJoin,
     "pagerank" -> pagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_degree_stats" -> graphDegreeStats,
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
@@ -1030,6 +1073,30 @@ object Extended extends QueryPack {
         |SELECT node, COUNT(*) AS triangles
         |FROM corners GROUP BY node
         |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
+    "graph_degree_stats" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS dg FROM (
+        |    SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs)
+        |  GROUP BY n),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+        |         CAST(SUM(da.dg * db.dg) AS BIGINT) AS s_jk,
+        |         CAST(SUM(da.dg + db.dg) AS BIGINT) AS s_sum,
+        |         CAST(SUM(da.dg * da.dg + db.dg * db.dg) AS BIGINT) AS s_sq
+        |  FROM pairs e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb),
+        |nd AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+        |         CAST(MAX(dg) AS BIGINT) AS max_degree FROM deg)
+        |SELECT nodes, edges, max_degree, s_jk, s_sum, s_sq,
+        |       CASE WHEN 2 * edges * s_sq - s_sum * s_sum = 0 THEN NULL
+        |            ELSE CAST(4 * edges * s_jk - s_sum * s_sum AS DOUBLE)
+        |                 / (2 * edges * s_sq - s_sum * s_sum) END
+        |         AS assortativity
+        |FROM nd, mom""".stripMargin,
     // the naive quadratic fuzzy match — affordable for DuckDB at sf0.01;
     // the Spark side must find the identical pairs from the
     // deletion-neighborhood blocking

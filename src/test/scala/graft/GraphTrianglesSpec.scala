@@ -50,6 +50,34 @@ class GraphTrianglesSpec extends SparkSpec {
     assert(count(half) === brute)
   }
 
+  private def stats(half: Seq[(Long, Long)]) =
+    Extended.degreeStatsOf(half.toDF("pa", "pb"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head
+
+  test("degree stats: star K1,4 is perfectly disassortative (r = -1)") {
+    // center degree 4, leaves 1: every edge joins unlike degrees
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+    // per edge jk=4, j+k=5, j²+k²=17
+    assert(stats(star) === ((5L, 4L, 4L, 16L, 20L, 68L, Some(-1.0))))
+  }
+
+  test("degree stats: regular graph (K4) has undefined assortativity") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // all degrees 3 -> zero degree variance -> NULL, not a 0/0 NaN
+    assert(stats(k4) === ((4L, 6L, 3L, 54L, 36L, 108L, None)))
+  }
+
+  test("degree stats: triangle with a pendant, hand-computed moments") {
+    // degrees 1:2 2:2 3:3 4:1; edges (1,2)(1,3)(2,3)(3,4)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val s = stats(g)
+    assert(s._1 === 4L && s._2 === 4L && s._3 === 3L)
+    assert((s._4, s._5, s._6) === ((19L, 18L, 44L)))
+    // r = (4·4·19 − 18²)/(2·4·44 − 18²) = −20/28
+    assert(s._7 === Some(-20.0 / 28.0))
+  }
+
   test("result is invariant to edge-frame partitioning") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     def run(parts: Int) =
