@@ -744,26 +744,47 @@ object Extended extends QueryPack {
     *
     * Scale shape — the "curse of the last reducer" cure (Suri &
     * Vassilvitskii, WWW'11): every undirected edge is ORIENTED from its
-    * (degree, id)-smaller endpoint to its larger one, and wedges are
-    * generated only at each edge's low-degree corner. Naively a hub of
-    * degree d contributes C(d,2) wedges — the reducer that never
-    * finishes on a power-law graph; oriented, every node's wedge count
-    * is bounded by its OUT-degree squared, and the max out-degree of
-    * this orientation is O(√m) on ANY graph, so the wedge stage stays
-    * balanced at 1000 executors no matter how skewed the part
-    * popularity gets. The triangle SET is unchanged — each triangle is
-    * emitted exactly once, from its smallest-(degree, id) corner — so
-    * the naive a<b<c three-way self-join the DuckDB oracle runs yields
-    * the identical per-node counts. Shuffles carry only 8-byte node
-    * ids (+ one long degree on the oriented frame); the closing-edge
-    * probe is an equi-join of wedges against the oriented edge list. */
+    * (degree, id)-smaller endpoint to its larger one, so a hub of
+    * degree d — naively C(d,2) candidate pairs, the reducer that never
+    * finishes on a power-law graph — is capped at OUT-degree O(√m) on
+    * ANY graph, and every per-edge intersection in [[trianglesOf]] is
+    * O(√m) work no matter how skewed the part popularity gets. The
+    * triangle SET is unchanged — each triangle is counted exactly
+    * once, at its smallest-(degree, id) corner's base edge — so the
+    * naive a<b<c three-way self-join the DuckDB oracle runs yields the
+    * identical per-node counts. */
   def graphTriangles(spark: SparkSession, d: String): DataFrame =
     trianglesOf(coOccurHalf(spark, d))
       .orderBy(col("triangles").desc, col("node")).limit(100)
 
-  /** The orientation + wedge + close pipeline over a `pa < pb` half
-    * frame. Exposed separately so the unit spec can feed constructed
-    * graphs (K4, paths, stars) with hand-countable triangles. */
+  /** The orientation + adjacency-intersection pipeline over a `pa < pb`
+    * half frame. Exposed separately so the unit spec can feed
+    * constructed graphs (K4, paths, stars) with hand-countable
+    * triangles.
+    *
+    * Shape — edge iterator, not wedge materialization: under the
+    * (degree, id) orientation a triangle a→b, a→c, b→c is found exactly
+    * once, as `c ∈ out(a) ∩ out(b)` probed on its base edge (a, b). The
+    * measured reason to prefer this on a dense graph: at sf0.1 the
+    * co-occurrence graph has 1.2M edges but 41M wedges for only 5.65M
+    * triangles, so any wedge-materializing form (self-join OR in-array
+    * generation) pays a 41M-row shuffle join to discard 87% of it; the
+    * intersection form never materializes a wedge — per-edge
+    * `array_intersect` emits just the closers. Only two shuffles
+    * remain: the groupBy building the out-adjacency table (one row per
+    * node, list length ≤ O(√m) by the orientation, so no task blows up)
+    * and the final per-node partial-count agg. Per-node counts come
+    * from per-edge contributions — a and b each earn |cs|, every closer
+    * earns 1 — which explodes triangles+2·closing-edges rows instead of
+    * 3·triangles.
+    *
+    * The adjacency table is broadcast into the probe: it is node-sized
+    * in ROWS but carries the whole oriented edge mass in bytes (~15 MB
+    * here — the node set is the parts catalog, not the corpus). At a
+    * scale where that mass outgrows broadcast, drop the hint and let
+    * the same plan shuffle-join on `b` — the join carries each edge's
+    * `na` list, Σ out-deg² = 2·wedges entries, the Suri–Vassilvitskii
+    * bound — while this orientation keeps it balanced. */
   private[graft] def trianglesOf(half: DataFrame): DataFrame = {
     // degree over the UNDIRECTED graph: each half edge counts for both
     // endpoints; O(nodes) rows — model-state-sized, broadcast below
@@ -775,26 +796,29 @@ object Extended extends QueryPack {
       .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
       .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
       .select(when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
-          struct(col("pa").as("src"), col("pb").as("dst"), col("db").as("dd")))
-        .otherwise(
-          struct(col("pb").as("src"), col("pa").as("dst"), col("da").as("dd")))
+          struct(col("pa").as("src"), col("pb").as("dst")))
+        .otherwise(struct(col("pb").as("src"), col("pa").as("dst")))
         .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.dd").as("dd"))
-      .localCheckpoint() // consumed three times: two wedge sides + probe
-    // wedges at the low corner, (dv, v) < (dw, w) so each unordered
-    // out-neighbor pair appears once AND the closing edge — if it
-    // exists — is oriented exactly v→w under the same total order
-    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
-        Seq("src"))
-      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
-      .select(col("src"), col("v"), col("w"))
-    val tri = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nd"))
+      .localCheckpoint() // node-sized; probe side AND broadcast side
+    val tri = adj
+      .select(col("src").as("a"), col("nd").as("na"),
+        explode(col("nd")).as("b"))
+      .join(broadcast(adj.select(col("src").as("b"), col("nd").as("nb"))),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    tri.select(explode(concat(
+        array(
+          struct(col("a").as("node"), size(col("cs")).cast("long").as("tc")),
+          struct(col("b").as("node"), size(col("cs")).cast("long").as("tc"))),
+        expr("transform(cs, c -> struct(c AS node, CAST(1 AS BIGINT) AS tc))")))
+        .as("t"))
+      .select(col("t.node").as("node"), col("t.tc").as("tc"))
+      .groupBy("node").agg(sum("tc").as("triangles"))
   }
 
   /** Degree moments + Newman assortativity of the co-occurrence graph —

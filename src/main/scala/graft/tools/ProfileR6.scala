@@ -79,6 +79,76 @@ object ProfileR6 {
         time("ann_ivfpq_served") {
           noop(graft.similarity.Similarity.annIvfPqServed(spark, d)) }
 
+      case "new6" =>
+        // the queries registered AFTER the round-6 gate bench — solo
+        // reps so their first BENCH_r7 appearance has a contention-free
+        // reference number
+        val post = Seq("bpe_train", "bpe_encode", "graph_triangles",
+          "graph_degree_stats", "lm_bigram_score")
+        post.foreach { q =>
+          noop(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01"))
+        }
+        post.foreach { q =>
+          time(q) { noop(graft.SparkEntry.queries(q)(spark, d)) }
+        }
+
+      case "tri6" =>
+        // 6 timed reps of graph_triangles alone, with GC + block-manager
+        // telemetry between reps, to separate plan cost from JVM decay
+        import scala.jdk.CollectionConverters._
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val dur = for {
+                s <- si.submissionTime; c <- si.completionTime
+              } yield c - s
+              stages.add((si.stageId, dur.getOrElse(-1L),
+                si.taskMetrics.executorRunTime))
+            }
+          })
+        noop(graft.SparkEntry.queries("graph_triangles")(spark, "/root/testdata/sf0.01"))
+        (1 to 6).foreach { i =>
+          val gcBefore = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(b => b.getCollectionTime).sum
+          val t0 = System.nanoTime()
+          noop(graft.SparkEntry.queries("graph_triangles")(spark, d))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val gcAfter = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(b => b.getCollectionTime).sum
+          val mem = spark.sparkContext.getExecutorMemoryStatus.values.head
+          println(f"[tri6] rep$i%d  ${secs}%6.2fs  gc=${(gcAfter - gcBefore) / 1000.0}%5.1fs  blockFree=${mem._2 / 1024 / 1024}%dMB")
+          val slow = stages.asScala.toSeq.sortBy(-_._2).take(5)
+          slow.foreach { case (id, wall, run) =>
+            println(f"[tri6]   stage$id%5d wall=${wall / 1000.0}%6.2fs taskRun=${run / 1000.0}%7.2fs")
+          }
+          stages.clear()
+        }
+
+      case "tristats" =>
+        // size the triangle pipeline's stages: is the wedge volume the
+        // cost, and would an edge-local adjacency intersection beat it?
+        import org.apache.spark.sql.functions._
+        val half = graft.queries.Extended.coOccurHalf(spark, d).cache()
+        println("[tristats] edges=" + half.count())
+        val deg = half.select(col("pa").as("n"))
+          .union(half.select(col("pb").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg")).cache()
+        println("[tristats] nodes=" + deg.count())
+        println("[tristats] deg max/avg=" + deg.agg(max("dg"), avg("dg")).collect()(0))
+        val or = half
+          .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
+          .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
+          .select(when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+            col("pa")).otherwise(col("pb")).as("src"))
+        val od = or.groupBy("src").agg(count(lit(1)).as("d"))
+        println("[tristats] outdeg max/avg, wedges=" +
+          od.agg(max("d"), avg("d"), sum(expr("d*(d-1)/2"))).collect()(0))
+        println("[tristats] triangles=" + graft.queries.Extended
+          .trianglesOf(half).agg(sum("triangles")).collect()(0))
+
       case other => sys.error(s"unknown mode '$other'")
     }
     spark.stop()
