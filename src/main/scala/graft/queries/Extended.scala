@@ -970,9 +970,58 @@ object Extended extends QueryPack {
         col("sum_value"))
       .orderBy("bin")
 
+  /** Entity resolution over customer records — the record-linkage
+    * composition the fuzzy join exists for: candidate pairs from
+    * FastSS deletion-neighborhood blocking ([[fuzzyCandidatesOf]]),
+    * verified by exact `levenshtein ≤ 1` AND exact agreement on the
+    * blocking attributes (nation, segment) — the standard
+    * blocking-plus-fuzzy-name shape of production ER — then connected
+    * components ([[graft.dedup.Dedup.clusterLabels]]) fold matching
+    * records into entities, and each entity elects its min-id member
+    * as the canonical record. Every stage is an already-proven
+    * component; this query is the end-to-end pipeline with one
+    * hash-checked result: (record → entity, canonical name, entity
+    * size).
+    *
+    * Scale shape: inherits its stages' — variant-hash equi-join
+    * candidates (never all-pairs), exact verify on candidates only,
+    * O(log diameter) component rounds over the match sliver; the
+    * size/canonical joins run on the O(nodes) label frame. The
+    * quadratic form lives only in the DuckDB oracle. */
+  def entityResolution(spark: SparkSession, d: String): DataFrame =
+    entityResolutionOf(Tables.customer(spark, d).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg")))
+
+  /** Same over any `(id, name, nk, seg)` record frame — exposed so the
+    * unit spec can feed constructed typo clusters spanning blocks. */
+  private[graft] def entityResolutionOf(records: DataFrame): DataFrame = {
+    val cand = fuzzyCandidatesOf(records.select("id", "name"))
+    val pairs = cand
+      .join(records.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("nk").as("nk_a"), col("seg").as("seg_a")), "id_a")
+      .join(records.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("nk").as("nk_b"), col("seg").as("seg_b")), "id_b")
+      .filter(col("nk_a") === col("nk_b") && col("seg_a") === col("seg_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = graft.dedup.Dedup.clusterLabels(
+      records.select(col("id").as("doc_id")), pairs)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    labels
+      .join(sizes, "cluster_id")
+      .join(records.select(col("id").as("cluster_id"),
+        col("name").as("canonical_name")), "cluster_id")
+      .select(col("doc_id").as("c_custkey"), col("cluster_id"),
+        col("canonical_name"), col("n_members"))
+      .orderBy("c_custkey")
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "assign_ids" -> assignIds,
     "fuzzy_join" -> fuzzyJoin,
+    "entity_resolution" -> entityResolution,
     "pagerank" -> pagerank,
     "graph_triangles" -> graphTriangles,
     "graph_degree_stats" -> graphDegreeStats,
@@ -1131,6 +1180,34 @@ object Extended extends QueryPack {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // quadratic blocked-fuzzy pair set + recursive closure — the naive
+    // form of the FastSS-candidates + CC pipeline, affordable at sf0.01
+    "entity_resolution" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT pa AS a, pb AS b FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT c.c_custkey AS doc_id,
+        |         LEAST(c.c_custkey, COALESCE(MIN(r.b), c.c_custkey)) AS cluster_id
+        |  FROM customer c LEFT JOIN reach r ON r.a = c.c_custkey
+        |  GROUP BY c.c_custkey),
+        |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id AS c_custkey, l.cluster_id,
+        |       cc.c_name AS canonical_name, sz.n_members
+        |FROM lab l JOIN sz USING (cluster_id)
+        |JOIN customer cc ON cc.c_custkey = l.cluster_id
+        |ORDER BY c_custkey""".stripMargin,
     // the naive global row_number — affordable for DuckDB at sf0.01;
     // the Spark side must reproduce it from per-partition offsets
     "assign_ids" ->
