@@ -863,6 +863,67 @@ object Extended extends QueryPack {
           .otherwise(col("num").cast("double") / col("den")).as("assortativity"))
   }
 
+  /** Peeling parameters shared with the unrolled oracle: the k-core
+    * threshold and the round cap. k = 80 sits between the graph's
+    * median degree (~115) and its collapse point (k ≥ 90 unravels the
+    * whole graph — measured via the oracle loop at both sf0.01 and
+    * sf0.1, where peeling converges in 5 rounds); 8 rounds is the
+    * declared query semantics, with convergence-margin 3 at both
+    * tested SFs. */
+  private[graft] val KcoreK = 80
+  private[graft] val KcoreRounds = 8
+
+  /** The k-core of the product co-occurrence graph — the "dense
+    * backbone" extraction that complements [[pagerank]] (global
+    * centrality), [[graphTriangles]] (local clustering) and
+    * [[graphDegreeStats]] (structure profile): iteratively peel nodes
+    * of degree < k until every survivor has ≥ k neighbors INSIDE the
+    * surviving subgraph. All-integer (degrees only), so the result
+    * hash-matches the oracle's unrolled-CTE peel exactly. */
+  def graphKcore(spark: SparkSession, d: String): DataFrame =
+    kcoreOf(coOccurHalf(spark, d), KcoreK, KcoreRounds).orderBy("node")
+
+  /** The peel loop over a `pa < pb` half frame — exposed so the unit
+    * spec can feed constructed cascades (pendant chains that peel one
+    * node per round).
+    *
+    * Scale shape: each round is one map-side-combinable degree agg
+    * (8-byte ids on the shuffle) + two semi-joins of the edge frame
+    * against the broadcast keep-list — node-sized, like [[pagerank]]'s
+    * rank frame; at a scale where the node list outgrows broadcast,
+    * drop the hint and the same plan shuffle-semi-joins on the edge
+    * key. `localCheckpoint` truncates lineage per round. The loop
+    * exits early at the fixpoint — sound because peeling is monotone
+    * (an unchanged edge count means an unchanged degree census, so
+    * every later round is the identity) — and is capped at `rounds`
+    * so the engine executes exactly the oracle's unrolled semantics
+    * even on inputs where the cascade runs deeper. */
+  private[graft] def kcoreOf(half: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = half.select(col("pa"), col("pb")).localCheckpoint()
+    var prevCount = edges.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      r += 1
+      val deg = edges.select(col("pa").as("n"))
+        .union(edges.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("n")
+      val next = edges
+        .join(broadcast(keep.select(col("n").as("pa"))), Seq("pa"), "left_semi")
+        .join(broadcast(keep.select(col("n").as("pb"))), Seq("pb"), "left_semi")
+        .localCheckpoint()
+      val c = next.count()
+      fixed = c == prevCount
+      prevCount = c
+      edges.unpersist()
+      edges = next
+    }
+    edges.select(col("pa").as("n")).union(edges.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_degree"))
+      .select(col("n").as("node"), col("core_degree"))
+  }
+
   /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
     * out-degree is folded into the edge list ONCE before the loop (an
     * adjacency table with `d` on every edge costs 8 bytes/edge and
@@ -1025,6 +1086,7 @@ object Extended extends QueryPack {
     "pagerank" -> pagerank,
     "graph_triangles" -> graphTriangles,
     "graph_degree_stats" -> graphDegreeStats,
+    "graph_kcore" -> graphKcore,
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
@@ -1146,6 +1208,34 @@ object Extended extends QueryPack {
         |SELECT node, COUNT(*) AS triangles
         |FROM corners GROUP BY node
         |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
+    // the identical fixed-cap peel, unrolled — round i filters round
+    // i-1's edge set to nodes meeting the threshold; monotonicity makes
+    // rounds past the fixpoint the identity, so the 8-round unroll IS
+    // the k-core wherever the cascade settles within the cap (measured
+    // 5 rounds at sf0.01 and sf0.1)
+    "graph_kcore" -> {
+      // MATERIALIZED is load-bearing: each round reads its predecessor
+      // ~4 times, so inlined CTEs would expand to 4^8 lineitem scans
+      val peels = (1 to KcoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT pa AS n FROM e${i - 1}
+           |                 UNION ALL SELECT pb FROM e${i - 1})
+           |  GROUP BY n HAVING COUNT(*) >= $KcoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT pa, pb FROM e${i - 1}
+           |  WHERE pa IN (SELECT n FROM k$i)
+           |    AND pb IN (SELECT n FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |$peels
+         |SELECT n AS node, COUNT(*) AS core_degree
+         |FROM (SELECT pa AS n FROM e$KcoreRounds
+         |      UNION ALL SELECT pb FROM e$KcoreRounds)
+         |GROUP BY n ORDER BY node""".stripMargin
+    },
     "graph_degree_stats" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

@@ -84,7 +84,8 @@ object ProfileR6 {
         // reps so their first BENCH_r7 appearance has a contention-free
         // reference number
         val post = Seq("bpe_train", "bpe_encode", "graph_triangles",
-          "graph_degree_stats", "lm_bigram_score")
+          "graph_degree_stats", "lm_bigram_score", "entity_resolution",
+          "graph_kcore")
         post.foreach { q =>
           noop(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01"))
         }
