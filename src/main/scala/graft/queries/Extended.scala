@@ -887,41 +887,64 @@ object Extended extends QueryPack {
     * spec can feed constructed cascades (pendant chains that peel one
     * node per round).
     *
-    * Scale shape: each round is one map-side-combinable degree agg
-    * (8-byte ids on the shuffle) + two semi-joins of the edge frame
-    * against the broadcast keep-list — node-sized, like [[pagerank]]'s
-    * rank frame; at a scale where the node list outgrows broadcast,
-    * drop the hint and the same plan shuffle-semi-joins on the edge
-    * key. `localCheckpoint` truncates lineage per round. The loop
-    * exits early at the fixpoint — sound because peeling is monotone
-    * (an unchanged edge count means an unchanged degree census, so
-    * every later round is the identity) — and is capped at `rounds`
-    * so the engine executes exactly the oracle's unrolled semantics
-    * even on inputs where the cascade runs deeper. */
+    * Shape: DELTA peeling, not per-round subgraph recomputation. The
+    * edge frame is checkpointed ONCE and never rewritten; the degree
+    * frame is the only evolving state, and each synchronous round
+    * touches work proportional to the FRONTIER — the nodes that just
+    * fell below k — not the graph: the broadcast dead-set filters the
+    * static edge frame for incident edges (codegen'd hash probe, no
+    * shuffle of edges), their far endpoints aggregate into decrements,
+    * and the node-sized degree frame applies them. After the first
+    * round a cascade's frontier is a sliver, so rounds cost almost
+    * nothing — the textbook delta-iteration win over re-inducing the
+    * subgraph (which pays an edge-frame materialization per round; at
+    * 100 TB, 8 full rewrites of the edge set). Each static-frame edge
+    * decrements its survivor endpoint exactly once — in the round its
+    * OTHER endpoint dies — so the running degree equals the induced
+    * subgraph degree at every round boundary. At a scale where the
+    * frontier outgrows broadcast (only conceivable in round 1), drop
+    * the hints and the same plan shuffle-joins on the node key.
+    *
+    * The loop exits early when the frontier is empty (the fixpoint —
+    * no degree changed, so every later round is the identity) and is
+    * capped at `rounds`, matching the oracle's unrolled semantics even
+    * on inputs where the cascade runs deeper; the `dg > 0` output
+    * filter mirrors the oracle's census-of-surviving-edges form, which
+    * cannot see a capped survivor whose every neighbor died in the
+    * final round. */
   private[graft] def kcoreOf(half: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = half.select(col("pa"), col("pb")).localCheckpoint()
-    var prevCount = edges.count()
+    val edges = half.select(col("pa"), col("pb")).localCheckpoint()
+    var deg = edges.select(col("pa").as("n"))
+      .union(edges.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     var r = 0
-    var fixed = false
-    while (r < rounds && !fixed) {
+    var frontier = true
+    while (r < rounds && frontier) {
       r += 1
-      val deg = edges.select(col("pa").as("n"))
-        .union(edges.select(col("pb").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k).select("n")
-      val next = edges
-        .join(broadcast(keep.select(col("n").as("pa"))), Seq("pa"), "left_semi")
-        .join(broadcast(keep.select(col("n").as("pb"))), Seq("pb"), "left_semi")
-        .localCheckpoint()
-      val c = next.count()
-      fixed = c == prevCount
-      prevCount = c
-      edges.unpersist()
-      edges = next
+      val dead = deg.filter(col("dg") < lit(k)).select("n").localCheckpoint()
+      frontier = dead.count() > 0
+      if (frontier) {
+        val decr = edges
+          .join(broadcast(dead.select(col("n").as("pa"))), "pa")
+          .select(col("pb").as("n"))
+          .union(edges
+            .join(broadcast(dead.select(col("n").as("pb"))), "pb")
+            .select(col("pa").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dec"))
+        val next = deg
+          .join(broadcast(dead), Seq("n"), "left_anti")
+          .join(decr, Seq("n"), "left_outer")
+          .select(col("n"),
+            (col("dg") - coalesce(col("dec"), lit(0L))).as("dg"))
+          .localCheckpoint()
+        deg.unpersist()
+        dead.unpersist()
+        deg = next
+      }
     }
-    edges.select(col("pa").as("n")).union(edges.select(col("pb").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("core_degree"))
-      .select(col("n").as("node"), col("core_degree"))
+    deg.filter(col("dg") > 0)
+      .select(col("n").as("node"), col("dg").as("core_degree"))
   }
 
   /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
