@@ -1054,6 +1054,75 @@ object Extended extends QueryPack {
         col("sum_value"))
       .orderBy("bin")
 
+  /** Per-source exact quality quartiles — the stratified binning a
+    * curriculum / mixture pipeline runs before sampling ("take only
+    * the top quartile of each source", "oversample Q4"). Binning is
+    * the exact SQL NTILE(4) per source over (n_chars, doc_id) — the
+    * remainder spread over the LEADING buckets, reproduced here with
+    * explicit integer arithmetic on the per-source rank so the result
+    * hash-matches DuckDB's NTILE.
+    *
+    * Scale shape: the naive `ntile().over(partitionBy(source))` pulls
+    * each source through ONE partition — and sources are exactly the
+    * axis that is huge at 100 TB (a source is "CommonCrawl", not a
+    * shard). This is [[graft.operators.AssignIds]]' range-partition
+    * formulation generalized to per-key ranks: range-partition on
+    * (source, n_chars, doc_id) so each source SPANS partitions while
+    * every partition holds contiguous key runs, collect per-(partition,
+    * source) counts — O(partitions + sources) driver model state, like
+    * the k-means centroids — and broadcast per-source running offsets
+    * back; `offset + within-partition row_number` is the per-source
+    * rank, and the quartile is closed-form integer math on
+    * (rank, source total). No single-partition window anywhere. */
+  def qualityQuartiles(spark: SparkSession, d: String): DataFrame =
+    quartileBinsOf(
+      Tables.documents(spark, d).select(col("doc_id"), col("source"), col("n_chars")),
+      4)
+      .orderBy("doc_id")
+
+  /** Same over any `(doc_id, source, n_chars)` frame with `k` bins —
+    * exposed so the unit spec can pin NTILE remainder semantics and
+    * partitioning invariance on constructed corpora. */
+  private[graft] def quartileBinsOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranged = docs
+      .repartitionByRange(32, col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin placement; counts + ranks see one layout
+    val counts = ranged.groupBy("__pid", "source")
+      .agg(count(lit(1)).as("__n"))
+      .as[(Int, String, Long)].collect()
+    val bySource = counts.groupBy(_._2)
+    val offsets = bySource.toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // running offset of each partition's slice within its source
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+        case ((pid, _, _), off) => (pid, src, off)
+      }
+    }.toDF("__pid", "source", "__off")
+    val totals = bySource.toSeq
+      .map { case (src, rows) => (src, rows.map(_._3).sum) }
+      .toDF("source", "__tot")
+    val w = Window.partitionBy(col("__pid"), col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    // NTILE(k) closed form: rem = tot % k leading buckets hold
+    // (tot div k)+1 rows each, the rest hold (tot div k); CASE keeps
+    // the zero-size ELSE division unevaluated when tot < k
+    ranged
+      .join(broadcast(offsets), Seq("__pid", "source"))
+      .join(broadcast(totals), "source")
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      .withColumn("quartile", expr(
+        s"""CASE WHEN __rank <= (__tot % $k) * (__tot DIV $k + 1)
+           |     THEN (__rank - 1) DIV (__tot DIV $k + 1) + 1
+           |     ELSE (__tot % $k)
+           |          + (__rank - (__tot % $k) * (__tot DIV $k + 1) - 1)
+           |            DIV (__tot DIV $k) + 1
+           |END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("quartile"))
+  }
+
   /** Entity resolution over customer records — the record-linkage
     * composition the fuzzy join exists for: candidate pairs from
     * FastSS deletion-neighborhood blocking ([[fuzzyCandidatesOf]]),
@@ -1106,6 +1175,7 @@ object Extended extends QueryPack {
     "assign_ids" -> assignIds,
     "fuzzy_join" -> fuzzyJoin,
     "entity_resolution" -> entityResolution,
+    "quality_quartiles" -> qualityQuartiles,
     "pagerank" -> pagerank,
     "graph_triangles" -> graphTriangles,
     "graph_degree_stats" -> graphDegreeStats,
@@ -1293,6 +1363,13 @@ object Extended extends QueryPack {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // NTILE itself is the oracle; the engine must reproduce its
+    // leading-bucket remainder rule from distributed ranks
+    "quality_quartiles" ->
+      """SELECT doc_id, source, n_chars,
+        |       NTILE(4) OVER (PARTITION BY source
+        |                      ORDER BY n_chars, doc_id) AS quartile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // quadratic blocked-fuzzy pair set + recursive closure — the naive
     // form of the FastSS-candidates + CC pipeline, affordable at sf0.01
     "entity_resolution" ->
