@@ -947,6 +947,69 @@ object Extended extends QueryPack {
       .select(col("n").as("node"), col("dg").as("core_degree"))
   }
 
+  /** Synchronous label-propagation rounds shared with the unrolled
+    * oracle. 4 is the declared query semantics (not a convergence
+    * claim — synchronous LPA can oscillate on bipartite structure,
+    * which is exactly why the round count is part of the contract;
+    * both engines run the identical 4 rounds, oscillating or not). */
+  private[graft] val LpaRounds = 4
+
+  /** Community structure of the product co-occurrence graph via
+    * synchronous label propagation (Raghavan et al. 2007) — the
+    * fourth lens beside [[pagerank]] (centrality), [[graphTriangles]]
+    * (local clustering), [[graphKcore]] (dense backbone): which
+    * products CLUSTER. Each round every node adopts the most frequent
+    * label among its neighbors, ties to the smallest label —
+    * all-integer (labels are node ids, votes are counts), so 4 rounds
+    * hash-match the oracle's unrolled CTE chain exactly; a
+    * float-scored variant never could. */
+  def graphCommunities(spark: SparkSession, d: String): DataFrame =
+    lpaOf(coOccurHalf(spark, d)).orderBy("node")
+
+  /** The vote loop over a `pa < pb` half frame — exposed so the unit
+    * spec can feed constructed clique/bridge graphs.
+    *
+    * Shape: the edge frame symmetrizes (mirror half is a free
+    * projection) and checkpoints ONCE; the only evolving state is the
+    * O(nodes) label frame. Per round: ONE broadcast hash join tags
+    * each static edge's far endpoint with its current label (edges
+    * never shuffle), one map-side-combinable (node, label) vote
+    * count — its post-combine width is bounded by the edge count and
+    * in practice by Σ per-node distinct neighbor labels, which
+    * collapses toward O(nodes) as communities form — and one
+    * node-keyed min-struct argmax ((-votes, label), so count desc /
+    * label asc without a window). At a node scale past broadcast,
+    * drop the hint and the same plan shuffle-joins on the endpoint
+    * key — the round structure is unchanged. */
+  private[graft] def lpaOf(half: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = half.select(col("pa").as("a"), col("pb").as("b"))
+      .union(half.select(col("pb").as("a"), col("pa").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = edges
+        .join(broadcast(labels.select(col("node").as("b"), col("label"))),
+          "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((-col("c")).as("nv"), col("label").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+    }
+    // community sizes run on the final O(nodes) label frame
+    labels
+      .join(broadcast(labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("csize"))), "label")
+      .select(col("node"), col("label").as("community"), col("csize"))
+  }
+
   /** The iteration loop over a symmetric `(pa, pb)` edge frame. The
     * out-degree is folded into the edge list ONCE before the loop (an
     * adjacency table with `d` on every edge costs 8 bytes/edge and
@@ -1180,6 +1243,7 @@ object Extended extends QueryPack {
     "graph_triangles" -> graphTriangles,
     "graph_degree_stats" -> graphDegreeStats,
     "graph_kcore" -> graphKcore,
+    "graph_communities" -> graphCommunities,
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
@@ -1328,6 +1392,36 @@ object Extended extends QueryPack {
          |FROM (SELECT pa AS n FROM e$KcoreRounds
          |      UNION ALL SELECT pb FROM e$KcoreRounds)
          |GROUP BY n ORDER BY node""".stripMargin
+    },
+    // the identical 4 synchronous vote rounds, unrolled; window rn=1
+    // with (COUNT DESC, label ASC) is the oracle's spelling of the
+    // engine's min-struct (-votes, label) argmax
+    "graph_communities" -> {
+      val votes = (1 to LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT e.a AS node, l.label AS label,
+           |           ROW_NUMBER() OVER (PARTITION BY e.a
+           |             ORDER BY COUNT(*) DESC, l.label) AS rn
+           |    FROM e JOIN l${i - 1} l ON e.b = l.node
+           |    GROUP BY e.a, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eh AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e AS MATERIALIZED (
+         |  SELECT pa AS a, pb AS b FROM eh
+         |  UNION ALL SELECT pb AS a, pa AS b FROM eh),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node, a AS label FROM e),
+         |$votes,
+         |sz AS (SELECT label, COUNT(*) AS csize FROM l$LpaRounds
+         |       GROUP BY label)
+         |SELECT node, l.label AS community, csize
+         |FROM l$LpaRounds l JOIN sz USING (label)
+         |ORDER BY node""".stripMargin
     },
     "graph_degree_stats" ->
       """WITH pairs AS (
