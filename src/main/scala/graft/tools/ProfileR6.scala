@@ -150,6 +150,38 @@ object ProfileR6 {
         println("[tristats] triangles=" + graft.queries.Extended
           .trianglesOf(half).agg(sum("triangles")).collect()(0))
 
+      case "lpa" =>
+        // solo reps for the LPA round-shuffle fix (pre-partitioned
+        // checkpoint vs per-round vote exchanges)
+        noop(graft.queries.Extended.queries("graph_communities")(
+          spark, "/root/testdata/sf0.01"))
+        time("graph_communities") {
+          noop(graft.queries.Extended.queries("graph_communities")(spark, d))
+        }
+
+      case "lpa_plan" =>
+        // one vote round's physical plan: exchanges visible?
+        import org.apache.spark.sql.functions._
+        val half = graft.queries.Extended.coOccurHalf(spark, d)
+        val edges = half.select(col("pa").as("a"), col("pb").as("b"))
+          .union(half.select(col("pb").as("a"), col("pa").as("b")))
+          .repartition(col("a"))
+          .persist()
+        edges.count()
+        val labels = edges.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint()
+        val round = edges
+          .join(broadcast(labels.select(col("node").as("b"), col("label"))), "b")
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("a").as("node"))
+          .agg(min(struct((-col("c")).as("nv"), col("label").as("l"))).as("m"))
+          .select(col("node"), col("m.l").as("label"))
+        round.write.format("noop").mode("overwrite").save()
+        println("[profile] plan:\n" + round.queryExecution.executedPlan)
+
+      case other => sys.error(s"unknown mode '$other'")
+
       case other => sys.error(s"unknown mode '$other'")
     }
     spark.stop()

@@ -60,6 +60,27 @@ class LpaSpec extends SparkSpec {
       reference(c4, 1))
   }
 
+  test("a vote round plans ZERO shuffles over the cached edge frame") {
+    import org.apache.spark.sql.functions._
+    // the lpaOf layout: symmetric edges hash-partitioned on the
+    // voting node and persisted — InMemoryRelation must carry that
+    // partitioning through both round aggregations
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("a", "b").repartition(col("a")).persist()
+    edges.count()
+    try {
+      val labels = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val plan = Extended.lpaRound(edges, labels)
+        .queryExecution.executedPlan.toString
+      // the cached frame's own REPARTITION_BY_COL prints inside the
+      // InMemoryRelation; what must NOT appear is an exchange the
+      // planner had to insert for the round's aggregations
+      assert(!plan.contains("ENSURE_REQUIREMENTS"),
+        s"a vote round must reuse the cached partitioning:\n$plan")
+    } finally edges.unpersist()
+  }
+
   test("matches the sequential reference and ignores partitioning") {
     val rnd = new scala.util.Random(23)
     val half = (1 to 400).map(_ =>
