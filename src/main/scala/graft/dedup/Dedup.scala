@@ -210,6 +210,51 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- train/val split leakage ----------
+
+  /** Train/val split leakage audit — the pre-training check every
+    * LLM-data pipeline runs AFTER deduplication and splitting: hash-split
+    * the corpus 90/10 by [[graft.functions.DetMix]] (the repo's one
+    * deterministic sampling hash, so the split is reproducible across
+    * engines and runs), then report every near-dup pair (trigram Jaccard
+    * >= 0.8, from the same inverted-index join as `dedup_ngram`) that
+    * CROSSES the split boundary — i.e. a validation document whose
+    * near-copy sits in train, which would inflate eval scores exactly
+    * the way benchmark contamination does (cf. `decontaminate`, which
+    * audits against an EXTERNAL eval set; this audits the internal
+    * split). Output is oriented val-side-first so each row reads as "val
+    * doc X is compromised by train doc Y".
+    *
+    * Scale shape: the split column is a pure function of doc_id (no
+    * join, no shuffle to assign), and the pair stage is the existing
+    * near-linear inverted-index join; the two split lookups ride the
+    * already-shuffled pair frame as joins on doc_id. At 100 TB the
+    * pair source swaps to the LSH candidates ([[minhashLshOf]]) with
+    * identical downstream semantics. */
+  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    splitLeakageOf(docs)
+  }
+
+  /** 90% of the DetMix modulus — doc ids hashing below go to train. */
+  private val TrainCut = graft.functions.DetMix.Modulus * 9L / 10L
+
+  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val split = docs.select(col("doc_id"),
+      when(graft.functions.DetMix.lehmerMix(col("doc_id")) < lit(TrainCut),
+        lit("train")).otherwise(lit("val")).as("split"))
+    val pairs = ngramJaccardOf(docs)
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "val", col("doc_a")).otherwise(col("doc_b")).as("doc_val"),
+        when(col("split_a") === "val", col("doc_b")).otherwise(col("doc_a")).as("doc_train"),
+        col("jaccard"))
+      .orderBy("doc_val", "doc_train")
+  }
+
   // ---------- MinHash + LSH ----------
 
   // 128 permutations / 32 bands × 4 rows — shared with the session
@@ -940,6 +985,7 @@ object Dedup extends QueryPack {
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_exact_hashkey" -> exactHashSurvivors,
     "dedup_ngram" -> ngramJaccard,
+    "split_leakage" -> splitLeakage,
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_minhash" -> minhashLsh,
     "dedup_minhash_row" -> minhashLshRow,
@@ -1019,6 +1065,44 @@ object Dedup extends QueryPack {
       |WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for [[splitLeakage]]: [[jaccardSql]]'s pair pipeline plus the
+    * inline DetMix split (the same literal formula the sample_det /
+    * corpus_shard oracles use) and the val-first orientation. */
+  private val splitLeakageSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / (x.n + y.n - ni) AS jaccard
+      |  FROM inter
+      |  JOIN sz x ON x.doc_id = doc_a
+      |  JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.8),
+      |sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+      |                   < 1932735282 THEN 'train' ELSE 'val' END AS split
+      |  FROM documents)
+      |SELECT CASE WHEN a.split = 'val' THEN doc_a ELSE doc_b END AS doc_val,
+      |       CASE WHEN a.split = 'val' THEN doc_b ELSE doc_a END AS doc_train,
+      |       jaccard
+      |FROM pairs
+      |JOIN sp a ON a.doc_id = doc_a
+      |JOIN sp b ON b.doc_id = doc_b
+      |WHERE a.split <> b.split
+      |ORDER BY doc_val, doc_train""".stripMargin
+
   val oracles = Map(
     "dedup_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
@@ -1032,6 +1116,7 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
+    "split_leakage" -> splitLeakageSql,
     // the exhaustive mirror of the incremental batch-vs-history LSH
     // probe: every j >= 0.8 pair touching a batch doc, classified with
     // the same history-over-batch precedence and keep-first rule

@@ -275,4 +275,27 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === ((1L, 2L, 18L, 2L))) // min-id cluster label, max-length survivor
     assert(out(3L) === ((3L, 3L, 11L, 1L)))
   }
+
+  test("splitLeakage = cross-split subset of ngramJaccard, oriented val-first") {
+    val corpus = Tables.documents(spark, sf0001)
+    def side(id: Long): String = {
+      val m = graft.functions.DetMix.Modulus
+      val mixed = (id % m) * graft.functions.DetMix.Multiplier % m *
+        graft.functions.DetMix.Multiplier % m
+      if (mixed < m * 9L / 10L) "train" else "val"
+    }
+    val pairs = Dedup.ngramJaccardOf(corpus)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expected = pairs
+      .filter { case (a, b, _) => side(a) != side(b) }
+      .map { case (a, b, j) => if (side(a) == "val") (a, b, j) else (b, a, j) }
+      .sortBy(r => (r._1, r._2))
+    val got = Dedup.splitLeakageOf(corpus)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    got.foreach { case (v, t, j) =>
+      assert(side(v) == "val" && side(t) == "train" && j >= 0.8)
+    }
+    assert(got.nonEmpty) // sf0.001 plants enough near-dups to cross the cut
+  }
 }
