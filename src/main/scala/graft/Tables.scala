@@ -29,7 +29,22 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached(spark, (sfDir, name))(spark.read.parquet(s"$sfDir/$name.parquet"))
+    cached(spark, (sfDir, name))(normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet")))
+
+  /** The driver's generator has emitted timestamps three ways across rounds:
+    * TIMESTAMP(NANOS), UTC-annotated micros, and (currently) un-annotated
+    * micros (`isAdjustedToUTC=false`), which Spark 4 reads as TIMESTAMP_NTZ.
+    * Every query and oracle in this repo was written against TIMESTAMP with
+    * a UTC session — `unix_micros`, interval arithmetic, and the DuckDB
+    * hash compare all assume it — so the loader pins that contract here:
+    * any NTZ column is reinterpreted as UTC wall-clock TIMESTAMP. With the
+    * session timezone fixed to UTC this is value-identical to what the
+    * annotated files produced. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast(TimestampType)))
+  }
 
   /** Drop every cached relation touching `path`. The cache assumes
     * corpus dirs are immutable; any writer that rewrites files in place
@@ -58,11 +73,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cached(spark, (sfDir, s"$name#nanos")) {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      val deNanosed = df.schema.fields
+        .find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         .map(_ => df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000"))))
         .getOrElse(df)
+      normalizeNtz(deNanosed)
     }
   }
 
