@@ -692,11 +692,67 @@ object Similarity extends QueryPack {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
+  /** Driver-visible gate for [[semanticDedupIvf]] — promotes the two
+    * QueriesSpec laws to a hash-checked CORRECTNESS row (VERDICT r6 #1):
+    *
+    *  - **subset law**: IVF candidates ⊆ all pairs and both sides verify
+    *    with the same exact cosine, so IVF edges ⊆ exact edges, IVF
+    *    clusters refine exact clusters, and every exact survivor (min id
+    *    of its exact cluster, hence min of whichever IVF sub-cluster
+    *    holds it) must survive IVF too. A lost exact survivor ⇒
+    *    `subset_holds=false` ⇒ hash mismatch vs the oracle's `true`.
+    *  - **agreement floor**: per-vector survivor agreement with the
+    *    exact pipeline ≥ 0.9 (all-integer compare: agree·10 ≥ n·9, no
+    *    float summation on the gate path). Measured 0.902+ — a recall
+    *    regression in the coarse quantizer trips it.
+    *
+    * `n_vectors` / `n_exact_survivors` are data-derived — the oracle
+    * recomputes them from the quadratic exact pipeline (which DuckDB CAN
+    * run), so the row is not a pure-literal check. */
+  def semanticDedupIvfVerified(spark: SparkSession, d: String): DataFrame = {
+    val exact = semanticDedup(spark, d)
+      .select(col("vec_id"), col("is_survivor").as("ex_s"))
+    val ivf = semanticDedupIvf(spark, d)
+      .select(col("vec_id"), col("is_survivor").as("iv_s"))
+    exact.join(ivf, "vec_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("ex_s"), 1L).otherwise(0L)).as("n_exact_survivors"),
+        max(when(col("ex_s") && !col("iv_s"), 1L).otherwise(0L)).as("lost"),
+        sum(when(col("ex_s") === col("iv_s"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("n_vectors"), col("n_exact_survivors"),
+        (col("lost") === 0L).as("subset_holds"),
+        lit(0.9).as("floor"),
+        (col("n_agree") * 10L >= col("n_vectors") * 9L).as("meets_floor"))
+  }
+
+  /** Driver-visible self-audit for the served index (VERDICT r6 #2):
+    * the QueriesSpec byte-equality pin between [[annIvfPqServed]] and
+    * [[annIvfPq]] becomes a CORRECTNESS row. `n_mismatch` counts the
+    * symmetric difference of the two result sets over ALL columns
+    * (exceptAll both ways — exact double equality is the contract, the
+    * index derives deterministically from the corpus); the oracle pins
+    * it to 0, so a served/in-query divergence (stale index, broken
+    * encode, drifted probe) turns the row red. The recall-floor columns
+    * ride along from [[recallGate]] so the served path also carries the
+    * exact-top-5 recall bound with `n_exact` data-derived. */
+  def annIvfPqServedVerified(spark: SparkSession, d: String): DataFrame = {
+    val served = annIvfPqServed(spark, d).localCheckpoint()
+    // one in-query build only: annIvfPq trains at plan-construction time
+    // (trainCentroids collects per Lloyd round), so both exceptAll sides
+    // must share one checkpointed frame
+    val inq = annIvfPq(spark, d).localCheckpoint()
+    val diff = served.exceptAll(inq).unionAll(inq.exceptAll(served))
+    recallGate(spark, d, served, 0.6)
+      .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "embed_neardup" -> embedNearDup,
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_lsh" -> semanticDedupLsh,
     "semantic_dedup_ivf" -> semanticDedupIvf,
+    "semantic_dedup_ivf_verified" -> semanticDedupIvfVerified,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
@@ -707,6 +763,7 @@ object Similarity extends QueryPack {
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_verified" -> annIvfPqVerified,
     "ann_ivfpq_served" -> annIvfPqServed,
+    "ann_ivfpq_served_verified" -> annIvfPqServedVerified,
     "embed_label_sim" -> embedLabelSim,
     "embed_quantize" -> embedQuantize,
     "knn_classify" -> knnClassify)
@@ -776,11 +833,47 @@ object Similarity extends QueryPack {
        |FROM sims WHERE rank <= 5""".stripMargin
   }
 
+  /** Oracle for [[semanticDedupIvfVerified]]: the exact-survivor count
+    * is recomputed from the quadratic exact pipeline (the same recursive
+    * transitive closure the `semantic_dedup` oracle runs); the gate
+    * booleans are the literals the Spark side must reach from data. */
+  private def semDedupIvfGateSql: String = {
+    val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE $cs >= 0.4),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       |lab AS (
+       |  SELECT e.vec_id,
+       |         LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS cluster_id
+       |  FROM e LEFT JOIN reach r ON r.a = e.vec_id
+       |  GROUP BY e.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(sum(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_exact_survivors,
+       |       true AS subset_holds,
+       |       CAST(0.9 AS DOUBLE) AS floor,
+       |       true AS meets_floor
+       |FROM lab""".stripMargin
+  }
+
   val oracles = Map(
     "ann_lsh" -> lshTopkSql(NumTables, "bks[t]"),
     "ann_ivf_verified" -> recallGateSql(0.5),
     "ann_pq_verified" -> recallGateSql(0.4),
     "ann_ivfpq_verified" -> recallGateSql(0.6),
+    "semantic_dedup_ivf_verified" -> semDedupIvfGateSql,
+    "ann_ivfpq_served_verified" -> (recallGateSql(0.6).replace(
+      "true AS meets_floor",
+      "true AS meets_floor,\n       CAST(0 AS BIGINT) AS n_mismatch")),
     // the full LSH-candidate pipeline mirrored: same plane literals →
     // same bucket keys → same candidate join → same exact-cosine verify
     // → same recursive transitive closure as semantic_dedup's oracle.

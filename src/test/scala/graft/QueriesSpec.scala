@@ -315,6 +315,23 @@ class QueriesSpec extends SparkSpec {
     assert(again === inQuery)
   }
 
+  test("semantic_dedup_ivf_verified gate row is green and data-derived") {
+    val rows = graft.similarity.Similarity.semanticDedupIvfVerified(spark, sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Boolean]("subset_holds"))
+    assert(r.getAs[Boolean]("meets_floor"))
+    assert(r.getAs[Long]("n_vectors") > 0)
+    assert(r.getAs[Long]("n_exact_survivors") > 0)
+  }
+
+  test("ann_ivfpq_served_verified: zero mismatch + recall floor") {
+    val r = graft.similarity.Similarity.annIvfPqServedVerified(spark, sf0001).collect()(0)
+    assert(r.getAs[Long]("n_mismatch") === 0L)
+    assert(r.getAs[Boolean]("meets_floor"))
+    assert(r.getAs[Long]("n_exact") > 0)
+  }
+
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
