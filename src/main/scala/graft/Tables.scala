@@ -29,21 +29,51 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached(spark, (sfDir, name))(normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet")))
+    cached(spark, (sfDir, name))(normalizeNtz(readTz(spark, s"$sfDir/$name.parquet")))
 
   /** The driver's generator has emitted timestamps three ways across rounds:
     * TIMESTAMP(NANOS), UTC-annotated micros, and (currently) un-annotated
-    * micros (`isAdjustedToUTC=false`), which Spark 4 reads as TIMESTAMP_NTZ.
-    * Every query and oracle in this repo was written against TIMESTAMP with
-    * a UTC session — `unix_micros`, interval arithmetic, and the DuckDB
-    * hash compare all assume it — so the loader pins that contract here:
-    * any NTZ column is reinterpreted as UTC wall-clock TIMESTAMP. With the
-    * session timezone fixed to UTC this is value-identical to what the
-    * annotated files produced. */
+    * micros (`isAdjustedToUTC=false`), which Spark 4 infers as
+    * TIMESTAMP_NTZ by default. Every query and oracle in this repo was
+    * written against TIMESTAMP with a UTC session — `unix_micros`,
+    * interval arithmetic, and the DuckDB hash compare all assume it — so
+    * the loader pins that contract AT INFERENCE instead of by cast:
+    * with `inferTimestampNTZ` off, the parquet reader types un-annotated
+    * micros as TIMESTAMP directly (value-identical under the pinned UTC
+    * session), at any nesting depth, and — unlike the previous
+    * `cast(TimestampType)` wrapper — predicates on those columns still
+    * push down to the scan (a Cast around the column defeated
+    * `PushedFilters`, ADVICE r6). */
+  private def readTz(spark: SparkSession, path: String): DataFrame = {
+    // runtime SQLConf, consulted at schema inference on each read
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(path)
+  }
+
+  /** Belt-and-braces behind [[readTz]]: if an NTZ column still appears
+    * (explicitly NTZ-annotated files bypass inference), top-level fields
+    * get the legacy single-select cast; an NTZ buried in a struct/array/
+    * map cannot be fixed that way and silently diverging from the oracle
+    * is worse than failing, so it throws (none exist in the corpus —
+    * the recursive walk is the guard ADVICE r6 asked for). */
   private def normalizeNtz(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
-    ntz.foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast(TimestampType)))
+    import org.apache.spark.sql.types._
+    def nested(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    def hasNtz(dt: DataType): Boolean = dt == TimestampNTZType || nested(dt)
+    require(!df.schema.fields.exists(f => nested(f.dataType)),
+      s"nested TIMESTAMP_NTZ in ${df.schema.simpleString}: the UTC contract " +
+        "cannot be pinned by a top-level cast; extend the loader first")
+    if (!df.schema.fields.exists(_.dataType == TimestampNTZType)) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        df.col(f.name).cast(TimestampType).as(f.name)
+      else df.col(f.name)
+    }.toSeq: _*)
   }
 
   /** Drop every cached relation touching `path`. The cache assumes
@@ -72,7 +102,7 @@ object Tables {
     // needs the conf live, and a caller may have reset it since
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cached(spark, (sfDir, s"$name#nanos")) {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = readTz(spark, s"$sfDir/$name.parquet")
       val deNanosed = df.schema.fields
         .find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         .map(_ => df.withColumn("ts",
