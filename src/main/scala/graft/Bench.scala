@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * `count()`, that computes every output column (no count-only plan
   * pruning) without paying any write cost. Every query is warmed once
   * at sf0.01 first, so JVM/codegen warmup isn't billed to the measured
-  * run (details at the warmup loop below); non-trivial queries are
-  * measured twice and report the min, so a single host-contention
-  * stall can't masquerade as a slow query. */
+  * run (details at the warmup loop below); every query is measured at
+  * least twice and reports the min, so a single host-contention stall
+  * can't masquerade as a slow query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,16 +56,18 @@ object Bench {
       }
       val (t1, ok) = once()
       // This microVM's timings swing ±2× with host contention (a single
-      // stall once inflated a 0.6 s query to 14 s). For anything whose
-      // first measurement isn't trivially fast, measure once more and
-      // report the min — the standard steady-state statistic; both runs
-      // do the full work, nothing is cached between them. A FAILED
-      // second run contributes no time (its short elapsed would
-      // otherwise be billed as a fast success). Threshold 0.5 s (was
-      // 1.0): the round-5 codec/graph optimizations pushed the heavier
-      // queries into the 0.6–1 s band, exactly where a one-off stall
-      // still doubles a reading.
-      val dt = if (ok && t1 > 0.5) {
+      // stall once inflated a 0.6 s query to 14 s). EVERY query is
+      // measured at least twice and reports the min — the standard
+      // steady-state statistic; both runs do the full work, nothing is
+      // cached between them. (Earlier rounds gated the second rep on
+      // t1 > 0.5 s; the sub-0.5 s band still drifted ±0.17 s
+      // round-over-round purely from suite contention — r5's q1/q20/q21
+      // and r6's window_frames each cost a round of diagnosis, so the
+      // rep is now unconditional. The extra wall cost is bounded by the
+      // fast band's own total, and the reported stat can only get more
+      // stable.) A FAILED second run contributes no time (its short
+      // elapsed would otherwise be billed as a fast success).
+      val dt = if (ok) {
         val (t2, ok2) = once()
         val best2 = if (ok2) math.min(t1, t2) else t1
         // the slowest band gets a third sample: these are the rows the
@@ -84,7 +86,7 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_2_over_0.5s_3_over_2s","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_2_all_3_over_2s","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout can truncate the (long) per-query tail —
     // persist the complete line as a machine-readable artifact too
