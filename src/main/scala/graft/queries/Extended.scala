@@ -853,14 +853,25 @@ object Extended extends QueryPack {
         sum(col("da") + col("db")).as("s_sum"),
         sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
     val nd = deg.agg(count(lit(1)).as("nodes"), max(col("dg")).as("max_degree"))
-    // two 1-row frames; the cross join is a no-op physically
+    // two 1-row frames; the cross join is a no-op physically.
+    // The rational combination runs in Decimal(38,0), NOT long:
+    // 4·edges·s_jk overflows int64 at ~16× the bench graph (measured —
+    // ScaleR7's mult=16 rep died on ARITHMETIC_OVERFLOW here while the
+    // moment SUMS were still comfortable), and 38 exact digits cover
+    // any corpus this engine will meet. One-row arithmetic, so the
+    // decimal path costs nothing; the double conversion at the end
+    // rounds the same exact integer both engines hold.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     nd.crossJoin(m)
-      .withColumn("num", lit(4L) * col("edges") * col("s_jk") - col("s_sum") * col("s_sum"))
-      .withColumn("den", lit(2L) * col("edges") * col("s_sq") - col("s_sum") * col("s_sum"))
+      .withColumn("num", lit(4L).cast(d38) * col("edges") * col("s_jk")
+        - col("s_sum").cast(d38) * col("s_sum"))
+      .withColumn("den", lit(2L).cast(d38) * col("edges") * col("s_sq")
+        - col("s_sum").cast(d38) * col("s_sum"))
       .select(col("nodes"), col("edges"), col("max_degree"),
         col("s_jk"), col("s_sum"), col("s_sq"),
-        when(col("den") === 0L, lit(null).cast("double"))
-          .otherwise(col("num").cast("double") / col("den")).as("assortativity"))
+        when(col("den") === lit(0), lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("assortativity"))
   }
 
   /** Peeling parameters shared with the unrolled oracle: the k-core

@@ -22,7 +22,7 @@ import graft.queries.QueryPack
 object Similarity extends QueryPack {
 
   /** embeddings with the float vector cast to ARRAY<DOUBLE> once. */
-  private def vecs(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def vecs(spark: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, d)
       .select(col("vec_id"), col("label"),
@@ -71,10 +71,29 @@ object Similarity extends QueryPack {
   private val NumTables = 8
   private val BitsPerTable = 4
   private val Dim = 64
-  private lazy val planes: Array[Array[Double]] = {
+
+  /** Deterministic hyperplane matrix for `tables × bits` sign bits —
+    * THE parameter the scale path turns: with FIXED bits the bucket
+    * count is constant and within-bucket candidate counts grow
+    * quadratically with the corpus; keeping per-bucket occupancy
+    * constant means bits ∝ log n ([[bitsForCorpus]]). The registered
+    * queries stay at (8, 4) for oracle determinism (the DuckDB mirror
+    * carries these exact plane literals); [[graft.tools.ScaleR7]]
+    * measures the occupancy curve across bits — SCALE.md §r7 has the
+    * table. Seed fixed so resume/retry sees identical planes. */
+  private[graft] def planesFor(tables: Int, bits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumTables * BitsPerTable, Dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(tables * bits, Dim)(rnd.nextDouble() * 2 - 1)
   }
+  private lazy val planes: Array[Array[Double]] = planesFor(NumTables, BitsPerTable)
+
+  /** Occupancy-preserving bits/table: 2^bits ≥ n / target ⇒ expected
+    * per-bucket occupancy ≤ target, keeping within-bucket (quadratic)
+    * candidate work corpus-size-independent per bucket — candidates
+    * stay ~linear overall. Floor 4 = the oracle-checked configuration. */
+  private[graft] def bitsForCorpus(n: Long, targetOccupancy: Int = 125): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt)
 
   /** Approximate NN via multi-table random-hyperplane LSH: queries only
     * compare against candidates sharing a (table, bucket) key. This is
@@ -606,22 +625,44 @@ object Similarity extends QueryPack {
     * and the exact cosine runs on the deduped candidate sliver after
     * the vectors re-attach by id. */
   private[graft] def lshNearDupPairs(spark: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    graft.functions.LshBucketKeysExpr.register(spark, "lsh_buckets", planes, BitsPerTable)
-    val base = vecs(spark, d)
-      .select(col("vec_id"), posexplode(expr("lsh_buckets(v)")).as(Seq("tbl", "bucket")))
-    val cand = base.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      threshold: Double): DataFrame =
+    lshNearDupPairsOf(spark, vecs(spark, d), threshold, NumTables, BitsPerTable)
+
+  /** Same pipeline with the table/bit geometry free — the bits ∝ log n
+    * scale knob ([[planesFor]]). The registered query pins (8, 4) for
+    * the oracle; [[graft.tools.ScaleR7]] drives other geometries for
+    * the occupancy curve. */
+  private[graft] def lshNearDupPairsOf(spark: SparkSession, vectors: DataFrame,
+      threshold: Double, tables: Int, bits: Int): DataFrame =
+    verifyPairs(vectors, lshCandidatesOf(spark, vectors, tables, bits), threshold)
+
+  /** The candidate stage alone — (vec_a < vec_b) id pairs sharing a
+    * (table, bucket) key. Split out so [[graft.tools.ScaleR7]] can
+    * count candidates with exactly the query's own join. */
+  private[graft] def lshCandidatesOf(spark: SparkSession, vectors: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val fname = s"lsh_buckets_${tables}_$bits"
+    graft.functions.LshBucketKeysExpr.register(spark, fname, planesFor(tables, bits), bits)
+    val base = vectors
+      .select(col("vec_id"), posexplode(expr(s"$fname(v)")).as(Seq("tbl", "bucket")))
+    base.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(base.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val v = vecs(spark, d)
+  }
+
+  /** Exact-cosine verify over an id-pair candidate sliver (the shared
+    * tail of both candidate nets — ids-only on the shuffle, vectors
+    * re-attached by id). */
+  private def verifyPairs(vectors: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame =
     cand
-      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .join(vectors.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vectors.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .filter(expr("cosine_sim(va, vb)") >= threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-  }
 
   /** [[semanticDedup]] with the quadratic pair stage replaced by
     * [[lshNearDupPairs]] (bucket equi-join candidates, exact-cosine
@@ -676,20 +717,44 @@ object Similarity extends QueryPack {
   /** Same-list candidate pairs + exact-cosine verify, ids-only on the
     * candidate shuffle (the [[lshNearDupPairs]] discipline). */
   private[graft] def ivfNearDupPairs(spark: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    val all = vecs(spark, d)
-    val centroids = trainCentroids(spark, all, ServedNList, iters = 2)
-    val assigned = nearestLists(centroids, all, "v", 1, "list_id")
+      threshold: Double): DataFrame =
+    ivfNearDupPairsOf(spark, vecs(spark, d), threshold, ServedNList)
+
+  /** Same with `nlist` free — grown ∝ corpus size (the SemDeDup paper's
+    * own scaling), per-list occupancy stays constant and candidates
+    * stay linear; [[graft.tools.ScaleR7]] measures the curve. */
+  private[graft] def ivfNearDupPairsOf(spark: SparkSession, all: DataFrame,
+      threshold: Double, nlist: Int): DataFrame =
+    verifyPairs(all, ivfCandidatesOf(spark, all, nlist), threshold)
+
+  /** Same-coarse-list candidate pairs ([[trainCentroids]] quantizer),
+    * split out for the [[graft.tools.ScaleR7]] occupancy measurement.
+    *
+    * SOFT ASSIGNMENT (r7): each vector lands in its 2 nearest cells,
+    * not 1 — ScaleR7's diagonal showed single-assignment agreement
+    * decaying with duplicate density (0.92 → 0.66 as the corpus grew
+    * to 2000 at constant occupancy) because near-dup pairs split by a
+    * cell boundary never meet; the second-nearest cell recovers most
+    * of them (measured on the same diagonal: edge recall 0.39/0.32/
+    * 0.25 → 0.90/0.76/0.60, agreement 0.92/0.83/0.66 → 0.99/0.94/
+    * 0.82; candidates ×2.1 per corpus doubling — still LINEAR, the
+    * multi-probe trade, same as FAISS nprobe>1 applied on the build
+    * side; SemDeDup's own paper compares within single cells). The
+    * residual decay with duplicate density is the documented IVF
+    * trade — SCALE.md §r7 has the full table. The per-vector top-2
+    * is a vec_id-partitioned window over corpus × nlist scored rows —
+    * keyed by vec_id, so it hash-partitions without skew at any
+    * corpus size. */
+  private[graft] def ivfCandidatesOf(spark: SparkSession, all: DataFrame,
+      nlist: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = trainCentroids(spark, all, nlist, iters = 2)
+    val assigned = nearestLists(centroids, all.select("vec_id", "v"), "v", 2, "list_id")
       .select("vec_id", "list_id")
-    val cand = assigned.select(col("vec_id").as("vec_a"), col("list_id"))
+    assigned.select(col("vec_id").as("vec_a"), col("list_id"))
       .join(assigned.select(col("vec_id").as("vec_b"), col("list_id")), Seq("list_id"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-    cand
-      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .filter(expr("cosine_sim(va, vb)") >= threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .select("vec_a", "vec_b").distinct()
   }
 
   /** Driver-visible gate for [[semanticDedupIvf]] — promotes the two
