@@ -315,6 +315,20 @@ class QueriesSpec extends SparkSpec {
     assert(again === inQuery)
   }
 
+  test("semantic_incremental: batch triage labels only batch vectors, matches only corpus") {
+    val rows = graft.similarity.Similarity.semanticIncremental(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 8 == 7)) // output = the batch slice only
+    val dups = rows.filter(_.getBoolean(1))
+    assert(dups.nonEmpty) // the corpus plants semantic near-dups
+    for (r <- dups) {
+      assert(r.getLong(2) % 8 != 7, "matched itself or another batch vector")
+      assert(r.getDouble(3) >= 0.4)
+    }
+    // non-dups carry null match columns
+    assert(rows.filterNot(_.getBoolean(1)).forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("semantic_dedup_ivf_verified gate row is green and data-derived") {
     val rows = graft.similarity.Similarity.semanticDedupIvfVerified(spark, sf0001).collect()
     assert(rows.length === 1)
