@@ -143,6 +143,54 @@ object StreamingAnalytics {
       .select("doc_id", "ref_id", "band")
   }
 
+  /** Hyperplane bucket index of a stored embedding corpus — one row
+    * per (vector, table) with the vector carried for in-stream verify;
+    * the SEMANTIC analog of [[bandIndexOf]], same geometry as the
+    * batch net ([[graft.similarity.Similarity.planesFor]](8, 4), the
+    * oracle-pinned configuration, so `semantic_incremental`'s batch
+    * results and this index agree bucket-for-bucket). */
+  def lshBucketIndexOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.LshBucketKeysExpr.register(s, "lsh_buckets_idx",
+      graft.similarity.Similarity.planesFor(8, 4), 4)
+    corpus.select(col("vec_id").as("ref_id"),
+      col("embedding").cast("array<double>").as("rv"),
+      posexplode(expr("lsh_buckets_idx(cast(embedding as array<double>))"))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  /** Online SEMANTIC near-duplicate detection — the streaming form of
+    * [[graft.similarity.Similarity.semanticIncremental]]: arriving
+    * embeddings probe a static bucket index with zero streaming state
+    * (stateless projection → explode → stream-static equi-join on
+    * (table, bucket), append mode, no watermark — the
+    * [[nearDupStream]] plan shape). Unlike the text path, the exact
+    * verify runs IN-STREAM: cosine is a cheap codegen'd per-row
+    * kernel, so the emitted rows are VERIFIED matches (cos ≥ 0.4),
+    * not raw collisions. One row per (vector, match, table) —
+    * multi-table hits repeat across tables because a streaming
+    * distinct would force aggregation state; consumers dedup per
+    * micro-batch (or take any row — the match set per pair is
+    * identical). The argmax/labeling tail stays in foreachBatch or
+    * downstream, where the batch query's hash-checked form already
+    * defines it. */
+  def semanticProbeStream(incoming: DataFrame, bucketIndex: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.LshBucketKeysExpr.register(s, "lsh_buckets_idx",
+      graft.similarity.Similarity.planesFor(8, 4), 4)
+    incoming.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        posexplode(expr("lsh_buckets_idx(cast(embedding as array<double>))"))
+          .as(Seq("tbl", "bucket")))
+      .join(bucketIndex, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("ref_id"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, rv)"))
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_id", "ref_id", "tbl", "cos_sim")
+  }
+
   /** STREAMING CORPUS CURATION MV — the reference's
     * Kafka→MV→MergeTree ingestion shape applied to the training-corpus
     * domain, with the dedup state living in the SINK (the

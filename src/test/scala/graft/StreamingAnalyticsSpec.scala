@@ -189,6 +189,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming semantic probe against a static bucket index matches the batch triage") {
+    // corpus = the stored 7/8 slice, incoming stream = the batch slice —
+    // the exact split semantic_incremental hash-checks batch-side
+    val all = Tables.embeddings(spark, sf0001)
+    val corpus = all.filter($"vec_id" % 8 =!= 7)
+    val index = StreamingAnalytics.lshBucketIndexOf(corpus).cache()
+    val incoming = all.filter($"vec_id" % 8 === 7).select("vec_id", "embedding")
+    val in = tmpDir("semprobe-in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(in)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "ref_id").distinct().as[(Long, Long)].collect().toSet
+    val batchHits = hits(StreamingAnalytics.semanticProbeStream(incoming, index))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in)
+    val q = StreamingAnalytics.semanticProbeStream(stream, index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semprobe_out").start()
+    try {
+      q.processAllAvailable()
+      assert(hits(spark.table("semprobe_out")) === batchHits)
+      // the probe's verified pair set must contain every match the
+      // hash-checked batch triage reports (same planes, same verify)
+      val triage = graft.similarity.Similarity.semanticIncremental(spark, sf0001)
+        .filter($"is_dup").select($"vec_id", $"dup_of").as[(Long, Long)]
+        .collect().toSet
+      assert(triage.nonEmpty && triage.subsetOf(batchHits))
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("train-batch / score-stream classifier matches batch scoring") {
     // TRAIN on a static labeled corpus; SCORE a document stream with the
     // broadcast model. Stream scores must equal scoring the same docs
