@@ -102,6 +102,17 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus pairs must come from the same-list equi-join:\n$ivf")
   }
 
+  test("semantic_incremental probes the corpus through a bucket equi-join") {
+    // batch × corpus must never be all-pairs: candidates come from the
+    // (tbl, bucket) equi-join, the same key the streaming probe uses
+    val p = planOf(similarity.Similarity.semanticIncremental(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental probe must be an equi-join:\n$p")
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[(tbl|bucket)""".r
+      .findFirstIn(p).isDefined,
+      s"candidates must come from the bucket equi-join:\n$p")
+  }
+
   test("serve_top_per_type runs the TopKPerKey exec node, not Sort+Window") {
     val p = planOf(serving.Serving.topPerTypeFeed(spark, sf0001))
     assert(p.contains("TopKPerKey"),
