@@ -567,6 +567,35 @@ object Extended extends QueryPack {
       .orderBy("o_custkey")
   }
 
+  /** Driver-visible gate for [[customerRfmApprox]] (r7, closing the
+    * sketch-gate program): the two NewQueryGoldensSpec laws as a
+    * hash-checked row. Gated on the MONETARY dimension — near-continuous
+    * decimal sums, so sketch-vs-NTILE divergence is a real accuracy
+    * signal; recency/frequency are heavily tied integers where NTILE's
+    * rank-split of a tie run legitimately differs from value-threshold
+    * bucketing (documented, not gated). `m_meets_floor`: ≥ 0.9 of
+    * customers land in the same monetary quartile as the exact NTILE
+    * (all-integer compare). `m_balanced`: every approx bucket holds
+    * 15–35% of customers (tests the boundaries themselves, not just
+    * agreement). `n_customers` is data-derived for the oracle. */
+  def customerRfmApproxVerified(spark: SparkSession, d: String): DataFrame = {
+    val a = customerRfmApprox(spark, d).select(col("o_custkey"), col("m_q").as("ma"))
+      .localCheckpoint() // feeds both the agreement join and the balance agg
+    val e = customerRfm(spark, d).select(col("o_custkey"), col("m_q").as("me"))
+    val agree = a.join(e, "o_custkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("ma") === col("me"), 1L).otherwise(0L)).as("n_agree"))
+    val balance = a.groupBy("ma").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    agree.crossJoin(balance) // two 1-row frames
+      .select(col("n_customers"), lit(0.9).as("floor"),
+        (col("n_agree") * 10L >= col("n_customers") * 9L).as("m_meets_floor"),
+        (col("n_buckets") === 4L &&
+          col("min_c") * 100L > col("n_customers") * 15L &&
+          col("max_c") * 100L < col("n_customers") * 35L).as("m_balanced"))
+  }
+
   /** Column profiling — the data-quality pass an ingest pipeline runs
     * per table: row count, null count, distinct count, min/max per
     * profiled column, as one narrow aggregate per column union'd into a
@@ -1289,6 +1318,7 @@ object Extended extends QueryPack {
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
     "customer_rfm_approx" -> customerRfmApprox,
+    "customer_rfm_approx_verified" -> customerRfmApproxVerified,
     "profile_orders" -> profileOrders,
     "freq_items" -> freqItems,
     "freq_items_verified" -> freqItemsVerified,
@@ -1342,6 +1372,12 @@ object Extended extends QueryPack {
         |       count(DISTINCT user_id) AS exact_users,
         |       true AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "customer_rfm_approx_verified" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(0.9 AS DOUBLE) AS floor,
+        |       true AS m_meets_floor,
+        |       true AS m_balanced
+        |FROM orders""".stripMargin,
     "quantiles_sketch_verified" ->
       """SELECT o_orderstatus, CAST(p.phi AS DOUBLE) AS phi,
         |       count(*) AS n, true AS rank_ok

@@ -195,6 +195,34 @@ object Relational extends QueryPack {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
       .orderBy("month")
 
+  /** Driver-visible gate for [[distinctRollup]] (the r7 completion of
+    * the sketch-gate program): both spec-pinned laws become hash-checked
+    * columns. `merge_exact` — the estimate from MERGING the persisted
+    * day states equals the estimate of one sketch built directly over
+    * the month (bit-identical, the re-aggregation guarantee the whole
+    * uniqState pattern rests on; a lossy state serialization or a
+    * broken union flips it). `within_bound` — the merged estimate lands
+    * within 5% of the exact distinct count (HLL lgK=12 rsd ≈ 1.6%, 3×
+    * margin). `exact_users` is data-derived — the oracle recomputes it;
+    * the booleans are the gate. */
+  def distinctRollupVerified(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val merged = dailySketches(ev)
+      .withColumn("month", date_trunc("month", col("day")))
+      .groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = ev
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "month")
+      .select(col("month"), col("exact_users"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"),
+        (abs(col("est_merged").cast("double") - col("exact_users").cast("double")) <=
+          col("exact_users").cast("double") * lit(0.05)).as("within_bound"))
+      .orderBy("month")
+  }
+
   /** The persisted-MV half: one HLL state per day (a binary column a
     * real deployment writes to its daily rollup table). */
   def dailySketches(events: DataFrame): DataFrame =
@@ -337,6 +365,7 @@ object Relational extends QueryPack {
     "set_union" -> setUnion,
     "distinct_users" -> distinctUsers,
     "distinct_rollup" -> distinctRollup,
+    "distinct_rollup_verified" -> distinctRollupVerified,
     "pivot_daily" -> pivotDaily,
     "unpivot_daily" -> unpivotDaily,
     "rollup_events" -> rollupEvents,
@@ -348,6 +377,13 @@ object Relational extends QueryPack {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles = Map(
+    // sketch-gate: exact side recomputed, booleans are the gate
+    "distinct_rollup_verified" ->
+      """SELECT date_trunc('month', ts) AS month,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       true AS merge_exact,
+        |       true AS within_bound
+        |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
     // strictly-after step chaining mirrored with the same min-joins
     "funnel" ->
       """WITH v AS (

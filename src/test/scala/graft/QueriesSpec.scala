@@ -315,6 +315,20 @@ class QueriesSpec extends SparkSpec {
     assert(again === inQuery)
   }
 
+  test("distinct_rollup_verified / customer_rfm_approx_verified gates are green") {
+    val dr = graft.queries.Relational.distinctRollupVerified(spark, sf0001).collect()
+    assert(dr.nonEmpty)
+    for (r <- dr) {
+      assert(r.getAs[Boolean]("merge_exact"), "day-state merge must equal direct month sketch")
+      assert(r.getAs[Boolean]("within_bound"))
+      assert(r.getAs[Long]("exact_users") > 0)
+    }
+    val rf = graft.queries.Extended.customerRfmApproxVerified(spark, sf0001).collect()(0)
+    assert(rf.getAs[Boolean]("m_meets_floor"))
+    assert(rf.getAs[Boolean]("m_balanced"))
+    assert(rf.getAs[Long]("n_customers") > 0)
+  }
+
   test("semantic_incremental: batch triage labels only batch vectors, matches only corpus") {
     val rows = graft.similarity.Similarity.semanticIncremental(spark, sf0001).collect()
     assert(rows.nonEmpty)
