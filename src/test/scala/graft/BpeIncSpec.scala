@@ -31,6 +31,24 @@ class BpeIncSpec extends SparkSpec {
     }
   }
 
+  test("incremental == scan-per-round on seeded random corpora (edge-case sweep)") {
+    // tiny alphabet on purpose: dense self-pair runs (excluded from
+    // selection but present in every rewrite), immediate re-collisions
+    // of freshly fused tokens, single-token docs, early dry-outs — the
+    // cases where a ± delta on the count table could silently drift
+    // from a full recount. Seeded, so failures reproduce.
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("a", "b", "c", "d")
+    for (rep <- 1 to 5) {
+      val docs = (0 until (3 + rnd.nextInt(5))).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Vector.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      assert(table(bpeTrainIncOf(spark, docs, 4)) ===
+        table(bpeTrainOf(spark, docs, 4)), s"rep $rep diverged")
+    }
+  }
+
   test("bpe_apply: merges learned on the even half replay over the odd half") {
     // train docs 0,2: round 1 fuses (a,b) n=3; round 2 top non-self
     // pair of the rewritten train corpus is (a@@b, c) (tie with
