@@ -43,19 +43,33 @@ object Tables {
     * session), at any nesting depth, and — unlike the previous
     * `cast(TimestampType)` wrapper — predicates on those columns still
     * push down to the scan (a Cast around the column defeated
-    * `PushedFilters`, ADVICE r6). */
+    * `PushedFilters`, ADVICE r6).
+    *
+    * This is a deliberate SESSION-WIDE contract (ADVICE r7): any session
+    * that loads the corpus through `Tables` has NTZ inference pinned off
+    * for its remaining lifetime, so every parquet read in that session —
+    * corpus or not — types un-annotated micros as TIMESTAMP. That is the
+    * behavior every query, sink round-trip, and oracle in this repo
+    * assumes (one timestamp semantics everywhere), so the conf is not
+    * restored; a caller needing NTZ inference in the same session must
+    * re-enable it explicitly after corpus loads. */
   private def readTz(spark: SparkSession, path: String): DataFrame = {
     // runtime SQLConf, consulted at schema inference on each read
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(path)
   }
 
-  /** Belt-and-braces behind [[readTz]]: if an NTZ column still appears
-    * (explicitly NTZ-annotated files bypass inference), top-level fields
-    * get the legacy single-select cast; an NTZ buried in a struct/array/
-    * map cannot be fixed that way and silently diverging from the oracle
-    * is worse than failing, so it throws (none exist in the corpus —
-    * the recursive walk is the guard ADVICE r6 asked for). */
+  /** Belt-and-braces behind [[readTz]]: a BACKSTOP for future reader
+    * behavior changes or sessions where something re-enabled NTZ
+    * inference between the conf set and the scan — NOT for "explicitly
+    * annotated" files (parquet NTZ annotation IS `isAdjustedToUTC=false`,
+    * the very case the [[readTz]] conf governs, so with the conf set this
+    * path is normally unreachable; ADVICE r7). If an NTZ column does
+    * appear, top-level fields get the legacy single-select cast; an NTZ
+    * buried in a struct/array/map cannot be fixed that way and silently
+    * diverging from the oracle is worse than failing, so it throws (none
+    * exist in the corpus — the recursive walk is the guard ADVICE r6
+    * asked for). */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     def nested(dt: DataType): Boolean = dt match {

@@ -198,13 +198,23 @@ object Relational extends QueryPack {
   /** Driver-visible gate for [[distinctRollup]] (the r7 completion of
     * the sketch-gate program): both spec-pinned laws become hash-checked
     * columns. `merge_exact` — the estimate from MERGING the persisted
-    * day states equals the estimate of one sketch built directly over
-    * the month (bit-identical, the re-aggregation guarantee the whole
-    * uniqState pattern rests on; a lossy state serialization or a
-    * broken union flips it). `within_bound` — the merged estimate lands
-    * within 5% of the exact distinct count (HLL lgK=12 rsd ≈ 1.6%, 3×
-    * margin). `exact_users` is data-derived — the oracle recomputes it;
-    * the booleans are the gate. */
+    * day states agrees with the estimate of one sketch built directly
+    * over the month to within 2% RELATIVE (the re-aggregation
+    * guarantee the whole uniqState pattern rests on; a lossy state
+    * serialization or a broken union — a dropped day, a truncated
+    * state blob — shifts the estimate far past that). Not exact double
+    * equality (ADVICE r7): today both distributed agg paths end in a
+    * sketch UNION, whose composite estimator makes the two
+    * bit-identical, but that is a partition-layout/implementation
+    * artifact — a DataSketches or Spark upgrade could route the direct
+    * path through the HIP estimator, a legitimate ~rsd-level (≈1.6%)
+    * estimator difference, not a serialization bug — so the epsilon is
+    * sized one rsd above it to keep the gate red for real breakage
+    * while surviving an estimator change.
+    * `within_bound` — the merged estimate lands within 5% of the exact
+    * distinct count (HLL lgK=12 rsd ≈ 1.6%, 3× margin) — stays the
+    * accuracy gate. `exact_users` is data-derived — the oracle
+    * recomputes it; the booleans are the gate. */
   def distinctRollupVerified(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
     val merged = dailySketches(ev)
@@ -217,7 +227,8 @@ object Relational extends QueryPack {
         countDistinct(col("user_id")).as("exact_users"))
     merged.join(direct, "month")
       .select(col("month"), col("exact_users"),
-        (col("est_merged") === col("est_direct")).as("merge_exact"),
+        (abs(col("est_merged").cast("double") - col("est_direct").cast("double")) <=
+          col("est_direct").cast("double") * lit(0.02)).as("merge_exact"),
         (abs(col("est_merged").cast("double") - col("exact_users").cast("double")) <=
           col("exact_users").cast("double") * lit(0.05)).as("within_bound"))
       .orderBy("month")

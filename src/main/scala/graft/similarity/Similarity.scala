@@ -1018,9 +1018,18 @@ object Similarity extends QueryPack {
          |WHERE e.vec_id % 8 = 7
          |ORDER BY e.vec_id""".stripMargin
     },
-    "ann_ivfpq_served_verified" -> (recallGateSql(0.6).replace(
-      "true AS meets_floor",
-      "true AS meets_floor,\n       CAST(0 AS BIGINT) AS n_mismatch")),
+    "ann_ivfpq_served_verified" -> {
+      // splice the extra gate column onto the shared recall-gate oracle;
+      // require() makes a drifted marker literal fail at map construction
+      // (loudly, in every test/Verify run) instead of surfacing later as
+      // a baffling oracle schema mismatch (ADVICE r7)
+      val base = recallGateSql(0.6)
+      val marker = "true AS meets_floor"
+      require(base.contains(marker),
+        s"recallGateSql no longer contains '$marker'; update the served-verified splice")
+      base.replace(marker,
+        marker + ",\n       CAST(0 AS BIGINT) AS n_mismatch")
+    },
     // the full LSH-candidate pipeline mirrored: same plane literals →
     // same bucket keys → same candidate join → same exact-cosine verify
     // → same recursive transitive closure as semantic_dedup's oracle.

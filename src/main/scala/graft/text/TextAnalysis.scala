@@ -353,9 +353,16 @@ object TextAnalysis extends QueryPack {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val terms = documents
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
-    // fans into corpus counts, source totals, and the scoring join
+    // fans into corpus counts, source totals, and the scoring join —
+    // persist (not localCheckpoint, VERDICT r7 #4): MEMORY_AND_DISK is
+    // recomputable on executor loss where executor-local checkpoint
+    // blocks are not, and lazy persist lets the three consumers share
+    // one materialization without forcing it serially up front. The
+    // Bench/Verify harnesses clearCache() after every query, which is
+    // the unpersist.
     val st = terms.groupBy("source", "term")
-      .agg(count(lit(1)).as("c_st")).localCheckpoint()
+      .agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ct = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
     val ts = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
     val tot = ts.agg(sum(col("t_s")).as("t_all"))
