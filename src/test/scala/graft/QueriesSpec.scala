@@ -360,6 +360,30 @@ class QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_exact") > 0)
   }
 
+  test("semantic_dedup_lsh_auto: data-derived bits leave the floor; labels stay lawful") {
+    import graft.similarity.Similarity
+    // the knob itself: integer twin of bits ∝ log n, floor 4, cap 12 —
+    // and at the driver's own corpus sizes it must LEAVE the floor
+    // (otherwise the CORRECTNESS row would only ever exercise (8,4))
+    assert(Similarity.autoBits(100) === 4)   // m=4  ≤ 2^4: floor
+    assert(Similarity.autoBits(500) === 5)   // m=20 > 16 — sf0.001/sf0.01
+    assert(Similarity.autoBits(2000) === 7)  // m=80 > 64 — sf0.1
+    assert(Similarity.autoBits(100000) === 12)  // m=4000: capped
+    assert(Similarity.autoBits(1L << 40) === 12)
+    // monotone in n: more corpus never means fewer bits
+    val bs = Seq(1L, 50L, 500L, 5000L, 50000L, 500000L).map(Similarity.autoBits(_))
+    assert(bs === bs.sorted)
+    // the auto query at sf0.001 (500 vecs ⇒ 5 bits): same lawful label
+    // frame as the pinned-geometry variant — every vector labeled, and
+    // verified-pairs-only candidates mean exact survivors never vanish
+    val exact = Similarity.semanticDedup(spark, sf0001)
+      .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
+    val auto = Similarity.semanticDedupLshAuto(spark, sf0001)
+      .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
+    assert(auto.keySet === exact.keySet)
+    assert(exact.filter(_._2).keySet.subsetOf(auto.filter(_._2).keySet))
+  }
+
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
