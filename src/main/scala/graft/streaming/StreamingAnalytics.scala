@@ -191,6 +191,47 @@ object StreamingAnalytics {
       .select("vec_id", "ref_id", "tbl", "cos_sim")
   }
 
+  /** STREAMING MAINTENANCE of the PERSISTED semantic bucket index — the
+    * LSH analog of [[annIndexStream]] (same table-as-state discipline):
+    * arriving corpus embeddings are banded through the frozen
+    * [[lshBucketIndexOf]] geometry and appended to a parquet posting
+    * table of exactly the shape [[semanticProbeStream]] joins against.
+    * Composing the two gives the full production loop — index stream
+    * keeps the table fresh, probe stream reads it as the static side —
+    * with ZERO Spark streaming state on either side: the index stream
+    * is a stateless projection per micro-batch, the probe a
+    * stream-static equi-join. Idempotency follows the pass-table
+    * recipe: replayed vec_ids anti-join out against the table's
+    * existing ref_ids, so a crash-replayed batch appends nothing (a
+    * duplicated index row would duplicate probe hits). A probe session
+    * that already scanned the table must `refreshByPath` to see later
+    * appends — the [[annIndexStream]] caveat verbatim. */
+  def bucketIndexStream(incoming: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // in-batch dedup first: two files delivering one vec_id in one
+        // trigger would both survive the table anti-join (annIndexStream)
+        val vs = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
+        // missing/empty table = first batch; a real read failure must
+        // fail the batch, not wipe the idempotency guard
+        val dir = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(dir) && fs.globStatus(
+          new org.apache.hadoop.fs.Path(indexPath, "*.parquet")).nonEmpty
+        val arriving =
+          if (hasData)
+            vs.join(spark.read.parquet(indexPath)
+                .select(col("ref_id").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else vs
+        lshBucketIndexOf(arriving).write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+
   /** STREAMING CORPUS CURATION MV — the reference's
     * Kafka→MV→MergeTree ingestion shape applied to the training-corpus
     * domain, with the dedup state living in the SINK (the

@@ -218,6 +218,60 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("semanticProbeStream over a PERSISTED index maintained by bucketIndexStream") {
+    // the full production composition (VERDICT r7 #6): the index is not
+    // an in-memory frame but a parquet table WRITTEN BY ITS OWN
+    // MAINTENANCE STREAM (two corpus batches + one verbatim replay),
+    // then a second stream probes the persisted table
+    val all = Tables.embeddings(spark, sf0001)
+    val corpus = all.filter($"vec_id" % 8 =!= 7).select("vec_id", "embedding")
+    val idxIn = tmpDir("bidx-in"); val idxPath = tmpDir("bidx-tbl")
+    val ck = tmpDir("bidx-ck")
+    corpus.filter($"vec_id" < 250).coalesce(1).write.mode("overwrite").parquet(idxIn)
+    val cstream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(idxIn)
+    val qi = StreamingAnalytics.bucketIndexStream(cstream, idxPath, ck)
+    try {
+      qi.processAllAvailable()
+      corpus.filter($"vec_id" >= 250).coalesce(1).write.mode("append").parquet(idxIn)
+      qi.processAllAvailable()
+      // crash-replay shape: batch 1 re-arrives verbatim — must append nothing
+      corpus.filter($"vec_id" < 250).coalesce(1).write.mode("append").parquet(idxIn)
+      qi.processAllAvailable()
+    } finally qi.stop()
+    // the persisted table IS the batch-built index, row for row
+    val persisted = spark.read.parquet(idxPath)
+    val batchIdx = StreamingAnalytics.lshBucketIndexOf(corpus)
+    assert(persisted.select($"ref_id", $"tbl", $"bucket")
+      .exceptAll(batchIdx.select($"ref_id", $"tbl", $"bucket")).count() === 0)
+    assert(batchIdx.select($"ref_id", $"tbl", $"bucket")
+      .exceptAll(persisted.select($"ref_id", $"tbl", $"bucket")).count() === 0)
+    // probe the PERSISTED table from a second (file-source) stream
+    val incoming = all.filter($"vec_id" % 8 === 7).select("vec_id", "embedding")
+    val in = tmpDir("bidx-probe-in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(in)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "ref_id").distinct().as[(Long, Long)].collect().toSet
+    val batchHits = hits(StreamingAnalytics.semanticProbeStream(incoming, persisted))
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in)
+    val q = StreamingAnalytics.semanticProbeStream(stream,
+        spark.read.parquet(idxPath))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bidx_probe_out").start()
+    try {
+      q.processAllAvailable()
+      assert(hits(spark.table("bidx_probe_out")) === batchHits)
+      // and the composition agrees with the hash-checked batch triage:
+      // every semantic_incremental duplicate surfaces through the
+      // persisted-index probe too (same planes, same verify threshold)
+      val triage = graft.similarity.Similarity.semanticIncremental(spark, sf0001)
+        .filter($"is_dup").select($"vec_id", $"dup_of").as[(Long, Long)]
+        .collect().toSet
+      assert(triage.nonEmpty && triage.subsetOf(batchHits))
+    } finally q.stop()
+  }
+
   test("train-batch / score-stream classifier matches batch scoring") {
     // TRAIN on a static labeled corpus; SCORE a document stream with the
     // broadcast model. Stream scores must equal scoring the same docs
