@@ -124,6 +124,7 @@ object ScaleR8 {
     for (mult <- mults) {
       if (which == "lpa" || which == "all") lpaDiagnose(spark, d, mult)
       if (which == "er" || which == "all") erDiagnose(spark, d, mult)
+      if (which == "lpa-ab") lpaProbeOrderAb(spark, d, mult)
     }
     spark.stop()
   }
@@ -176,6 +177,7 @@ object ScaleR8 {
     val edges = half.select(col("pa").as("a"), col("pb").as("b"))
       .union(half.select(col("pb").as("a"), col("pa").as("b")))
       .repartition(col("a"))
+      .sortWithinPartitions("b") // mirrors lpaOf (probe-order fix, r8)
       .persist()
     val (_, tSym) = timed(edges.count())
     s1 = m.snapshot(); row(m, "symmetrize", tSym, s1 - s0); s0 = s1
@@ -202,6 +204,46 @@ object ScaleR8 {
     println(s"[scale-r8] lpa mult=$mult edges=$nEdges nodes=$nNodes rows=$nComm")
     edges.unpersist(); half.unpersist(); labels.unpersist()
     spark.sparkContext.removeSparkListener(m)
+  }
+
+  /** A/B: does sorting the static edge frame by the PROBE key cut the
+    * vote rounds' per-edge CPU at large |V|? The diagnosis run showed
+    * rounds with zero exchange/spill and ≤3% GC still paying ×1.55
+    * per-edge CPU on the 16×→64× step — the signature of random DRAM
+    * probes into a broadcast label map that outgrew cache (320k →
+    * 1.28M entries). `sortWithinPartitions(b)` on the cached frame
+    * makes each round's probes walk the map in near-sorted key order
+    * (one extra sort paid ONCE at materialize; `HashPartitioning(a)`
+    * survives the sort, so both vote aggregations stay
+    * partition-local). */
+  private def lpaProbeOrderAb(spark: SparkSession, d: String, mult: Int): Unit = {
+    val half = amplifiedHalf(spark, d, mult).cache()
+    half.count()
+    for (sorted <- Seq(false, true)) {
+      val sym = half.select(col("pa").as("a"), col("pb").as("b"))
+        .union(half.select(col("pb").as("a"), col("pa").as("b")))
+        .repartition(col("a"))
+      val edges = (if (sorted) sym.sortWithinPartitions("b") else sym).persist()
+      val (_, tMat) = timed(edges.count())
+      var labels = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      val walls = (1 to Extended.LpaRounds).map { _ =>
+        val (next, tR) = timed {
+          val n = Extended.lpaRound(edges, labels).localCheckpoint()
+          labels.unpersist()
+          n
+        }
+        labels = next
+        tR
+      }
+      val chk = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      println(f"[scale-r8] lpa-ab mult=$mult%2d sorted=$sorted%-5s " +
+        f"mat=$tMat%6.2f rounds=${walls.map(w => f"$w%.2f").mkString(",")} " +
+        f"sum=${walls.sum}%6.2f chk=$chk")
+      edges.unpersist(); labels.unpersist()
+    }
+    half.unpersist()
   }
 
   /** ER with each phase bracketed: FastSS candidate generation,
