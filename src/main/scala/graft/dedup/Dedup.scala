@@ -980,7 +980,61 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // ---------- snapshot diff ----------
+
+  /** Corpus SNAPSHOT DIFF — the dataset-versioning audit every managed
+    * training corpus needs between releases: which documents were
+    * added, removed, or modified, and how much text mass moved, per
+    * source. (The reference has no versioning; this is the curation-ops
+    * sibling of [[dedupIncremental]] — that one triages arrivals
+    * against history, this one reconciles two complete snapshots.)
+    *
+    * Both snapshots derive deterministically from the corpus so the
+    * oracle can rebuild them: v1 drops `doc_id % 17 == 3`, v2 drops
+    * `doc_id % 17 == 11` and revises the text of `doc_id % 17 == 5` —
+    * giving all four statuses non-empty slices at every SF.
+    *
+    * Scale shape: each side is reduced AT THE SCAN to
+    * (doc_id, source, digest, byte length) — the full-outer join that
+    * classifies rows shuffles a ~40-byte tuple per document, never the
+    * text (the [[exactHashSurvivors]] digest-on-the-shuffle move; md5
+    * for oracle parity, xxhash64 in production). The join hashes on
+    * doc_id, the key corpus snapshots are naturally bucketed by
+    * ([[graft.Catalog.createBucketed]]) — stored that way the diff
+    * plans with ZERO exchanges; the report aggregation downstream is
+    * (source × status)-sized, i.e. model state. */
+  def snapshotDiffOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val v1 = base.filter(col("doc_id") % 17 =!= 3)
+    val v2 = base.filter(col("doc_id") % 17 =!= 11)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    def slim(v: DataFrame, tag: String): DataFrame = v.select(
+      col("doc_id"), col("source").as(s"source_$tag"),
+      md5(col("text").cast("binary")).as(s"digest_$tag"),
+      octet_length(col("text")).cast("long").as(s"len_$tag"))
+    slim(v1, "a").join(slim(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("digest_a").isNull, lit("added"))
+          .when(col("digest_b").isNull, lit("removed"))
+          .when(col("digest_a") =!= col("digest_b"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("len_a"), lit(0L)).as("len_a"),
+        coalesce(col("len_b"), lit(0L)).as("len_b"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_a")).as("chars_before"),
+        sum(col("len_b")).as("chars_after"))
+      .orderBy("source", "status")
+  }
+
+  def corpusDiff(spark: SparkSession, d: String): DataFrame =
+    snapshotDiffOf(Tables.documents(spark, d))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "corpus_diff" -> corpusDiff,
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_exact_hashkey" -> exactHashSurvivors,
@@ -1104,6 +1158,29 @@ object Dedup extends QueryPack {
       |ORDER BY doc_val, doc_train""".stripMargin
 
   val oracles = Map(
+    // the same deterministic v1/v2 derivation, digest compare, and
+    // byte-length mass accounting (strlen = octet_length)
+    "corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 3),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 17 = 5 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 11),
+        |a AS (SELECT doc_id, source, md5(text) AS digest, strlen(text) AS len FROM v1),
+        |b AS (SELECT doc_id, source, md5(text) AS digest, strlen(text) AS len FROM v2),
+        |d AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |         CASE WHEN a.digest IS NULL THEN 'added'
+        |              WHEN b.digest IS NULL THEN 'removed'
+        |              WHEN a.digest <> b.digest THEN 'modified'
+        |              ELSE 'unchanged' END AS status,
+        |         coalesce(a.len, 0) AS len_a, coalesce(b.len, 0) AS len_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, COUNT(*) AS n_docs,
+        |       CAST(SUM(len_a) AS BIGINT) AS chars_before,
+        |       CAST(SUM(len_b) AS BIGINT) AS chars_after
+        |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
         |       COUNT(*) - COUNT(DISTINCT text) AS n_dups

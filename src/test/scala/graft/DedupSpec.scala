@@ -298,4 +298,26 @@ class DedupSpec extends SparkSpec {
     }
     assert(got.nonEmpty) // sf0.001 plants enough near-dups to cross the cut
   }
+
+  test("snapshotDiffOf classifies every status and accounts byte mass exactly") {
+    // doc_ids chosen so every mod-17 branch fires: 3 → removed,
+    // 11 → added, 5 → modified, others → unchanged; two sources so the
+    // report groups per source
+    val planted = Seq(
+      (3L, "s1", "dropped from v2"),       // removed (in v1 only)
+      (11L, "s1", "new arrival doc"),      // added (in v2 only)
+      (5L, "s2", "revised body"),          // modified (+ " rev2" = 5 bytes)
+      (1L, "s1", "stable one"),            // unchanged
+      (2L, "s2", "stable two"))            // unchanged
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiffOf(planted)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val expected = Seq(
+      ("s1", "added", 1L, 0L, "new arrival doc".length.toLong),
+      ("s1", "removed", 1L, "dropped from v2".length.toLong, 0L),
+      ("s1", "unchanged", 1L, "stable one".length.toLong, "stable one".length.toLong),
+      ("s2", "modified", 1L, "revised body".length.toLong, "revised body".length + 5L),
+      ("s2", "unchanged", 1L, "stable two".length.toLong, "stable two".length.toLong))
+    assert(got === expected)
+  }
 }
