@@ -64,4 +64,58 @@ object BloomPrune {
     big.filter(mightContain(bloom, big(bigKey)))
       .join(small.select(smallKey), big(bigKey) === small(smallKey), "left_semi")
   }
+
+  /** Anti join of a SMALL probe against a HUGE filter side without ever
+    * shuffling the huge side: keep `probe` rows whose key has no match
+    * in `history`.
+    *
+    * The shape this exists for is the batch-vs-history guard of an
+    * incremental pipeline (e.g. [[graft.streaming.StreamingAnalytics
+    * .curateStream]]'s pass-table idempotency check): `history` is the
+    * accumulated corpus — far too big to broadcast — so the plain
+    * `left_anti` sort-merge-shuffles the ENTIRE history on every batch.
+    * Here history is only ever scanned map-side:
+    *
+    *  1. a Bloom of history keys (few MB) aggregates without moving a
+    *     history row;
+    *  2. probe rows the Bloom rejects are DEFINITELY absent — kept with
+    *     no join at all (that's `1 - fpp` of a mostly-new batch);
+    *  3. the Bloom-positive sliver (`fpp` of the batch + true matches)
+    *     is resolved exactly: its distinct keys broadcast INTO a semi
+    *     join over history (map-side again), and the confirmed keys
+    *     broadcast back into the final anti join.
+    *
+    * Result is identical to `probe.join(history, key, "left_anti")` for
+    * any filter size — false positives only route a row through the
+    * exact path. Precondition: the Bloom-positive key set must be
+    * broadcastable, i.e. `probe` is batch-sized (its design center) —
+    * history scale is unlimited.
+    *
+    * Null keys never equi-match, so a plain anti join KEEPS them; the
+    * Bloom predicate evaluates to null on a null key, which would
+    * silently drop such rows from both branches — they are routed
+    * around the filter explicitly. */
+  def prunedAntiJoin(probe: DataFrame, probeKey: String,
+      history: DataFrame, historyKey: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val (pt, ht) = (probe.schema(probeKey).dataType, history.schema(historyKey).dataType)
+    require(pt == ht,
+      s"join key types must match for Bloom hashing: $probeKey is $pt, $historyKey is $ht")
+    val bloom = keyBloom(history, historyKey, expectedItems, fpp)
+    // empty history aggregates to a NULL sketch; the predicate would then
+    // evaluate null on every row and silently drop the whole probe — for
+    // an ANTI join the right answer is the probe unchanged
+    if (bloom == null) return probe
+    val nulls = probe.filter(col(probeKey).isNull)
+    val hit = mightContain(bloom, probe(probeKey))
+    val definitelyNew = probe.filter(col(probeKey).isNotNull && !hit)
+    val maybe = probe.filter(col(probeKey).isNotNull && hit)
+    val confirmed = history.select(col(historyKey).as(probeKey))
+      .join(org.apache.spark.sql.functions.broadcast(
+        maybe.select(probeKey).distinct()), Seq(probeKey), "left_semi")
+      .distinct()
+    val kept = maybe.join(
+      org.apache.spark.sql.functions.broadcast(confirmed), Seq(probeKey), "left_anti")
+    definitelyNew.unionByName(kept).unionByName(nulls)
+  }
 }

@@ -483,6 +483,26 @@ object Extended extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** Bloom-pruned ANTI join ([[graft.operators.BloomPrune
+    * .prunedAntiJoin]]) as a driver-checked query: customers that have
+    * never placed an URGENT order, reported per market segment. The
+    * plain `left_anti` would sort-merge-shuffle the orders table to
+    * answer it (the filter side of an anti join cannot broadcast); the
+    * Bloom composition never shuffles orders at all — it is scanned
+    * map-side into a few-MB key Bloom and once more under a broadcast
+    * semi join of the Bloom-positive sliver. Equals the oracle's NOT
+    * EXISTS exactly: the Bloom only routes rows, never answers. */
+  def bloomAntiJoin(spark: SparkSession, d: String): DataFrame =
+    graft.operators.BloomPrune.prunedAntiJoin(
+        Tables.customer(spark, d), "c_custkey",
+        Tables.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT"), "o_custkey",
+        expectedItems = 1000000L)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_idle"),
+           decSum(col("c_acctbal")).as("idle_balance"))
+      .orderBy("c_mktsegment")
+
   /** Month-over-month revenue growth: aggregate to a monthly series,
     * then LAG + exact-decimal delta and a double growth ratio — the
     * time-series reporting shape layered on a grouped aggregate. */
@@ -1324,6 +1344,7 @@ object Extended extends QueryPack {
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
     "bloom_semi_join" -> bloomSemiJoin,
+    "bloom_anti_join" -> bloomAntiJoin,
     "monthly_growth" -> monthlyGrowth,
     "customer_rfm" -> customerRfm,
     "customer_rfm_approx" -> customerRfmApprox,
@@ -1593,6 +1614,15 @@ object Extended extends QueryPack {
         |FROM counts JOIN totals USING (bucket)
         |WHERE cnt * 8 > n
         |ORDER BY bucket, event_type""".stripMargin,
+    "bloom_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_idle,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS idle_balance
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,

@@ -263,9 +263,25 @@ object StreamingAnalytics {
     * the probe itself touches text only for band-colliding
     * candidates); the 100 TB deployment persists the band index and
     * shingle store incrementally alongside the pass table — same
-    * appends, same triage joins, no per-batch re-derivation. */
+    * appends, same triage joins, no per-batch re-derivation.
+    *
+    * `bloomHistoryGuard`: the replay-idempotency check (step 3's
+    * anti-join of arriving doc_ids against the pass table) is the one
+    * place this stream shuffles HISTORY — at 100 TB that is re-sorting
+    * the whole corpus id set every micro-batch to reject the occasional
+    * crash-replay. With the guard on, it runs through
+    * [[graft.operators.BloomPrune.prunedAntiJoin]] instead: history ids
+    * fold map-side into a few-MB Bloom, Bloom-negative arrivals (all of
+    * them, in the steady state of mostly-new batches) skip the join
+    * entirely, and only the Bloom-positive sliver resolves exactly via
+    * broadcast — result identical by construction (the spec pins table
+    * equality both ways), history never shuffles.
+    * `expectedHistoryDocs` sizes the Bloom (overshoot costs bytes, not
+    * correctness; production tracks the pass-table row count). */
   def curateStream(incoming: DataFrame, passPath: String,
-      quarantinePath: String, checkpoint: String)
+      quarantinePath: String, checkpoint: String,
+      bloomHistoryGuard: Boolean = false,
+      expectedHistoryDocs: Long = 4L << 20)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
@@ -298,8 +314,12 @@ object StreamingAnalytics {
         // out so the pass table never holds duplicate rows (and so the
         // triage never sees the same id on both sides, which would
         // double that doc's shingle counts)
-        val arriving = gated
-          .join(history.select("doc_id"), Seq("doc_id"), "left_anti")
+        val arriving =
+          if (bloomHistoryGuard)
+            graft.operators.BloomPrune.prunedAntiJoin(
+              gated, "doc_id", history, "doc_id", expectedHistoryDocs)
+          else gated
+            .join(history.select("doc_id"), Seq("doc_id"), "left_anti")
         val labeled = graft.dedup.Dedup.dedupIncrementalOf(
           history.withColumn("source", lit("history"))
             .unionByName(arriving.withColumn("source", lit("arriving"))),

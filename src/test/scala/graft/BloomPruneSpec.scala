@@ -51,4 +51,52 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned === plain)
     assert(plain.nonEmpty)
   }
+
+  test("prunedAntiJoin returns exactly the plain anti join") {
+    val probe = Tables.customer(spark, sf0001)
+    // urgent orders only: at sf0.001 every customer has SOME order but
+    // 18 have no urgent one, so both branches of the result are exercised
+    val history = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.prunedAntiJoin(probe, "c_custkey",
+        history, "o_custkey", expectedItems = 10000)
+      .select("c_custkey").as[Long].collect().toSet
+    val plain = probe
+      .join(history, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").as[Long].collect().toSet
+    assert(pruned === plain)
+    assert(pruned.nonEmpty, "sf0.001 has customers without urgent orders")
+    assert(pruned.size < probe.count(), "and customers with urgent orders")
+  }
+
+  test("prunedAntiJoin keeps null-key probe rows, like the plain anti join") {
+    val probe = Seq(Some(1L), Some(2L), None, Some(3L), None)
+      .toDF("k")
+    val history = Seq(2L, 9L).toDF("h")
+    val got = BloomPrune.prunedAntiJoin(probe, "k", history, "h",
+        expectedItems = 10)
+      .as[Option[Long]].collect().toSeq
+        .sortBy(_.getOrElse(Long.MinValue))
+    // 2 matches history and drops; both null-key rows survive (null
+    // never equi-matches), exactly as the plain left_anti behaves
+    assert(got === Seq(None, None, Some(1L), Some(3L)))
+  }
+
+  test("prunedAntiJoin with empty history keeps the whole probe") {
+    val probe = Seq(1L, 2L, 3L).toDF("k")
+    val history = Seq.empty[Long].toDF("h")
+    val got = BloomPrune.prunedAntiJoin(probe, "k", history, "h",
+        expectedItems = 10)
+      .as[Long].collect().toSeq.sorted
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("prunedAntiJoin survives duplicate keys on both sides") {
+    val probe = Seq(1L, 1L, 2L, 3L, 3L).toDF("k")
+    val history = Seq(3L, 3L, 4L).toDF("h")
+    val got = BloomPrune.prunedAntiJoin(probe, "k", history, "h",
+        expectedItems = 10)
+      .as[Long].collect().toSeq.sorted
+    assert(got === Seq(1L, 1L, 2L)) // both copies of 1 kept; both 3s dropped
+  }
 }

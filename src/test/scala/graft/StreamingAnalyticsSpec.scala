@@ -311,8 +311,16 @@ class StreamingAnalyticsSpec extends SparkSpec {
   }
 
   test("curateStream: cross-micro-batch dedup through the pass-table-as-state MV") {
-    val in = tmpDir("cu-in"); val pass = tmpDir("cu-pass")
-    val quar = tmpDir("cu-quar"); val ck = tmpDir("cu-ck")
+    curateScenario("cu", bloomGuard = false)
+  }
+
+  test("curateStream with the Bloom history guard: identical tables, history never shuffles") {
+    curateScenario("cub", bloomGuard = true)
+  }
+
+  private def curateScenario(tag: String, bloomGuard: Boolean): Unit = {
+    val in = tmpDir(s"$tag-in"); val pass = tmpDir(s"$tag-pass")
+    val quar = tmpDir(s"$tag-quar"); val ck = tmpDir(s"$tag-ck")
     val longDoc = "the quick brown fox jumps over the lazy dog before noon today"
     val otherDoc = "completely different sentences describing a second unique training document here"
     // batch 1: one good doc, one in-batch duplicate pair member, one
@@ -321,7 +329,8 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
-    val q = StreamingAnalytics.curateStream(stream, pass, quar, ck)
+    val q = StreamingAnalytics.curateStream(stream, pass, quar, ck,
+      bloomHistoryGuard = bloomGuard)
     try {
       q.processAllAvailable()
       // batch 2 arrives LATER: a near-dup of batch-1's doc 1 (cross-batch
