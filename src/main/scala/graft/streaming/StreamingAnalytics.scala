@@ -420,6 +420,39 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** STREAMING MIXTURE-DRIFT MONITOR — the online form of the
+    * `source_drift` / `drift_incremental` diagnostic: every arriving
+    * micro-batch is scored per source against a FROZEN corpus unigram
+    * model ([[graft.text.TextAnalysis.unigramModelOf]], built once
+    * from history) and the per-batch TV-distance rows append to a
+    * drift-report table — the "did tonight's crawl slice shift
+    * off-distribution" alarm the serving layer reads.
+    *
+    * `foreachBatch` because the kernel needs two aggregations (slice
+    * term counts, then the per-source reduction) — not expressible as
+    * one streaming agg. State: ZERO rows; the model is a static
+    * vocabulary-bound frame re-broadcast per batch, the scored slice
+    * is batch-sized, and the kernel is the SAME code path the
+    * hash-checked `drift_incremental` driver row gates
+    * ([[graft.text.TextAnalysis.driftAgainstModelOf]] — OOV terms
+    * carry c_t = 0, so a batch of novel vocabulary reads as maximal
+    * drift, not a dropped join). Deliberately frozen like the ANN
+    * index's codebook: a drift monitor that re-fit its reference on
+    * every batch would chase the drift it is supposed to flag;
+    * retraining is an offline model swap. */
+  def driftStream(incoming: DataFrame, model: DataFrame,
+      reportPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextAnalysis.driftAgainstModelOf(batch, model)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Train-batch / score-stream classifier composition: the model from
     * [[graft.text.TextAnalysis.nbModelOf]] (a STATIC, vocabulary-sized
     * frame — the fastText-file analog) is broadcast into a scoring plan

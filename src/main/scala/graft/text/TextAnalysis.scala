@@ -383,6 +383,68 @@ object TextAnalysis extends QueryPack {
       .orderBy("source")
   }
 
+  /** Frozen unigram model over a document frame: (term, c_t) counts —
+    * the broadcast-able reference distribution [[driftAgainstModelOf]]
+    * scores arriving slices against. Vocabulary-bound. */
+  def unigramModelOf(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_t"))
+
+  /** TV drift of an ARRIVING slice against a FROZEN model — the
+    * incremental form of [[sourceDriftOf]] (which scores each source
+    * against the mixture it is part of; here the reference
+    * distribution is fixed history and the scored slice is new). Same
+    * exact arithmetic — integer numerators, closed-form absent-term
+    * mass, one double division — with one extension: slice terms
+    * ABSENT from the model (OOV in history) carry `c_t = 0` through
+    * the same |c_st·T − c_t·T_s| term, so a batch full of novel
+    * vocabulary correctly reads as maximal drift rather than being
+    * dropped by the join.
+    *
+    * Scale shape: the slice aggregate is batch-sized; the model join is
+    * term-partitioned against a vocabulary-bound frame; totals are
+    * model-sized broadcasts. Nothing scans history — that happened once
+    * when the model was built ([[unigramModelOf]]). Stateless given the
+    * model, so it runs unchanged per micro-batch under `foreachBatch`
+    * ([[graft.streaming.StreamingAnalytics.driftStream]]). */
+  def driftAgainstModelOf(slice: DataFrame, model: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = slice
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val ts = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
+    val tot = model.agg(sum(col("c_t")).as("t_all"))
+    st.join(model, Seq("term"), "left_outer")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("t_s"), col("t_all"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("c_st").cast(dec) * col("t_all")
+          - col("c_t").cast(dec) * col("t_s"))).as("num_present"),
+        sum(col("c_t")).as("ct_present"))
+      .select(col("source"), col("n_terms"), col("t_s"),
+        ((col("num_present")
+            + (col("t_all") - col("ct_present")).cast(dec) * col("t_s"))
+          .cast("double")
+          / (lit(2.0) * col("t_s").cast("double") * col("t_all").cast("double")))
+          .as("tv_drift"))
+      .orderBy("source")
+  }
+
+  /** [[driftAgainstModelOf]] as a driver-checked query, on the
+    * deterministic batch-slice convention `semantic_incremental`
+    * established: docs with `doc_id % 8 == 7` are "tonight's batch",
+    * the other 7/8 are the stored history whose unigram distribution
+    * is the frozen model. */
+  def driftIncremental(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    driftAgainstModelOf(
+      docs.filter(col("doc_id") % 8 === 7),
+      unigramModelOf(docs.filter(col("doc_id") % 8 =!= 7)))
+  }
+
   /** Document chunking — overlapping token windows (window 50, stride
     * 40), the context-window splitting stage of a training-data
     * pipeline. Chunk count per doc: 1 if it fits one window, else
@@ -1051,6 +1113,7 @@ object TextAnalysis extends QueryPack {
     "bpe_encode" -> bpeEncode,
     "bpe_apply" -> bpeApply,
     "source_drift" -> sourceDrift,
+    "drift_incremental" -> driftIncremental,
     "k_anon_check" -> kAnonCheck)
 
   private def markerSql(lang: String): String = {
@@ -1475,6 +1538,35 @@ object TextAnalysis extends QueryPack {
         |         CAST(SUM(c_t) AS BIGINT) AS ct_present
         |  FROM st JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN tot
         |  GROUP BY st.source, t_s, t_all)
+        |SELECT source, n_terms, t_s,
+        |       CAST(num_present
+        |            + CAST(t_all - ct_present AS HUGEINT) * t_s AS DOUBLE)
+        |       / (2.0 * CAST(t_s AS DOUBLE) * CAST(t_all AS DOUBLE)) AS tv_drift
+        |FROM pres ORDER BY source""".stripMargin,
+    // the same arithmetic with the model frozen to the 7/8 history
+    // slice and OOV batch terms carrying c_t = 0 through a left join
+    "drift_incremental" ->
+      """WITH sl AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 8 = 7),
+        |mt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 8 <> 7),
+        |model AS (SELECT term, COUNT(*) AS c_t FROM mt GROUP BY 1),
+        |st AS (SELECT source, term, COUNT(*) AS c_st FROM sl GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM model),
+        |j AS (
+        |  SELECT st.source, st.term, st.c_st, COALESCE(model.c_t, 0) AS c_t
+        |  FROM st LEFT JOIN model USING (term)),
+        |pres AS (
+        |  SELECT j.source, t_s, t_all,
+        |         COUNT(*) AS n_terms,
+        |         SUM(ABS(CAST(c_st AS HUGEINT) * t_all
+        |                 - CAST(c_t AS HUGEINT) * t_s)) AS num_present,
+        |         CAST(SUM(c_t) AS BIGINT) AS ct_present
+        |  FROM j JOIN ts USING (source) CROSS JOIN tot
+        |  GROUP BY j.source, t_s, t_all)
         |SELECT source, n_terms, t_s,
         |       CAST(num_present
         |            + CAST(t_all - ct_present AS HUGEINT) * t_s AS DOUBLE)

@@ -310,6 +310,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftStream: per-batch TV vs the frozen model, stream == batch kernel") {
+    val in = tmpDir("dr-in"); val rep = tmpDir("dr-rep"); val ck = tmpDir("dr-ck")
+    // frozen history model: terms a:2, b:2 → T = 4, p = {a:½, b:½}
+    val model = graft.text.TextAnalysis.unigramModelOf(
+      Seq((1L, "h", "a a b b")).toDF("doc_id", "source", "text"))
+    // batch 1 — s1 "a a": p_s={a:1} → TV = ½(|1−½| + ½) = 0.5
+    //           s2 "a b": p_s=p → TV = 0
+    Seq((10L, "s1", "a a"), (11L, "s2", "a b"))
+      .toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING").parquet(in)
+    val q = StreamingAnalytics.driftStream(stream, model, rep, ck)
+    try {
+      q.processAllAvailable()
+      // batch 2 — s3 "z z": all-OOV slice → TV = ½(|1−0| + 4/4) = 1.0,
+      // the maximal-drift case the left join's c_t = 0 exists for
+      Seq((20L, "s3", "z z")).toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(rep)
+      .select($"source", $"tv_drift", $"batch_id")
+      .as[(String, Double, Long)].collect().toSet
+    assert(got === Set(("s1", 0.5, 0L), ("s2", 0.0, 0L), ("s3", 1.0, 1L)))
+    // and the stored rows are exactly the batch kernel's output per batch
+    val batch1 = graft.text.TextAnalysis.driftAgainstModelOf(
+      Seq((10L, "s1", "a a"), (11L, "s2", "a b"))
+        .toDF("doc_id", "source", "text"), model)
+      .select($"source", $"tv_drift").as[(String, Double)].collect().toSet
+    assert(got.filter(_._3 == 0L).map(r => (r._1, r._2)) === batch1)
+  }
+
   test("curateStream: cross-micro-batch dedup through the pass-table-as-state MV") {
     curateScenario("cu", bloomGuard = false)
   }
