@@ -79,12 +79,19 @@ object Bench {
       val qs = rows.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
         .mkString("{", ",", "}")
       val line = s"""{"pass":$p,"stamp":"$stamp","queries":$qs,"sf":"$sfDir"}"""
-      try {
-        val out = java.nio.file.Paths.get(s"target/bench_pass${p}_$stamp.json")
-        java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] pass-$p artifact write failed: $e") }
+      // target/ gets wiped by sbt clean / round turnover (r8 lost the
+      // r8builder pass artifacts SCALE.md cites that way) — so every
+      // artifact ALSO lands in the git-tracked bench_artifacts/, where
+      // the end-of-round commit preserves it
+      for (fname <- Seq(s"target/bench_pass${p}_$stamp.json",
+                        s"bench_artifacts/bench_pass${p}_$stamp.json")) {
+        try {
+          val out = java.nio.file.Paths.get(fname)
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] pass-$p artifact write failed: $e") }
+      }
     }
 
     def fullPass(p: Int): Map[String, (Double, Boolean)] = {
@@ -138,7 +145,8 @@ object Bench {
     // persist the complete line as a machine-readable artifact too, both
     // at the stable name (driver contract) and round-stamped (post-mortem
     // evidence that survives the next run)
-    for (fname <- Seq("target/bench_full.json", s"target/bench_full_$stamp.json")) {
+    for (fname <- Seq("target/bench_full.json", s"target/bench_full_$stamp.json",
+                      s"bench_artifacts/bench_full_$stamp.json")) {
       try {
         val out = java.nio.file.Paths.get(fname)
         java.nio.file.Files.createDirectories(out.getParent)

@@ -165,6 +165,20 @@ class PlanShapeSpec extends SparkSpec {
       "probe filter must sit below (printed after) the semi join in the plan tree")
   }
 
+  test("bloom_anti_join: history resolves through broadcast joins, never a shuffle join") {
+    val p = planOf(queries.Extended.bloomAntiJoin(spark, sf0001))
+    assert(p.contains("might_contain"), s"Bloom probe must be in the plan:\n$p")
+    // the exact-resolution path: history semi-joined by the broadcast
+    // Bloom-positive keys, confirmed keys broadcast back into the anti
+    // join — both hinted broadcast, so the history table never sits
+    // under a join-side shuffle at ANY size
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"history must resolve via broadcast semi join:\n$p")
+    assert(p.contains("LeftAnti"), "exact anti join must still run")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join in the composition may shuffle-sort history:\n$p")
+  }
+
   test("q2 prunes lineitem to qualifying parts before the cost aggregation") {
     val f = formatted(queries.TpcH.q2MinCost(spark, sf0001))
     assert(f.contains("EqualTo(p_type,STANDARD)") &&
