@@ -607,7 +607,7 @@ object Similarity extends QueryPack {
   /** CC + survivor tail shared by the semantic-dedup variants: label
     * every vector with its component, attach the component size, keep
     * the smallest vec_id. */
-  private def clusterized(vectors: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def clusterized(vectors: DataFrame, pairs: DataFrame): DataFrame = {
     val nodes = vectors.select(col("vec_id").as("doc_id"))
     val labels = graft.dedup.Dedup.clusterLabels(nodes, pairs)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -788,8 +788,8 @@ object Similarity extends QueryPack {
     * own scaling), per-list occupancy stays constant and candidates
     * stay linear; [[graft.tools.ScaleR7]] measures the curve. */
   private[graft] def ivfNearDupPairsOf(spark: SparkSession, all: DataFrame,
-      threshold: Double, nlist: Int): DataFrame =
-    verifyPairs(all, ivfCandidatesOf(spark, all, nlist), threshold)
+      threshold: Double, nlist: Int, softAssign: Int = 2): DataFrame =
+    verifyPairs(all, ivfCandidatesOf(spark, all, nlist, softAssign), threshold)
 
   /** Same-coarse-list candidate pairs ([[trainCentroids]] quantizer),
     * split out for the [[graft.tools.ScaleR7]] occupancy measurement.
@@ -810,10 +810,10 @@ object Similarity extends QueryPack {
     * keyed by vec_id, so it hash-partitions without skew at any
     * corpus size. */
   private[graft] def ivfCandidatesOf(spark: SparkSession, all: DataFrame,
-      nlist: Int): DataFrame = {
+      nlist: Int, softAssign: Int = 2): DataFrame = {
     VectorFunctions.register(spark)
     val centroids = trainCentroids(spark, all, nlist, iters = 2)
-    val assigned = nearestLists(centroids, all.select("vec_id", "v"), "v", 2, "list_id")
+    val assigned = nearestLists(centroids, all.select("vec_id", "v"), "v", softAssign, "list_id")
       .select("vec_id", "list_id")
     assigned.select(col("vec_id").as("vec_a"), col("list_id"))
       .join(assigned.select(col("vec_id").as("vec_b"), col("list_id")), Seq("list_id"))
@@ -907,6 +907,59 @@ object Similarity extends QueryPack {
         (col("n_agree") * 10L >= col("n_vectors") * 9L).as("meets_floor"))
   }
 
+  /** Occupancy-preserving nlist: cells ∝ corpus size at a constant
+    * per-cell occupancy target, the SemDeDup paper's own scaling and
+    * the IVF sibling of [[bitsForCorpus]]. With soft assignment ×2
+    * each cell holds ~2·target vectors, so per-cell quadratic
+    * candidate work is a CONSTANT (~2·64 choose 2) and total
+    * candidates stay linear — the property ScaleR7 measured (×2.1 per
+    * corpus doubling) but that no registered query exercised as a
+    * data-derived knob until this one. Pure integer math so the
+    * oracle reproduces it from COUNT(*). Floor 4 = don't shatter a
+    * model-scale corpus into near-empty cells. */
+  private[graft] def nlistForCorpus(n: Long, targetOccupancy: Int = 64): Int =
+    math.max(4L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+
+  /** [[semanticDedupIvfVerified]] with the quantizer geometry DERIVED
+    * FROM THE CORPUS ([[nlistForCorpus]]) instead of the pinned
+    * [[ServedNList]] — the IVF twin of `semantic_dedup_lsh_auto`
+    * (VERDICT r7 #2's technique applied to the k-means path): the
+    * emitted `nlist` column is computed by the Spark side from
+    * `count()` at plan build and RECOMPUTED by the oracle from its own
+    * COUNT(*) through the same integer formula, so a drift in the
+    * scaling knob itself — not just in recall — turns the row red.
+    * Gate laws identical to the fixed-nlist gate: exact-survivor
+    * subset + ≥0.9 per-vector agreement, all-integer compares.
+    *
+    * Soft-assign 4 here (vs the fixed gate's 2): at constant
+    * occupancy the agreement decays with duplicate DENSITY, which
+    * grows with SF in this corpus — IvfAutoProbe's sweep at n=2000
+    * measured 0.76 / 0.87 / 0.94 for soft 2/3/4 at occupancy 64
+    * (SCALE.md §r8), so 4 is the smallest probe width that clears the
+    * floor across the driver's scales. Candidates stay linear:
+    * per-cell work is still the occupancy-bounded constant, ×2 of the
+    * soft-2 form. */
+  def semanticDedupIvfAuto(spark: SparkSession, d: String): DataFrame = {
+    val all = vecs(spark, d)
+    val nlist = nlistForCorpus(all.count())
+    val exact = semanticDedup(spark, d)
+      .select(col("vec_id"), col("is_survivor").as("ex_s"))
+    val ivf = clusterized(all,
+        ivfNearDupPairsOf(spark, all, 0.4, nlist, softAssign = 4))
+      .select(col("vec_id"), col("is_survivor").as("iv_s"))
+    exact.join(ivf, "vec_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("ex_s"), 1L).otherwise(0L)).as("n_exact_survivors"),
+        max(when(col("ex_s") && !col("iv_s"), 1L).otherwise(0L)).as("lost"),
+        sum(when(col("ex_s") === col("iv_s"), 1L).otherwise(0L)).as("n_agree"))
+      .select(lit(nlist.toLong).as("nlist"),
+        col("n_vectors"), col("n_exact_survivors"),
+        (col("lost") === 0L).as("subset_holds"),
+        lit(0.9).as("floor"),
+        (col("n_agree") * 10L >= col("n_vectors") * 9L).as("meets_floor"))
+  }
+
   /** Driver-visible self-audit for the served index (VERDICT r6 #2):
     * the QueriesSpec byte-equality pin between [[annIvfPqServed]] and
     * [[annIvfPq]] becomes a CORRECTNESS row. `n_mismatch` counts the
@@ -935,6 +988,7 @@ object Similarity extends QueryPack {
     "semantic_dedup_lsh_auto" -> semanticDedupLshAuto,
     "semantic_dedup_ivf" -> semanticDedupIvf,
     "semantic_dedup_ivf_verified" -> semanticDedupIvfVerified,
+    "semantic_dedup_ivf_auto" -> semanticDedupIvfAuto,
     "semantic_incremental" -> semanticIncremental,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
@@ -1041,8 +1095,15 @@ object Similarity extends QueryPack {
   /** Oracle for [[semanticDedupIvfVerified]]: the exact-survivor count
     * is recomputed from the quadratic exact pipeline (the same recursive
     * transitive closure the `semantic_dedup` oracle runs); the gate
-    * booleans are the literals the Spark side must reach from data. */
-  private def semDedupIvfGateSql: String = {
+    * booleans are the literals the Spark side must reach from data.
+    * `withNlist` (the auto-geometry variant) prepends the
+    * count-derived `nlist` column — a real parameter, not a string
+    * splice (ADVICE r7 #3): same integer formula as
+    * [[nlistForCorpus]]. */
+  private def semDedupIvfGateSql(withNlist: Boolean = false): String = {
+    val nlistCol =
+      if (withNlist) "GREATEST(4, (CAST(count(*) AS BIGINT) + 63) // 64) AS nlist, "
+      else ""
     val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |pairs AS (
@@ -1061,7 +1122,7 @@ object Similarity extends QueryPack {
        |         LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS cluster_id
        |  FROM e LEFT JOIN reach r ON r.a = e.vec_id
        |  GROUP BY e.vec_id)
-       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |SELECT ${nlistCol}CAST(count(*) AS BIGINT) AS n_vectors,
        |       CAST(sum(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_exact_survivors,
        |       true AS subset_holds,
@@ -1075,7 +1136,8 @@ object Similarity extends QueryPack {
     "ann_ivf_verified" -> recallGateSql(0.5),
     "ann_pq_verified" -> recallGateSql(0.4),
     "ann_ivfpq_verified" -> recallGateSql(0.6),
-    "semantic_dedup_ivf_verified" -> semDedupIvfGateSql,
+    "semantic_dedup_ivf_verified" -> semDedupIvfGateSql(),
+    "semantic_dedup_ivf_auto" -> semDedupIvfGateSql(withNlist = true),
     // batch slice probes the stored corpus through the same literal
     // planes; argmax tie-break mirrored with a window
     "semantic_incremental" -> {

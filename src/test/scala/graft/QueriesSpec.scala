@@ -384,6 +384,28 @@ class QueriesSpec extends SparkSpec {
     assert(exact.filter(_._2).keySet.subsetOf(auto.filter(_._2).keySet))
   }
 
+  test("semantic_dedup_ivf_auto: nlist tracks corpus size; gate holds off the floor") {
+    import graft.similarity.Similarity
+    // the knob: cells ∝ n at constant occupancy 64, floor 4 — and at
+    // the driver's own sizes it leaves the floor (sf0.001/sf0.01:
+    // 500 vecs ⇒ 8 cells; sf0.1: 2000 ⇒ 32), so the CORRECTNESS row
+    // exercises data-derived geometry, not a constant
+    assert(Similarity.nlistForCorpus(50) === 4)      // floor
+    assert(Similarity.nlistForCorpus(500) === 8)
+    assert(Similarity.nlistForCorpus(2000) === 32)
+    assert(Similarity.nlistForCorpus(5000) === 79)
+    assert(Similarity.nlistForCorpus(1L << 30) === 16777216) // stays linear
+    val ns = Seq(1L, 50L, 500L, 5000L, 50000L).map(Similarity.nlistForCorpus(_))
+    assert(ns === ns.sorted) // monotone: more corpus never means fewer cells
+    // the gate row itself at sf0.001: subset law + agreement floor met,
+    // and the emitted nlist is the formula's value for that corpus
+    val row = Similarity.semanticDedupIvfAuto(spark, sf0001).collect().head
+    val n = row.getAs[Long]("n_vectors")
+    assert(row.getAs[Long]("nlist") === Similarity.nlistForCorpus(n).toLong)
+    assert(row.getAs[Boolean]("subset_holds"))
+    assert(row.getAs[Boolean]("meets_floor"))
+  }
+
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
