@@ -485,19 +485,21 @@ object Extended extends QueryPack {
 
   /** Bloom-pruned ANTI join ([[graft.operators.BloomPrune
     * .prunedAntiJoin]]) as a driver-checked query: customers that have
-    * never placed an URGENT order, reported per market segment. The
-    * plain `left_anti` would sort-merge-shuffle the orders table to
-    * answer it (the filter side of an anti join cannot broadcast); the
-    * Bloom composition never shuffles orders at all — it is scanned
-    * map-side into a few-MB key Bloom and once more under a broadcast
-    * semi join of the Bloom-positive sliver. Equals the oracle's NOT
-    * EXISTS exactly: the Bloom only routes rows, never answers. */
+    * never placed an URGENT order, reported per market segment. Once
+    * history outgrows the broadcast threshold the plain `left_anti`
+    * sort-merge-shuffles the whole orders table; here a KB-scale Bloom
+    * of the customer keys filters orders IN ITS SCAN TASKS, so only
+    * the might-match sliver ever shuffles and the confirmed keys
+    * broadcast back into the exact anti join (AntiJoinAb measures the
+    * curve: history shuffle rows flat in history size). Equals the
+    * oracle's NOT EXISTS exactly: the Bloom only routes rows, never
+    * answers. */
   def bloomAntiJoin(spark: SparkSession, d: String): DataFrame =
     graft.operators.BloomPrune.prunedAntiJoin(
         Tables.customer(spark, d), "c_custkey",
         Tables.orders(spark, d)
           .filter(col("o_orderpriority") === "1-URGENT"), "o_custkey",
-        expectedItems = 1000000L)
+        expectedItems = 100000L)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_idle"),
            decSum(col("c_acctbal")).as("idle_balance"))

@@ -270,18 +270,19 @@ object StreamingAnalytics {
     * place this stream shuffles HISTORY — at 100 TB that is re-sorting
     * the whole corpus id set every micro-batch to reject the occasional
     * crash-replay. With the guard on, it runs through
-    * [[graft.operators.BloomPrune.prunedAntiJoin]] instead: history ids
-    * fold map-side into a few-MB Bloom, Bloom-negative arrivals (all of
-    * them, in the steady state of mostly-new batches) skip the join
-    * entirely, and only the Bloom-positive sliver resolves exactly via
-    * broadcast — result identical by construction (the spec pins table
-    * equality both ways), history never shuffles.
-    * `expectedHistoryDocs` sizes the Bloom (overshoot costs bytes, not
-    * correctness; production tracks the pass-table row count). */
+    * [[graft.operators.BloomPrune.prunedAntiJoin]] instead: a KB-scale
+    * Bloom of the BATCH's ids filters history in its scan tasks, so
+    * only the might-match sliver (replays + fpp·history) ever shuffles
+    * and the confirmed ids broadcast back into the exact anti join —
+    * result identical by construction (the spec pins table equality
+    * both ways), history never shuffle-sorts. `expectedBatchDocs`
+    * sizes the Bloom over the batch (overshoot costs KBs). The
+    * endgame past even one scan per batch is a pass table bucketed on
+    * doc_id — see prunedAntiJoin's scale envelope note. */
   def curateStream(incoming: DataFrame, passPath: String,
       quarantinePath: String, checkpoint: String,
       bloomHistoryGuard: Boolean = false,
-      expectedHistoryDocs: Long = 4L << 20)
+      expectedBatchDocs: Long = 4L << 20)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
@@ -317,7 +318,7 @@ object StreamingAnalytics {
         val arriving =
           if (bloomHistoryGuard)
             graft.operators.BloomPrune.prunedAntiJoin(
-              gated, "doc_id", history, "doc_id", expectedHistoryDocs)
+              gated, "doc_id", history, "doc_id", expectedBatchDocs)
           else gated
             .join(history.select("doc_id"), Seq("doc_id"), "left_anti")
         val labeled = graft.dedup.Dedup.dedupIncrementalOf(

@@ -165,18 +165,21 @@ class PlanShapeSpec extends SparkSpec {
       "probe filter must sit below (printed after) the semi join in the plan tree")
   }
 
-  test("bloom_anti_join: history resolves through broadcast joins, never a shuffle join") {
+  test("bloom_anti_join: history filtered in its scan, never under a shuffle join") {
     val p = planOf(queries.Extended.bloomAntiJoin(spark, sf0001))
-    assert(p.contains("might_contain"), s"Bloom probe must be in the plan:\n$p")
-    // the exact-resolution path: history semi-joined by the broadcast
-    // Bloom-positive keys, confirmed keys broadcast back into the anti
-    // join — both hinted broadcast, so the history table never sits
-    // under a join-side shuffle at ANY size
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"history must resolve via broadcast semi join:\n$p")
-    assert(p.contains("LeftAnti"), "exact anti join must still run")
+    assert(p.contains("might_contain"), s"Bloom filter must be in the plan:\n$p")
+    // the Bloom of the PROBE's keys sits in history's scan stage (below
+    // the distinct's exchange), so only the might-match sliver shuffles;
+    // the confirmed keys come back as a hinted broadcast into the exact
+    // anti join — history never sits under a join-side shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"exact anti join must run against broadcast matched keys:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no join in the composition may shuffle-sort history:\n$p")
+    val filterIdx = p.indexOf("might_contain")
+    val antiIdx = p.indexOf("LeftAnti")
+    assert(filterIdx > antiIdx,
+      "the Bloom filter must sit below (printed after) the anti join in the plan tree")
   }
 
   test("q2 prunes lineitem to qualifying parts before the cost aggregation") {
