@@ -182,6 +182,24 @@ class PlanShapeSpec extends SparkSpec {
       "the Bloom filter must sit below (printed after) the anti join in the plan tree")
   }
 
+  test("corpus_diff: no exchange carries document text — digests only") {
+    val df = graft.dedup.Dedup.corpusDiff(spark, sf0001)
+    // AQE hides the tree behind AdaptiveSparkPlanExec — unwrap it
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "the keyed diff must shuffle (unbucketed input)")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name.contains("text")),
+        s"an exchange carries the document text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q2 prunes lineitem to qualifying parts before the cost aggregation") {
     val f = formatted(queries.TpcH.q2MinCost(spark, sf0001))
     assert(f.contains("EqualTo(p_type,STANDARD)") &&
