@@ -980,6 +980,36 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // ---------- cluster-aware split ----------
+
+  /** Leakage-PROOF train/val split — the constructive fix for what
+    * [[splitLeakage]] audits: hashing DOC ids across the split
+    * boundary strands near-duplicate pairs on opposite sides (the
+    * audit measures exactly those), so the split decision here hashes
+    * the near-dup CLUSTER id instead. Every member of a cluster lands
+    * in the same split by construction, making cross-split near-dup
+    * leakage structurally ZERO (DedupSpec asserts the audit of this
+    * split returns empty on the same corpus where the doc-hash split
+    * provably leaks) — the C4/Dolma lesson "split by cluster, not by
+    * document" as an operator.
+    *
+    * Same DetMix 90/10 rule as [[splitLeakage]], applied to
+    * cluster_id: singletons (cluster_id = own doc_id) hash exactly as
+    * before, so the mixture cost of cluster-awareness is only the
+    * near-dup sliver moving together. Scale shape: clusters from the
+    * [[minhashLshRow]] one-pass kernel + CC rounds (the dedup_clusters
+    * machinery, edge-sliver shuffles); the split itself is a stateless
+    * projection over the label frame. */
+  def splitByCluster(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = minhashLshRowOf(docs).select("doc_a", "doc_b")
+    clusterLabels(docs.select("doc_id"), pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        when(graft.functions.DetMix.lehmerMix(col("cluster_id")) < lit(TrainCut),
+          lit("train")).otherwise(lit("val")).as("split"))
+      .orderBy("doc_id")
+  }
+
   // ---------- snapshot diff ----------
 
   /** Corpus SNAPSHOT DIFF — the dataset-versioning audit every managed
@@ -1048,6 +1078,7 @@ object Dedup extends QueryPack {
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
+    "split_by_cluster" -> splitByCluster,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
@@ -1283,6 +1314,14 @@ object Dedup extends QueryPack {
     // query extends the same fragment — one definition, no drift.
     "dedup_clusters" -> s"""$closureSql
         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    // the closure labels + the DetMix 90/10 rule applied to cluster_id
+    // (the same inlined Lehmer formula as the sample_det oracle)
+    "split_by_cluster" -> s"""$closureSql
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN ((cluster_id % 2147483647) * 48271 % 2147483647)
+        |                 * 48271 % 2147483647 < 1932735282
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_clusters_star" -> s"""$closureSql
         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
     // histogram over the same closure: cluster size -> cluster count

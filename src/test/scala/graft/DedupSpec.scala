@@ -299,6 +299,24 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // sf0.001 plants enough near-dups to cross the cut
   }
 
+  test("splitByCluster: zero cross-split leakage where the doc-hash split leaks") {
+    val corpus = Tables.documents(spark, sf0001)
+    val split = Dedup.splitByCluster(spark, sf0001)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(split.values.toSet === Set("train", "val")) // both sides populated
+    // every >= 0.8 near-dup pair must land inside one split — leakage is
+    // structurally zero, not statistically small
+    val pairs = Dedup.ngramJaccardOf(corpus)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.nonEmpty)
+    val crossing = pairs.filter { case (a, b, _) => split(a) != split(b) }
+    assert(crossing.isEmpty,
+      s"near-dup pairs cross the cluster-aware split: $crossing")
+    // contrast: the doc-hash split leaks on the SAME corpus (the audit
+    // operator's raison d'etre)
+    assert(Dedup.splitLeakageOf(corpus).count() > 0)
+  }
+
   test("snapshotDiffOf classifies every status and accounts byte mass exactly") {
     // doc_ids chosen so every mod-17 branch fires: 3 → removed,
     // 11 → added, 5 → modified, others → unchanged; two sources so the
