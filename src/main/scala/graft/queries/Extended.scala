@@ -1216,6 +1216,49 @@ object Extended extends QueryPack {
         col("sum_value"))
       .orderBy("bin")
 
+  /** Numeric distribution drift — the metric-space member of the
+    * monitoring triad ([[graft.text.TextAnalysis.driftIncremental]]
+    * covers term mixture, `driftStream` its streaming form): per
+    * event_type, the TOTAL-VARIATION distance between the ARRIVING
+    * slice's binned `value` histogram (the [[valueHistogram]] width-50
+    * floor bins; `event_id % 8 = 7` is the batch-slice convention) and
+    * the stored history's. Same exact-arithmetic discipline as
+    * `source_drift`: |c_s·T_h − c_h·T_s| integer numerators over the
+    * union of bins (full-outer with zero fill — a bin present on one
+    * side only contributes its full probability mass), ONE double
+    * division at the end, so both engines agree bitwise. Types with no
+    * history drop at the totals join by design (a brand-new type is a
+    * cardinality alarm, not a drift measurement). Scale shape: two
+    * (type × bin)-bounded hash aggregates, broadcast totals — the
+    * events scan is the only O(data) stage. */
+  def valueDrift(spark: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(spark, d).select(col("event_id"), col("event_type"),
+      floor(col("value") / 50).cast("long").as("bin"))
+    val isBatch = col("event_id") % 8 === 7
+    val s = ev.filter(isBatch)
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c_s"))
+    val h = ev.filter(!isBatch)
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c_h"))
+    val ts = s.groupBy("event_type").agg(sum(col("c_s")).as("t_s"))
+    val th = h.groupBy("event_type").agg(sum(col("c_h")).as("t_h"))
+    s.join(h, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"),
+        coalesce(col("c_h"), lit(0L)).as("c_h"))
+      .join(broadcast(ts), "event_type")
+      .join(broadcast(th), "event_type")
+      .groupBy(col("event_type"), col("t_s"), col("t_h"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(abs(col("c_s").cast(dec) * col("t_h")
+          - col("c_h").cast(dec) * col("t_s"))).as("num"))
+      .select(col("event_type"), col("n_bins"), col("t_s"), col("t_h"),
+        (col("num").cast("double")
+          / (lit(2.0) * col("t_s").cast("double") * col("t_h").cast("double")))
+          .as("tv_drift"))
+      .orderBy("event_type")
+  }
+
   /** Per-source exact quality quartiles — the stratified binning a
     * curriculum / mixture pipeline runs before sampling ("take only
     * the top quartile of each source", "oversample Q4"). Binning is
@@ -1345,6 +1388,7 @@ object Extended extends QueryPack {
     "graph_communities" -> graphCommunities,
     "anomaly_zscore" -> anomalyZscore,
     "value_histogram" -> valueHistogram,
+    "value_drift" -> valueDrift,
     "bloom_semi_join" -> bloomSemiJoin,
     "bloom_anti_join" -> bloomAntiJoin,
     "monthly_growth" -> monthlyGrowth,
@@ -1423,6 +1467,33 @@ object Extended extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bin""".stripMargin,
+    // same bin rule, slice convention, zero-filled bin union, and
+    // exact-integer TV numerators as the Spark plan
+    "value_drift" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(FLOOR(value / 50) AS BIGINT) AS bin FROM events),
+        |s AS (SELECT event_type, bin, COUNT(*) AS c_s FROM ev
+        |      WHERE event_id % 8 = 7 GROUP BY 1, 2),
+        |h AS (SELECT event_type, bin, COUNT(*) AS c_h FROM ev
+        |      WHERE event_id % 8 <> 7 GROUP BY 1, 2),
+        |ts AS (SELECT event_type, CAST(SUM(c_s) AS BIGINT) AS t_s FROM s GROUP BY 1),
+        |th AS (SELECT event_type, CAST(SUM(c_h) AS BIGINT) AS t_h FROM h GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(s.event_type, h.event_type) AS event_type,
+        |         COALESCE(c_s, 0) AS c_s, COALESCE(c_h, 0) AS c_h
+        |  FROM s FULL OUTER JOIN h
+        |    ON s.event_type = h.event_type AND s.bin = h.bin),
+        |agg AS (
+        |  SELECT j.event_type, t_s, t_h, COUNT(*) AS n_bins,
+        |         SUM(ABS(CAST(c_s AS HUGEINT) * t_h
+        |                 - CAST(c_h AS HUGEINT) * t_s)) AS num
+        |  FROM j JOIN ts USING (event_type) JOIN th USING (event_type)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n_bins, t_s, t_h,
+        |       CAST(num AS DOUBLE)
+        |       / (2.0 * CAST(t_s AS DOUBLE) * CAST(t_h AS DOUBLE)) AS tv_drift
+        |FROM agg ORDER BY event_type""".stripMargin,
     // iterations unrolled as chained CTEs (recursive CTEs forbid the
     // per-round aggregation); integer fixed-point mirrors the Spark loop.
     // rank flows through SUM(BIGINT) → HUGEINT, which pandas reads back
