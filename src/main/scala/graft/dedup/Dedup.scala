@@ -980,6 +980,78 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // ---------- merge-on-read mutations ----------
+
+  /** MERGE-ON-READ corpus mutation — the upsert/delete surface a
+    * managed corpus needs (takedown requests, right-to-be-forgotten
+    * deletes, per-document revisions) over immutable parquet, i.e.
+    * the discipline the reference's MergeTree tables get from
+    * ReplacingMergeTree-style mutations. The store stays append-only:
+    * a CHANGELOG of (doc_id, seq, op ∈ upsert|delete, source, text)
+    * rows accumulates beside the base table, and the read path folds
+    * it in:
+    *
+    *  1. newest-wins per key: one hash aggregate over the changelog,
+    *     `min(struct(-seq, op, …))` so the highest seq (then 'delete'
+    *     before 'upsert' on the — contractually absent — tie) decides;
+    *  2. base rows with ANY change row drop out via an anti join
+    *     (tombstoned or superseded);
+    *  3. surviving upserts union in (inserts are upserts of new keys).
+    *
+    * Scale shape: the changelog is a sliver (mutations are rare), so
+    * the anti join broadcasts it; with base and changelog both
+    * bucketed on doc_id ([[graft.Catalog.createBucketed]]) the whole
+    * read plans zero-exchange. Compaction = write the merged frame,
+    * swap, truncate the changelog (the [[graft.ingest.EventSink
+    * .compactMonth]] write-aside recipe) — a delete is PHYSICAL only
+    * after compaction, which is exactly the GDPR story at 100 TB:
+    * tombstone now (one appended row), rewrite the affected files on
+    * the compaction schedule. */
+  def applyChangesOf(base: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes
+      .groupBy("doc_id")
+      .agg(min(struct((-col("seq")).as("ns"), col("op"),
+        col("source"), col("text"))).as("w"))
+      .select(col("doc_id"), col("w.op").as("op"),
+        col("w.source").as("source"), col("w.text").as("text"))
+    base.select("doc_id", "source", "text")
+      .join(latest.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(latest.filter(col("op") === "upsert")
+        .select("doc_id", "source", "text"))
+  }
+
+  /** [[applyChangesOf]] as a driver-checked query, over a
+    * deterministic changelog both engines derive from the corpus:
+    * `doc_id % 10 == 4` tombstoned, `% 10 == 6` revised twice (seq 1
+    * superseded by seq 2 — the newest-wins rule is load-bearing, not
+    * decorative), and `% 10 == 8` re-inserted under a fresh key
+    * (insert = upsert of an unseen doc_id). Digest + byte-length
+    * output so the hash check sees every byte of the merged text
+    * without shipping it twice. */
+  def corpusUpsert(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+    val nul = lit(null).cast("string")
+    val changes =
+      docs.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          nul.as("source"), nul.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 6)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          col("source"), concat(col("text"), lit(" v2a")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 6)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          col("source"), concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 8)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("fresh "), col("text")).as("text")))
+    applyChangesOf(docs, changes)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   // ---------- cluster-aware split ----------
 
   /** Leakage-PROOF train/val split — the constructive fix for what
@@ -1079,6 +1151,7 @@ object Dedup extends QueryPack {
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
     "split_by_cluster" -> splitByCluster,
+    "corpus_upsert" -> corpusUpsert,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
@@ -1189,6 +1262,34 @@ object Dedup extends QueryPack {
       |ORDER BY doc_val, doc_train""".stripMargin
 
   val oracles = Map(
+    // the same deterministic changelog, newest-wins via QUALIFY on
+    // seq DESC (seqs are unique per key by contract), tombstone anti
+    // join, and upsert union
+    "corpus_upsert" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op,
+        |         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS text
+        |  FROM docs WHERE doc_id % 10 = 4
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', source, text || ' v2a'
+        |  FROM docs WHERE doc_id % 10 = 6
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'upsert', source, text || ' v2'
+        |  FROM docs WHERE doc_id % 10 = 6
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'upsert', source, 'fresh ' || text
+        |  FROM docs WHERE doc_id % 10 = 8),
+        |latest AS (
+        |  SELECT doc_id, op, source, text FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+        |merged AS (
+        |  SELECT d.doc_id, d.source, d.text FROM docs d
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM latest WHERE op = 'upsert')
+        |SELECT doc_id, source, strlen(text) AS n_bytes, md5(text) AS digest
+        |FROM merged ORDER BY doc_id""".stripMargin,
     // the same deterministic v1/v2 derivation, digest compare, and
     // byte-length mass accounting (strlen = octet_length)
     "corpus_diff" ->

@@ -317,6 +317,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.splitLeakageOf(corpus).count() > 0)
   }
 
+  test("applyChangesOf: newest wins, tombstones drop, inserts land, no-ops ignored") {
+    val base = Seq(
+      (1L, "s1", "keep me"),
+      (2L, "s1", "revise me"),
+      (3L, "s2", "delete me"),
+      (4L, "s2", "resurrect me"),
+      (5L, "s1", "doomed late"))
+      .toDF("doc_id", "source", "text")
+    // changelog deliberately OUT OF ORDER: the seq, not arrival order,
+    // must decide
+    val changes = Seq(
+      (5L, 2L, "delete", null, null),                  // upsert then delete → gone
+      (2L, 1L, "upsert", "s1", "revised v1"),
+      (4L, 2L, "upsert", "s2", "resurrected"),         // delete then upsert → back
+      (9L, 1L, "delete", null, null),                  // delete of unseen key → no-op
+      (2L, 2L, "upsert", "s1", "revised v2"),          // supersedes v1
+      (5L, 1L, "upsert", "s1", "doomed rewrite"),
+      (4L, 1L, "delete", null, null),
+      (3L, 1L, "delete", null, null),
+      (7L, 1L, "upsert", "s3", "brand new"))           // insert = upsert of new key
+      .toDF("doc_id", "seq", "op", "source", "text")
+    val got = Dedup.applyChangesOf(base, changes)
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, "s1", "keep me"),
+      (2L, "s1", "revised v2"),
+      (4L, "s2", "resurrected"),
+      (7L, "s3", "brand new")))
+  }
+
   test("snapshotDiffOf classifies every status and accounts byte mass exactly") {
     // doc_ids chosen so every mod-17 branch fires: 3 → removed,
     // 11 → added, 5 → modified, others → unchanged; two sources so the
