@@ -1020,6 +1020,39 @@ object Dedup extends QueryPack {
         .select("doc_id", "source", "text"))
   }
 
+  /** Changelog COMPACTION: fold the accumulated changelog into the
+    * base table physically (the moment a tombstoned document's bytes
+    * actually leave disk) and empty the changelog. Same
+    * write-aside-then-swap discipline as [[graft.ingest.EventSink]]'s
+    * month compactor — no state where data exists in zero places — and
+    * the same self-heal: a crash between the two renames is recovered
+    * by putting the aside copy back before redoing the rewrite.
+    *
+    * Ordering is swap-base-FIRST, delete-changelog-last, which is
+    * crash-safe because re-applying a changelog to an already-merged
+    * base is IDEMPOTENT: its deletes hit absent keys (no-op) and its
+    * winning upserts rewrite identical rows — so a crash in the window
+    * after the swap merely costs one redundant re-merge on the next
+    * run, never a wrong table (the spec pins this replay). */
+  def compactChanges(spark: SparkSession, basePath: String,
+      changesPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val baseDir = new Path(basePath)
+    val tmpDir = new Path(baseDir.getParent, "." + baseDir.getName + ".compacting")
+    val asideDir = new Path(baseDir.getParent, "." + baseDir.getName + ".replaced")
+    val fs = baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(baseDir) && fs.exists(asideDir))
+      require(fs.rename(asideDir, baseDir), s"could not restore $asideDir")
+    applyChangesOf(spark.read.parquet(basePath), spark.read.parquet(changesPath))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    fs.delete(asideDir, true)
+    require(fs.rename(baseDir, asideDir), s"could not move $baseDir aside")
+    require(fs.rename(tmpDir, baseDir), s"could not move $tmpDir into place")
+    fs.delete(asideDir, true)
+    fs.delete(new Path(changesPath), true) // tombstones now physical
+    graft.Tables.invalidate(basePath)
+  }
+
   /** [[applyChangesOf]] as a driver-checked query, over a
     * deterministic changelog both engines derive from the corpus:
     * `doc_id % 10 == 4` tombstoned, `% 10 == 6` revised twice (seq 1

@@ -347,6 +347,33 @@ class DedupSpec extends SparkSpec {
       (7L, "s3", "brand new")))
   }
 
+  test("compactChanges: physical fold + empty changelog; replaying the log is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val basePath = s"$dir/corpus"; val changesPath = s"$dir/changes"
+    Seq((1L, "s1", "keep"), (2L, "s1", "old"), (3L, "s2", "drop"))
+      .toDF("doc_id", "source", "text").write.parquet(basePath)
+    val log = Seq(
+      (2L, 1L, "upsert", "s1", "new"),
+      (3L, 1L, "delete", null, null),
+      (7L, 1L, "upsert", "s3", "insert"))
+      .toDF("doc_id", "seq", "op", "source", "text")
+    log.write.parquet(changesPath)
+    Dedup.compactChanges(spark, basePath, changesPath)
+    def state() = spark.read.parquet(basePath)
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val merged = Seq((1L, "s1", "keep"), (2L, "s1", "new"), (7L, "s3", "insert"))
+    assert(state() === merged)
+    val fs = new org.apache.hadoop.fs.Path(changesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(changesPath)),
+      "the changelog must be emptied once its tombstones are physical")
+    // the crash window after the swap: the changelog still exists and is
+    // re-applied on the next run — must be a no-op on the merged base
+    log.write.parquet(changesPath)
+    Dedup.compactChanges(spark, basePath, changesPath)
+    assert(state() === merged)
+  }
+
   test("snapshotDiffOf classifies every status and accounts byte mass exactly") {
     // doc_ids chosen so every mod-17 branch fires: 3 → removed,
     // 11 → added, 5 → modified, others → unchanged; two sources so the
