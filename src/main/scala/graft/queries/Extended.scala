@@ -838,14 +838,30 @@ object Extended extends QueryPack {
     * bound — while this orientation keeps it balanced. */
   private[graft] def trianglesOf(half: DataFrame): DataFrame = {
     // degree over the UNDIRECTED graph: each half edge counts for both
-    // endpoints; O(nodes) rows — model-state-sized, broadcast below
+    // endpoints; O(nodes) rows. "Model-state-sized" stops being true on
+    // a big enough graph — the r8 256× sweep (306M edges, ~50M nodes)
+    // blew spark.driver.maxResultSize materializing these broadcasts
+    // (a broadcast collects through driver task results) — so the
+    // hints are CONDITIONAL on measured sizes: one tiny aggregate
+    // yields node and edge counts, and past the caps the same plan
+    // shuffle-joins on the node key (linear, no driver collection).
     val deg = half.select(col("pa").as("n"))
       .union(half.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint() // reused: size probe, two orient joins
+    val sizes = deg.agg(count(lit(1)), sum(col("dg"))).head()
+    val nNodes = sizes.getLong(0)
+    val nEdges = sizes.getLong(1) / 2
+    def ifNodes(df: DataFrame): DataFrame =
+      if (nNodes <= GraphBroadcastRowCap) broadcast(df) else df
+    // the adjacency frame's payload is the EDGE list (one array slot
+    // per oriented edge), so its broadcast gates on the edge count
+    def ifEdges(df: DataFrame): DataFrame =
+      if (nEdges <= GraphBroadcastRowCap) broadcast(df) else df
     // orient by (degree, id): ties broken by id keep the relation total
     val oriented = half
-      .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
-      .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
+      .join(ifNodes(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
+      .join(ifNodes(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
       .select(when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
           struct(col("pa").as("src"), col("pb").as("dst")))
         .otherwise(struct(col("pb").as("src"), col("pa").as("dst")))
@@ -853,11 +869,11 @@ object Extended extends QueryPack {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nd"))
-      .localCheckpoint() // node-sized; probe side AND broadcast side
+      .localCheckpoint() // probe side AND (size-gated) broadcast side
     val tri = adj
       .select(col("src").as("a"), col("nd").as("na"),
         explode(col("nd")).as("b"))
-      .join(broadcast(adj.select(col("src").as("b"), col("nd").as("nb"))),
+      .join(ifEdges(adj.select(col("src").as("b"), col("nd").as("nb"))),
         Seq("b"))
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("cs"))
@@ -896,9 +912,16 @@ object Extended extends QueryPack {
     val deg = half.select(col("pa").as("n"))
       .union(half.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint() // reused: size probe + two orient joins
+    // size-gated hint, same reason as trianglesOf: past the cap the
+    // node frame no longer survives driver-collected broadcast
+    // materialization, and the shuffle join is the right plan anyway
+    val nNodes = deg.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (nNodes <= GraphBroadcastRowCap) broadcast(df) else df
     val m = half
-      .join(broadcast(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
-      .join(broadcast(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
+      .join(hinted(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
+      .join(hinted(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
       .agg(count(lit(1)).as("edges"),
         sum(col("da") * col("db")).as("s_jk"),
         sum(col("da") + col("db")).as("s_sum"),
@@ -963,9 +986,15 @@ object Extended extends QueryPack {
     * 100 TB, 8 full rewrites of the edge set). Each static-frame edge
     * decrements its survivor endpoint exactly once — in the round its
     * OTHER endpoint dies — so the running degree equals the induced
-    * subgraph degree at every round boundary. At a scale where the
-    * frontier outgrows broadcast (only conceivable in round 1), drop
-    * the hints and the same plan shuffle-joins on the node key.
+    * subgraph degree at every round boundary. The frontier can
+    * outgrow broadcast (in practice only round 1 of a sparse graph —
+    * the r8 256× sweep, 306M edges, actually hit it: ~77M dead nodes
+    * in round 1 blew `spark.driver.maxResultSize`, since a broadcast
+    * materializes through driver-collected task results), so the
+    * hint is now CONDITIONAL on the frontier count the loop already
+    * measures: above [[GraphBroadcastRowCap]] the same plan
+    * shuffle-joins on the node key — linear, no driver collection —
+    * and later sliver-sized rounds regain the broadcast.
     *
     * The loop exits early when the frontier is empty (the fixpoint —
     * no degree changed, so every later round is the identity) and is
@@ -974,6 +1003,18 @@ object Extended extends QueryPack {
     * filter mirrors the oracle's census-of-surviving-edges form, which
     * cannot see a capped survivor whose every neighbor died in the
     * final round. */
+  /** Row cap above which the graph operators stop hinting broadcast
+    * for their node/frontier/adjacency frames ([[trianglesOf]],
+    * [[degreeStatsOf]], [[kcoreOf]]): 16M rows of longs ≈ a few
+    * hundred MB of driver-collected task results — under
+    * maxResultSize, far over any bench-scale frame, and crossed for
+    * real by the r8 256× sweep (306M edges),
+    * where the unconditional hints aborted the job. Calibrated by
+    * measurement, not guesswork: 12.8M-node broadcasts (the 64×
+    * sweep) worked and were fast, ~51M-node ones (256×) aborted —
+    * 16M sits inside the proven band with margin. */
+  private[graft] val GraphBroadcastRowCap = 16000000L
+
   private[graft] def kcoreOf(half: DataFrame, k: Int, rounds: Int): DataFrame = {
     val edges = half.select(col("pa"), col("pb")).localCheckpoint()
     var deg = edges.select(col("pa").as("n"))
@@ -985,17 +1026,20 @@ object Extended extends QueryPack {
     while (r < rounds && frontier) {
       r += 1
       val dead = deg.filter(col("dg") < lit(k)).select("n").localCheckpoint()
-      frontier = dead.count() > 0
+      val nDead = dead.count()
+      frontier = nDead > 0
+      def hinted(df: DataFrame): DataFrame =
+        if (nDead <= GraphBroadcastRowCap) broadcast(df) else df
       if (frontier) {
         val decr = edges
-          .join(broadcast(dead.select(col("n").as("pa"))), "pa")
+          .join(hinted(dead.select(col("n").as("pa"))), "pa")
           .select(col("pb").as("n"))
           .union(edges
-            .join(broadcast(dead.select(col("n").as("pb"))), "pb")
+            .join(hinted(dead.select(col("n").as("pb"))), "pb")
             .select(col("pa").as("n")))
           .groupBy("n").agg(count(lit(1)).as("dec"))
         val next = deg
-          .join(broadcast(dead), Seq("n"), "left_anti")
+          .join(hinted(dead), Seq("n"), "left_anti")
           .join(decr, Seq("n"), "left_outer")
           .select(col("n"),
             (col("dg") - coalesce(col("dec"), lit(0L))).as("dg"))

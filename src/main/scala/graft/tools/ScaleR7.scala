@@ -32,7 +32,11 @@ object ScaleR7 {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // the 256× lesson (SCALE.md §r8): a fixed partition count at big
+      // multipliers measures the un-turned knob, not the plan — size it
+      // to the data like any real deployment would
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCALE_R7_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -130,15 +134,32 @@ object ScaleR7 {
             .stripMargin)).as("e"))
         .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
         .distinct().cache()
+      // per-operator filter so already-measured operators (e.g. LPA's
+      // 256× point from ScaleR8) need not re-run in a long sweep
+      val gops = sys.env.get("SCALE_R7_GRAPH_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set("triangles", "degstats", "kcore", "lpa"))
+      // print PER OP as it completes: a crash mid-sweep (the r8 256×
+      // kcore maxResultSize find) must not destroy the earlier numbers
       val (nEdges, tBuild) = timed(half.count())
-      val (_, tTri) = timed(Extended.trianglesOf(half)
-        .agg(sum(col("triangles"))).collect())
-      val (_, tDeg) = timed(Extended.degreeStatsOf(half).collect())
-      val (nCore, tCore) = timed(Extended.kcoreOf(half, 4, 8).count())
-      val (nComm, tLpa) = timed(Extended.lpaOf(half).count())
-      println(f"[scale-r7] mult=$mult%2d edges=$nEdges%9d build=$tBuild%6.2f " +
-        f"triangles=$tTri%6.2f degstats=$tDeg%6.2f kcore=$tCore%6.2f (rows=$nCore) " +
-        f"lpa=$tLpa%6.2f (rows=$nComm)")
+      println(f"[scale-r7] mult=$mult%2d edges=$nEdges%9d build=$tBuild%6.2f")
+      if (gops("triangles")) {
+        val (_, t) = timed(Extended.trianglesOf(half)
+          .agg(sum(col("triangles"))).collect())
+        println(f"[scale-r7] mult=$mult%2d triangles=$t%6.2f")
+      }
+      if (gops("degstats")) {
+        val (_, t) = timed(Extended.degreeStatsOf(half).collect())
+        println(f"[scale-r7] mult=$mult%2d degstats=$t%6.2f")
+      }
+      if (gops("kcore")) {
+        val (n, t) = timed(Extended.kcoreOf(half, 4, 8).count())
+        println(f"[scale-r7] mult=$mult%2d kcore=$t%6.2f (rows=$n)")
+      }
+      if (gops("lpa")) {
+        val (n, t) = timed(Extended.lpaOf(half).count())
+        println(f"[scale-r7] mult=$mult%2d lpa=$t%6.2f (rows=$n)")
+      }
       half.unpersist()
       }
       if (ops("er")) {
