@@ -1098,9 +1098,12 @@ object Extended extends QueryPack {
     * combine map-side at all (every label is distinct), so that's 8
     * full-width exchanges at 4 rounds: measured 11.4 s naive vs
     * 4.0 s solo at sf0.1 (what remains is mostly the shared
-    * [[coOccurHalf]] edge build, the same floor [[pagerank]] pays). At a node scale past broadcast, drop the
-    * hint and the per-round label join shuffles on `b` — the vote
-    * aggregations still reuse the static `a` partitioning. */
+    * [[coOccurHalf]] edge build, the same floor [[pagerank]] pays).
+    * Past [[GraphBroadcastRowCap]] nodes the hint drops AUTOMATICALLY
+    * (the 256× broadcast-cliff guard): a second edge copy partitioned
+    * by the join key makes the label join partition-local, so each
+    * round exchanges the O(nodes) labels and the combined vote
+    * stream, never the edges. */
   private[graft] def lpaOf(half: DataFrame,
       rounds: Int = LpaRounds): DataFrame = {
     val edges = half.select(col("pa").as("a"), col("pb").as("b"))
@@ -1120,36 +1123,49 @@ object Extended extends QueryPack {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // the broadcast-cliff guard (see GraphBroadcastRowCap): past the
+    // cap the per-round label join runs partition-local against a
+    // SECOND edge copy partitioned by the join key `b` — per round the
+    // exchanges are then the O(nodes) label frame plus the map-side-
+    // combined vote stream, never the edges; under it (every measured
+    // scale through 256× = 5.12M labels) the zero-exchange broadcast
+    // form is byte-identical to before
+    val bcast = labels.count() <= GraphBroadcastRowCap
+    val edgesJoin =
+      if (bcast) edges else edges.repartition(col("b")).persist()
+    if (!bcast) edgesJoin.count()
     for (_ <- 1 to rounds) {
-      val next = lpaRound(edges, labels).localCheckpoint()
+      val next = lpaRound(edgesJoin, labels, bcast).localCheckpoint()
       labels.unpersist()
       labels = next
     }
     // community sizes run on the final O(nodes) label frame; the
     // eager label checkpoints make dropping the edge cache safe here
     edges.unpersist()
-    sizesOf(labels)
+    if (!bcast) edgesJoin.unpersist()
+    sizesOf(labels, bcast)
   }
 
   /** One synchronous vote round — exposed so the unit spec can pin
     * the zero-exchange plan property over a cached `a`-partitioned
     * edge frame. */
   private[graft] def lpaRound(edges: DataFrame,
-      labels: DataFrame): DataFrame =
+      labels: DataFrame, bcast: Boolean = true): DataFrame = {
+    val lab = labels.select(col("node").as("b"), col("label"))
     edges
-      .join(broadcast(labels.select(col("node").as("b"), col("label"))),
-        "b")
+      .join(if (bcast) broadcast(lab) else lab, "b")
       .groupBy(col("a"), col("label"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("a").as("node"))
       .agg(min(struct((-col("c")).as("nv"), col("label").as("l")))
         .as("m"))
       .select(col("node"), col("m.l").as("label"))
+  }
 
-  private def sizesOf(labels: DataFrame): DataFrame = {
+  private def sizesOf(labels: DataFrame, bcast: Boolean = true): DataFrame = {
+    val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     labels
-      .join(broadcast(labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("csize"))), "label")
+      .join(if (bcast) broadcast(sz) else sz, "label")
       .select(col("node"), col("label").as("community"), col("csize"))
   }
 
@@ -1191,14 +1207,18 @@ object Extended extends QueryPack {
       .withColumn("node", lit(0L)).withColumn("rank", lit(0L)).limit(0)
     val base = PagerankScale / n
     var rank = adj.select(col("pa").as("node"), lit(base).as("rank"))
+    // rank is O(nodes) and localCheckpoint hides its (small) size from
+    // the planner, which would otherwise shuffle the adjacency table
+    // every round — broadcast it explicitly, GUARDED by the measured
+    // node count (the 256× broadcast-cliff lesson): past the cap the
+    // adjacency table hash-partitions by pa ONCE and each round
+    // shuffles only the O(nodes) rank side into it.
+    val bcast = n <= GraphBroadcastRowCap
+    val adjLoop = if (bcast) adj else adj.repartition(col("pa")).persist()
+    if (!bcast) adjLoop.count()
     for (_ <- 1 to iters) {
-      // rank is O(nodes) and localCheckpoint hides its (small) size from
-      // the planner, which would otherwise shuffle the adjacency table
-      // every round — broadcast it explicitly. At catalog scales past
-      // executor memory, drop the hint and instead hash-partition
-      // `adj` by pa once; each round then shuffles only the rank side.
-      rank = adj
-        .join(broadcast(rank), col("pa") === col("node"))
+      rank = adjLoop
+        .join(if (bcast) broadcast(rank) else rank, col("pa") === col("node"))
         .select(explode(col("nbrs")).as("pb"), expr("rank div d").as("c"))
         .groupBy("pb")
         .agg(sum(col("c")).as("s"))
@@ -1206,6 +1226,7 @@ object Extended extends QueryPack {
           expr(s"(15 * ${base}L + 85 * s) div 100").as("rank"))
         .localCheckpoint()
     }
+    if (!bcast) adjLoop.unpersist()
     rank
   }
 
