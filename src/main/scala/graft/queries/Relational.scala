@@ -72,7 +72,7 @@ object Relational extends QueryPack {
     val o = Tables.orders(spark, d)
     val l = Tables.lineitem(spark, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(discPrice).cast(DecimalType(38, 4)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -88,7 +88,7 @@ object Relational extends QueryPack {
     val o = Tables.orders(spark, d)
     val l = Tables.lineitem(spark, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

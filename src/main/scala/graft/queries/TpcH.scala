@@ -87,7 +87,7 @@ object TpcH extends QueryPack {
     Tables.lineitem(spark, d)
       .join(broadcast(Tables.part(spark, d).filter(col("p_name").contains("red"))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
@@ -198,7 +198,7 @@ object TpcH extends QueryPack {
       .select("k")
     lines.filter(col("late"))
       .join(only, col("l_orderkey") === col("k"), "left_semi")
-      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, d).filter(col("n_name") === "NATION_1")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("s_name")
@@ -236,7 +236,7 @@ object TpcH extends QueryPack {
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
               col("l_shipdate") < ts("1998-01-01"))
       .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -339,7 +339,7 @@ object TpcH extends QueryPack {
     Tables.lineitem(spark, d)
       .filter(col("l_shipdate") >= ts("1997-03-01") &&
               col("l_shipdate") < ts("1997-04-01"))
-      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", vol).otherwise(zero))
           .cast(DecimalType(38, 4)).as("promo_revenue"),
@@ -363,7 +363,7 @@ object TpcH extends QueryPack {
     rev
       .crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
       .filter(col("total_revenue") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
   }
@@ -414,7 +414,7 @@ object TpcH extends QueryPack {
     * residual filter — not a nested-loop. */
   def q19Disjunctive(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
-      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
