@@ -836,7 +836,8 @@ object Extended extends QueryPack {
     * the same plan shuffle-join on `b` — the join carries each edge's
     * `na` list, Σ out-deg² = 2·wedges entries, the Suri–Vassilvitskii
     * bound — while this orientation keeps it balanced. */
-  private[graft] def trianglesOf(half: DataFrame): DataFrame = {
+  private[graft] def trianglesOf(half: DataFrame,
+      bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
     // degree over the UNDIRECTED graph: each half edge counts for both
     // endpoints; O(nodes) rows. "Model-state-sized" stops being true on
     // a big enough graph — the r8 256× sweep (306M edges, ~50M nodes)
@@ -853,11 +854,11 @@ object Extended extends QueryPack {
     val nNodes = sizes.getLong(0)
     val nEdges = sizes.getLong(1) / 2
     def ifNodes(df: DataFrame): DataFrame =
-      if (nNodes <= GraphBroadcastRowCap) broadcast(df) else df
+      if (nNodes <= bcastCap) broadcast(df) else df
     // the adjacency frame's payload is the EDGE list (one array slot
     // per oriented edge), so its broadcast gates on the edge count
     def ifEdges(df: DataFrame): DataFrame =
-      if (nEdges <= GraphBroadcastRowCap) broadcast(df) else df
+      if (nEdges <= bcastCap) broadcast(df) else df
     // orient by (degree, id): ties broken by id keep the relation total
     val oriented = half
       .join(ifNodes(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
@@ -908,7 +909,8 @@ object Extended extends QueryPack {
   def graphDegreeStats(spark: SparkSession, d: String): DataFrame =
     degreeStatsOf(coOccurHalf(spark, d))
 
-  private[graft] def degreeStatsOf(half: DataFrame): DataFrame = {
+  private[graft] def degreeStatsOf(half: DataFrame,
+      bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
     val deg = half.select(col("pa").as("n"))
       .union(half.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -918,7 +920,7 @@ object Extended extends QueryPack {
     // materialization, and the shuffle join is the right plan anyway
     val nNodes = deg.count()
     def hinted(df: DataFrame): DataFrame =
-      if (nNodes <= GraphBroadcastRowCap) broadcast(df) else df
+      if (nNodes <= bcastCap) broadcast(df) else df
     val m = half
       .join(hinted(deg.select(col("n").as("pa"), col("dg").as("da"))), "pa")
       .join(hinted(deg.select(col("n").as("pb"), col("dg").as("db"))), "pb")
@@ -1015,7 +1017,8 @@ object Extended extends QueryPack {
     * 16M sits inside the proven band with margin. */
   private[graft] val GraphBroadcastRowCap = 16000000L
 
-  private[graft] def kcoreOf(half: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[graft] def kcoreOf(half: DataFrame, k: Int, rounds: Int,
+      bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
     val edges = half.select(col("pa"), col("pb")).localCheckpoint()
     var deg = edges.select(col("pa").as("n"))
       .union(edges.select(col("pb").as("n")))
@@ -1029,7 +1032,7 @@ object Extended extends QueryPack {
       val nDead = dead.count()
       frontier = nDead > 0
       def hinted(df: DataFrame): DataFrame =
-        if (nDead <= GraphBroadcastRowCap) broadcast(df) else df
+        if (nDead <= bcastCap) broadcast(df) else df
       if (frontier) {
         val decr = edges
           .join(hinted(dead.select(col("n").as("pa"))), "pa")
@@ -1105,7 +1108,8 @@ object Extended extends QueryPack {
     * round exchanges the O(nodes) labels and the combined vote
     * stream, never the edges. */
   private[graft] def lpaOf(half: DataFrame,
-      rounds: Int = LpaRounds): DataFrame = {
+      rounds: Int = LpaRounds,
+      bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
     val edges = half.select(col("pa").as("a"), col("pb").as("b"))
       .union(half.select(col("pb").as("a"), col("pa").as("b")))
       .repartition(col("a"))
@@ -1130,7 +1134,7 @@ object Extended extends QueryPack {
     // combined vote stream, never the edges; under it (every measured
     // scale through 256× = 5.12M labels) the zero-exchange broadcast
     // form is byte-identical to before
-    val bcast = labels.count() <= GraphBroadcastRowCap
+    val bcast = labels.count() <= bcastCap
     val edgesJoin =
       if (bcast) edges else edges.repartition(col("b")).persist()
     if (!bcast) edgesJoin.count()
@@ -1184,7 +1188,8 @@ object Extended extends QueryPack {
     * graphs must symmetrize first (or keep a rank outer-join per round,
     * which this deliberately avoids — one more O(nodes) join × iters). */
   private[graft] def pagerankOf(pairs: DataFrame,
-      iters: Int = PagerankIters): DataFrame = {
+      iters: Int = PagerankIters,
+      bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
     // Adjacency-array form: the symmetric edge list folds into one row
     // per node — (node, out-neighbor array, degree = array size). Each
     // round then joins the broadcast rank frame against O(nodes) array
@@ -1213,7 +1218,7 @@ object Extended extends QueryPack {
     // node count (the 256× broadcast-cliff lesson): past the cap the
     // adjacency table hash-partitions by pa ONCE and each round
     // shuffles only the O(nodes) rank side into it.
-    val bcast = n <= GraphBroadcastRowCap
+    val bcast = n <= bcastCap
     val adjLoop = if (bcast) adj else adj.repartition(col("pa")).persist()
     if (!bcast) adjLoop.count()
     for (_ <- 1 to iters) {

@@ -85,4 +85,25 @@ class GraphTrianglesSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
     assert(run(1) === run(7))
   }
+
+  test("over-cap shuffle fallbacks equal the broadcast plans on every graph operator") {
+    // bcastCap = 0 forces every size guard down the shuffle path (the
+    // plan the 256x sweep runs); results must be identical to the
+    // broadcast form on the real corpus graph
+    val half = Extended.coOccurHalf(spark, sf0001).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Extended.trianglesOf(half, bcastCap = 0))
+      === rows(Extended.trianglesOf(half)))
+    assert(rows(Extended.degreeStatsOf(half, bcastCap = 0))
+      === rows(Extended.degreeStatsOf(half)))
+    assert(rows(Extended.kcoreOf(half, 4, 8, bcastCap = 0))
+      === rows(Extended.kcoreOf(half, 4, 8)))
+    assert(rows(Extended.lpaOf(half, bcastCap = 0))
+      === rows(Extended.lpaOf(half)))
+    assert(rows(Extended.pagerankOf(
+        half.select($"pa", $"pb").union(half.select($"pb", $"pa")), bcastCap = 0))
+      === rows(Extended.pagerankOf(
+        half.select($"pa", $"pb").union(half.select($"pb", $"pa")))))
+  }
 }
