@@ -1033,7 +1033,18 @@ object Dedup extends QueryPack {
     * base is IDEMPOTENT: its deletes hit absent keys (no-op) and its
     * winning upserts rewrite identical rows — so a crash in the window
     * after the swap merely costs one redundant re-merge on the next
-    * run, never a wrong table (the spec pins this replay). */
+    * run, never a wrong table (the spec pins this replay). A missing
+    * or empty changelog is a NO-OP, not an error — that is exactly the
+    * state a crash after the final changelog delete leaves behind, and
+    * rerunning the compactor must converge, not throw.
+    *
+    * Filesystem contract: the swap's crash-safety rests on ATOMIC
+    * DIRECTORY RENAME, which HDFS and POSIX filesystems provide and
+    * object stores (S3 et al.) do NOT — there `rename` is a
+    * non-atomic copy+delete and a crash mid-"rename" can expose a
+    * partial directory. On an object store run this recipe against a
+    * table format with a metadata pointer swap (or see the manifest
+    * variant in [[graft.ingest.EventSink]]) instead. */
   def compactChanges(spark: SparkSession, basePath: String,
       changesPath: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1043,6 +1054,16 @@ object Dedup extends QueryPack {
     val fs = baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(baseDir) && fs.exists(asideDir))
       require(fs.rename(asideDir, baseDir), s"could not restore $asideDir")
+    val changesDir = new Path(changesPath)
+    // no changelog (or only markers like _SUCCESS) ⇒ nothing to fold:
+    // return with the base untouched instead of failing schema
+    // inference on a missing path
+    val hasChanges = fs.exists(changesDir) && fs.listStatus(changesDir)
+      .exists { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasChanges) return
     applyChangesOf(spark.read.parquet(basePath), spark.read.parquet(changesPath))
       .write.mode("overwrite").parquet(tmpDir.toString)
     fs.delete(asideDir, true)

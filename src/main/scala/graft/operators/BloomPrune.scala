@@ -107,7 +107,8 @@ object BloomPrune {
     * plans as a zero-exchange bucket-local anti join. */
   def prunedAntiJoin(probe: DataFrame, probeKey: String,
       history: DataFrame, historyKey: String,
-      expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.001,
+      bcastCap: Long = MatchedKeyBroadcastCap): DataFrame = {
     val (pt, ht) = (probe.schema(probeKey).dataType, history.schema(historyKey).dataType)
     require(pt == ht,
       s"join key types must match for Bloom hashing: $probeKey is $pt, $historyKey is $ht")
@@ -115,10 +116,31 @@ object BloomPrune {
     // an all-null-key (or empty) probe aggregates to a NULL sketch:
     // nothing can equi-match, the anti join returns the probe unchanged
     if (bloom == null) return probe
+    // the matched set is bounded by true matches + fpp·|history| — NOT
+    // by the probe: a history-proportional match set (most of history
+    // really matches) would drive a forced broadcast into the same
+    // driver maxResultSize cliff the graph operators hit (see
+    // [[graft.queries.Extended.GraphBroadcastRowCap]]'s calibration).
+    // So the hint is conditional on a measured count: the checkpointed
+    // sliver is counted once and reused by the join, and past the cap
+    // the exact anti join shuffle-joins instead — linear, no driver
+    // collection, row-identical.
     val matchedKeys = history
       .filter(mightContain(bloom, history(historyKey)))
       .select(col(historyKey).as(probeKey)).distinct()
-    probe.join(org.apache.spark.sql.functions.broadcast(matchedKeys),
-      Seq(probeKey), "left_anti")
+      .localCheckpoint()
+    val hinted =
+      if (matchedKeys.count() <= bcastCap)
+        org.apache.spark.sql.functions.broadcast(matchedKeys)
+      else matchedKeys
+    probe.join(hinted, Seq(probeKey), "left_anti")
   }
+
+  /** Row cap for broadcasting the matched-key sliver back into the
+    * exact anti join — same calibration band as
+    * [[graft.queries.Extended.GraphBroadcastRowCap]] (16M single-value
+    * rows ≈ low hundreds of MB of driver-collected task results,
+    * proven safe by the r8 graph sweeps); matched keys are one scalar
+    * column, the same width class as the graph node frames. */
+  private[graft] val MatchedKeyBroadcastCap = 16000000L
 }

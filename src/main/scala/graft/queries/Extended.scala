@@ -494,16 +494,23 @@ object Extended extends QueryPack {
     * curve: history shuffle rows flat in history size). Equals the
     * oracle's NOT EXISTS exactly: the Bloom only routes rows, never
     * answers. */
-  def bloomAntiJoin(spark: SparkSession, d: String): DataFrame =
+  def bloomAntiJoin(spark: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(spark, d)
+    // size the Bloom from a cheap probe count (parquet-footer metadata
+    // scan) instead of a pinned 100k: past SF ~0.7 the customer count
+    // outgrows a constant and fpp degrades — the history pruning this
+    // query demonstrates would silently weaken (ADVICE r8)
+    val expected = math.max(1024L, customer.count())
     graft.operators.BloomPrune.prunedAntiJoin(
-        Tables.customer(spark, d), "c_custkey",
+        customer, "c_custkey",
         Tables.orders(spark, d)
           .filter(col("o_orderpriority") === "1-URGENT"), "o_custkey",
-        expectedItems = 100000L)
+        expectedItems = expected)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_idle"),
            decSum(col("c_acctbal")).as("idle_balance"))
       .orderBy("c_mktsegment")
+  }
 
   /** Month-over-month revenue growth: aggregate to a monthly series,
     * then LAG + exact-decimal delta and a double growth ratio — the
@@ -850,7 +857,9 @@ object Extended extends QueryPack {
       .union(half.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
       .localCheckpoint() // reused: size probe, two orient joins
-    val sizes = deg.agg(count(lit(1)), sum(col("dg"))).head()
+    // coalesce: on an EMPTY edge frame sum aggregates to null and a
+    // bare getLong would NPE — an empty graph has zero edges, not none
+    val sizes = deg.agg(count(lit(1)), coalesce(sum(col("dg")), lit(0L))).head()
     val nNodes = sizes.getLong(0)
     val nEdges = sizes.getLong(1) / 2
     def ifNodes(df: DataFrame): DataFrame =

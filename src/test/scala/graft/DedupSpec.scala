@@ -372,6 +372,12 @@ class DedupSpec extends SparkSpec {
     log.write.parquet(changesPath)
     Dedup.compactChanges(spark, basePath, changesPath)
     assert(state() === merged)
+    // the crash window after the final changelog DELETE: rerunning the
+    // compactor with no changelog at all must no-op, not fail schema
+    // inference on the missing path (ADVICE r8)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(changesPath)))
+    Dedup.compactChanges(spark, basePath, changesPath)
+    assert(state() === merged)
   }
 
   test("snapshotDiffOf classifies every status and accounts byte mass exactly") {

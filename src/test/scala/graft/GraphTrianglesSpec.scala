@@ -26,6 +26,12 @@ class GraphTrianglesSpec extends SparkSpec {
     assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === Map.empty)
   }
 
+  test("empty edge frame yields an empty result, not an NPE") {
+    // sum() over zero rows aggregates to null — the size probe must
+    // coalesce it (ADVICE r8) instead of throwing on getLong
+    assert(count(Seq.empty) === Map.empty)
+  }
+
   test("two triangles sharing an edge: shared vertices count both") {
     // {1,2,3} and {2,3,4} share edge 2-3
     val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
