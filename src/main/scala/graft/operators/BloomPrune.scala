@@ -87,9 +87,11 @@ object BloomPrune {
     *  2. history rows the Bloom rejects CANNOT match any probe row and
     *     never leave their scan task: only the might-match sliver
     *     (true matches + `fpp` of history) reaches the distinct;
-    *  3. the sliver's distinct keys broadcast back into the exact anti
-    *     join against the probe. False-positive keys match no probe
-    *     row — they cost bytes, never correctness.
+    *  3. the sliver's distinct keys join back into the exact anti join
+    *     against the probe — broadcast when AQE's runtime size of the
+    *     sliver clears the threshold (the common case), shuffle
+    *     otherwise. False-positive keys match no probe row — they
+    *     cost bytes, never correctness.
     *
     * Result is identical to `probe.join(history, key, "left_anti")`:
     * null-key probe rows survive both forms (null never equi-matches
@@ -99,16 +101,17 @@ object BloomPrune {
     * multiplies HISTORY into the sliver.
     *
     * Scale envelope, honestly: history is scanned once map-side per
-    * call and shuffles only `matches + fpp·|history|` keys; the
-    * broadcast back is `distinct probe keys`-bounded. For a pass table
+    * call and shuffles only `matches + fpp·|history|` keys; the join
+    * back is AQE-sized, so a history-proportional match set degrades
+    * to a linear shuffle join instead of a driver-collapsing
+    * broadcast (ADVICE r8). For a pass table
     * so large even one scan per batch is too much, the right structure
     * is not a better join but a bucketed pass table
     * ([[graft.Catalog.createBucketed]] on the key) — the guard then
     * plans as a zero-exchange bucket-local anti join. */
   def prunedAntiJoin(probe: DataFrame, probeKey: String,
       history: DataFrame, historyKey: String,
-      expectedItems: Long, fpp: Double = 0.001,
-      bcastCap: Long = MatchedKeyBroadcastCap): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.001): DataFrame = {
     val (pt, ht) = (probe.schema(probeKey).dataType, history.schema(historyKey).dataType)
     require(pt == ht,
       s"join key types must match for Bloom hashing: $probeKey is $pt, $historyKey is $ht")
@@ -116,31 +119,20 @@ object BloomPrune {
     // an all-null-key (or empty) probe aggregates to a NULL sketch:
     // nothing can equi-match, the anti join returns the probe unchanged
     if (bloom == null) return probe
-    // the matched set is bounded by true matches + fpp·|history| — NOT
-    // by the probe: a history-proportional match set (most of history
-    // really matches) would drive a forced broadcast into the same
-    // driver maxResultSize cliff the graph operators hit (see
-    // [[graft.queries.Extended.GraphBroadcastRowCap]]'s calibration).
-    // So the hint is conditional on a measured count: the checkpointed
-    // sliver is counted once and reused by the join, and past the cap
-    // the exact anti join shuffle-joins instead — linear, no driver
-    // collection, row-identical.
+    // NO forced broadcast on the matched keys: the set is bounded by
+    // true matches + fpp·|history| — NOT by the probe — so when most
+    // of history genuinely matches, a broadcast hint would collect a
+    // history-proportional frame through the driver (the same
+    // maxResultSize cliff [[graft.queries.Extended
+    // .GraphBroadcastRowCap]] exists to avoid). The sliver arrives out
+    // of the distinct's shuffle, which is exactly where AQE has exact
+    // runtime sizes: under the broadcast threshold it converts the
+    // join to broadcast (the common, sliver-sized case); past it the
+    // exact anti join shuffle-joins — linear, no driver collection,
+    // row-identical either way.
     val matchedKeys = history
       .filter(mightContain(bloom, history(historyKey)))
       .select(col(historyKey).as(probeKey)).distinct()
-      .localCheckpoint()
-    val hinted =
-      if (matchedKeys.count() <= bcastCap)
-        org.apache.spark.sql.functions.broadcast(matchedKeys)
-      else matchedKeys
-    probe.join(hinted, Seq(probeKey), "left_anti")
+    probe.join(matchedKeys, Seq(probeKey), "left_anti")
   }
-
-  /** Row cap for broadcasting the matched-key sliver back into the
-    * exact anti join — same calibration band as
-    * [[graft.queries.Extended.GraphBroadcastRowCap]] (16M single-value
-    * rows ≈ low hundreds of MB of driver-collected task results,
-    * proven safe by the r8 graph sweeps); matched keys are one scalar
-    * column, the same width class as the graph node frames. */
-  private[graft] val MatchedKeyBroadcastCap = 16000000L
 }

@@ -69,20 +69,23 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.size < probe.count(), "and customers with urgent orders")
   }
 
-  test("prunedAntiJoin over-cap fallback (no forced broadcast) is row-identical") {
-    // bcastCap = 0 forces the matched-key sliver down the plain
-    // shuffle-join path — the plan a history-proportional match set
-    // takes at scale (ADVICE r8); results must not move
+  test("prunedAntiJoin shuffle fallback (broadcast disabled) is row-identical") {
+    // with the broadcast threshold off, AQE leaves the matched-key
+    // sliver on the plain shuffle-join path — the plan a
+    // history-proportional match set takes at scale (ADVICE r8:
+    // no forced broadcast hint); results must not move
     val probe = Tables.customer(spark, sf0001)
     val history = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === "1-URGENT")
-    val fallback = BloomPrune.prunedAntiJoin(probe, "c_custkey",
-        history, "o_custkey", expectedItems = 10000, bcastCap = 0L)
-      .select("c_custkey").as[Long].collect().toSet
-    val hinted = BloomPrune.prunedAntiJoin(probe, "c_custkey",
+    def run() = BloomPrune.prunedAntiJoin(probe, "c_custkey",
         history, "o_custkey", expectedItems = 10000)
       .select("c_custkey").as[Long].collect().toSet
-    assert(fallback === hinted)
+    val auto = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val fallback =
+      try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); run() }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(fallback === auto)
   }
 
   test("prunedAntiJoin keeps null-key probe rows, like the plain anti join") {

@@ -166,14 +166,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bloom_anti_join: history filtered in its scan, never under a shuffle join") {
-    val p = planOf(queries.Extended.bloomAntiJoin(spark, sf0001))
+    // no broadcast HINT on the matched keys since r9 (ADVICE r8: a
+    // history-proportional match set must not collect through the
+    // driver) — the sliver exits the distinct's shuffle, where AQE has
+    // exact sizes, so the broadcast decision is a RUNTIME one: execute
+    // and assert on the final adaptive plan
+    val df = queries.Extended.bloomAntiJoin(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n$p")
     assert(p.contains("might_contain"), s"Bloom filter must be in the plan:\n$p")
     // the Bloom of the PROBE's keys sits in history's scan stage (below
     // the distinct's exchange), so only the might-match sliver shuffles;
-    // the confirmed keys come back as a hinted broadcast into the exact
-    // anti join — history never sits under a join-side shuffle
+    // at this scale AQE measures the sliver tiny and converts the exact
+    // anti join to broadcast — history never sits under a join-side sort
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"exact anti join must run against broadcast matched keys:\n$p")
+      s"AQE must convert the exact anti join to broadcast at sliver size:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no join in the composition may shuffle-sort history:\n$p")
     val filterIdx = p.indexOf("might_contain")

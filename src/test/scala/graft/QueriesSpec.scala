@@ -343,6 +343,32 @@ class QueriesSpec extends SparkSpec {
     assert(rows.filterNot(_.getBoolean(1)).forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("sampled registry forms equal the full exact forms at probe buckets = 1") {
+    import graft.similarity.Similarity
+    // the r9 sampling knob: buckets = max(1, n div 1024) — identity at
+    // every driver scale, engaged (bounded probe set) past ~2k vectors
+    assert(Similarity.probeBuckets(500) === 1L)
+    assert(Similarity.probeBuckets(2047) === 1L)
+    assert(Similarity.probeBuckets(2048) === 2L)
+    assert(Similarity.probeBuckets(65536) === 64L)
+    assert(Similarity.probeBuckets(1L << 30) === (1L << 30) / 1024)
+    // expected probe-set size stays in [cap, 2cap): Lehmer-mix ids
+    // 0..n-1 and count the residue-0 class for a corpus 64x the cap
+    val n = 65536L
+    val b = Similarity.probeBuckets(n)
+    val kept = spark.range(n)
+      .filter(graft.functions.DetMix.lehmerMix(col("id")) % b === 0).count()
+    assert(kept >= 900 && kept <= 1300, s"probe set $kept drifted from ~1024")
+    // identity at sf0.001: the sampled registered forms ARE the full
+    // exact pipelines when the probe set is the whole corpus
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Similarity.embedNearDupSampled(spark, sf0001))
+      === rows(Similarity.embedNearDup(spark, sf0001)))
+    assert(rows(Similarity.semanticDedupSampled(spark, sf0001))
+      === rows(Similarity.semanticDedup(spark, sf0001)))
+  }
+
   test("semantic_dedup_ivf_verified gate row is green and data-derived") {
     val rows = graft.similarity.Similarity.semanticDedupIvfVerified(spark, sf0001).collect()
     assert(rows.length === 1)
@@ -404,6 +430,33 @@ class QueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("nlist") === Similarity.nlistForCorpus(n).toLong)
     assert(row.getAs[Boolean]("subset_holds"))
     assert(row.getAs[Boolean]("meets_floor"))
+  }
+
+  test("ann_pq_auto / ann_ivfpq_auto: data-derived PQ geometry; gates green") {
+    import graft.similarity.Similarity
+    // the knobs: M tiles the dimension at 8 dims/subspace; nprobe is a
+    // constant quarter of nlist (floor 2) so the probed share — and so
+    // recall — stays stable as nlist grows with the corpus
+    assert(Similarity.mForDim(64) === 8)
+    assert(Similarity.mForDim(128) === 16)
+    assert(Similarity.mForDim(4) === 1) // floor
+    assert(Similarity.nprobeForNlist(8) === 2)
+    assert(Similarity.nprobeForNlist(32) === 8)
+    assert(Similarity.nprobeForNlist(4) === 2) // floor
+    val ns = Seq(4, 8, 16, 64, 256, 4096).map(Similarity.nprobeForNlist)
+    assert(ns === ns.sorted) // monotone
+    // the gate rows at sf0.001: geometry columns are the formulas'
+    // values for THIS corpus, and the recall floors hold
+    val pq = Similarity.annPqAuto(spark, sf0001).collect().head
+    assert(pq.getAs[Long]("dim") === 64L)
+    assert(pq.getAs[Long]("m") === Similarity.mForDim(64).toLong)
+    assert(pq.getAs[Boolean]("meets_floor"))
+    val ivfpq = Similarity.annIvfPqAuto(spark, sf0001).collect().head
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(ivfpq.getAs[Long]("nlist") === Similarity.nlistForCorpus(n).toLong)
+    assert(ivfpq.getAs[Long]("nprobe")
+      === Similarity.nprobeForNlist(Similarity.nlistForCorpus(n)).toLong)
+    assert(ivfpq.getAs[Boolean]("meets_floor"))
   }
 
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
