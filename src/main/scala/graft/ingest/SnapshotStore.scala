@@ -1,0 +1,142 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-pointer snapshot store — the concurrent-reader-safe form
+  * of the write-aside-then-swap recipe ([[EventSink]]'s month rewrite,
+  * [[graft.dedup.Dedup.compactChanges]]).
+  *
+  * The directory-swap recipe is crash-safe but has a LIST race: a
+  * reader that enumerates the table directory in the window between
+  * `rename(base, aside)` and `rename(tmp, base)` sees no directory at
+  * all, and one that lists while an object-store "rename" copies sees
+  * a partial one. This store removes the race by never moving data at
+  * all: every publish writes a NEW immutable snapshot directory
+  * (`snap-<version>`) and then repoints a single MANIFEST file at it
+  * with ONE atomic rename. Readers resolve the manifest first, then
+  * read the immutable directory it names — so any read observes
+  * exactly one complete published version, never a mix, no matter how
+  * it interleaves with a publish (SnapshotStoreSpec races them).
+  *
+  * Filesystem contract, explicitly: atomicity rests on SINGLE-FILE
+  * rename-with-overwrite ([[FileContext.rename]] with
+  * `Options.Rename.OVERWRITE`), which POSIX and HDFS guarantee —
+  * a far weaker ask than the directory-rename atomicity the swap
+  * recipe needs. On an object store, swap the pointer write for a
+  * conditional put (same shape, e.g. S3 `If-Match`); the snapshot
+  * layout is unchanged.
+  *
+  * Retention: [[publish]] NEVER deletes — old snapshots stay readable
+  * for in-flight scans — and reclamation is the separate, deliberate
+  * [[vacuum]] (the Delta VACUUM separation, for the same reason: only
+  * the operator knows the longest-reader horizon). At 100 TB this is
+  * the familiar table-format story (a manifest pointer over immutable
+  * files — the mechanism Iceberg/Delta scale to petabytes); this
+  * implementation is the minimal single-pointer form of it, sized for
+  * one table per directory.
+  */
+object SnapshotStore {
+
+  private val ManifestName = "MANIFEST"
+
+  private def fc(spark: SparkSession, p: Path): FileContext =
+    FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Current (version, snapshot path) per the manifest, if any. */
+  def current(spark: SparkSession, tableDir: String): Option[(Long, Path)] = {
+    val dir = new Path(tableDir)
+    val ctx = fc(spark, dir)
+    val mf = new Path(dir, ManifestName)
+    try {
+      val in = ctx.open(mf)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(name.startsWith("snap-"), s"malformed manifest '$name' in $tableDir")
+      Some((name.stripPrefix("snap-").toLong, new Path(dir, name)))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Publish `df` as the next version: write the immutable snapshot
+    * directory, fsync-equivalent via the parquet committer, then
+    * atomically repoint the manifest. Returns the new version. */
+  def publish(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+    val dir = new Path(tableDir)
+    val ctx = fc(spark, dir)
+    val prev = current(spark, tableDir)
+    val v = prev.map(_._1 + 1).getOrElse(0L)
+    val name = f"snap-$v%08d"
+    df.write.mode("overwrite").parquet(new Path(dir, name).toString)
+    // the pointer swap: write aside, then ONE atomic single-file rename
+    val tmp = new Path(dir, s".$ManifestName.tmp")
+    val out = ctx.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    ctx.rename(tmp, new Path(dir, ManifestName), Options.Rename.OVERWRITE)
+    v
+  }
+
+  /** Delete snapshots older than the `keepLast` most recent — a
+    * SEPARATE, deliberate operation, never part of [[publish]]: a
+    * reader holds no lock, so only the operator knows when no scan
+    * older than the horizon can still be running (the first cut of
+    * this store vacuumed inside publish and the racing-reader spec
+    * caught a reader mid-scan of a deleted snapshot within
+    * milliseconds — the exact failure Delta's VACUUM retention-period
+    * warning exists for). Run it on the compaction schedule with
+    * `keepLast` sized to the longest reader. */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 2): Unit = {
+    val dir = new Path(tableDir)
+    val v = current(spark, tableDir).map(_._1).getOrElse(return)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("snap-") && n.stripPrefix("snap-").toLong <= v - keepLast)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Read the current snapshot through the manifest. A publish racing
+    * this call is harmless: whichever pointer value the open sees
+    * names a COMPLETE immutable directory (retention keeps the
+    * previous version alive for in-flight readers). */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val (_, snap) = current(spark, tableDir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published snapshot in $tableDir"))
+    spark.read.parquet(snap.toString)
+  }
+
+  /** [[graft.dedup.Dedup.compactChanges]] re-expressed over the
+    * manifest store: fold the changelog into the current snapshot,
+    * publish the merge as a new version (one atomic pointer swap — a
+    * racing reader sees old or new, never nothing), then truncate the
+    * changelog. Crash-safety is strictly better than the swap recipe:
+    * a crash before the pointer rename leaves the old version current
+    * (the half-written snapshot dir is unreferenced garbage, replaced
+    * by the retry's same-version rewrite); a crash after it re-applies
+    * the changelog to the already-merged base on the next run — a
+    * no-op by the upsert/delete idempotence the DedupSpec replay pins. */
+  def compactChanges(spark: SparkSession, tableDir: String,
+      changesPath: String): Long = {
+    val fs = new Path(changesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasChanges = fs.exists(new Path(changesPath)) &&
+      fs.listStatus(new Path(changesPath)).exists { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasChanges)
+      return current(spark, tableDir).get._1 // nothing to fold: no-op
+    // the merge plan reads the CURRENT snapshot's files; they survive
+    // the publish untouched (snapshots are immutable, retention keeps
+    // the previous version), so no checkpoint barrier is needed
+    val merged = graft.dedup.Dedup
+      .applyChangesOf(read(spark, tableDir), spark.read.parquet(changesPath))
+    val v = publish(spark, tableDir, merged)
+    fs.delete(new Path(changesPath), true)
+    v
+  }
+}

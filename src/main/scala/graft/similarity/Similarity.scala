@@ -52,6 +52,17 @@ object Similarity extends QueryPack {
   private def inProbe(buckets: Long): org.apache.spark.sql.Column =
     graft.functions.DetMix.lehmerMix(col("vec_id")) % buckets === 0
 
+  /** Compact + materialize a probe subcorpus: the filter's output
+    * inherits the CORPUS's partitioning — at scale, thousands of
+    * near-empty tasks carrying a ~1k-row frame, which the gates' CC
+    * rounds would then re-schedule every iteration (ScaleR9 measured
+    * the gate 6× slower at 64× from exactly this). One tiny shuffle
+    * lands the bounded probe set in a model-sized partition count,
+    * and the checkpoint materializes it once for its several
+    * downstream uses (self-join sides + CC nodes). */
+  private[graft] def probeFrame(all: DataFrame, buckets: Long): DataFrame =
+    all.filter(inProbe(buckets)).repartition(8).localCheckpoint()
+
   /** Exact near-duplicate pairs: all (a<b) pairs with cosine >= 0.4.
     *
     * Plan: the smaller side broadcasts → BroadcastNestedLoopJoin with the
@@ -757,7 +768,7 @@ object Similarity extends QueryPack {
     * a bounded probe slice — which is this query. */
   def semanticDedupSampled(spark: SparkSession, d: String): DataFrame = {
     val all = vecs(spark, d)
-    val sub = all.filter(inProbe(probeBuckets(all.count())))
+    val sub = probeFrame(all, probeBuckets(all.count()))
     clusterized(sub, exactPairsAmong(sub, 0.4))
   }
 
@@ -1069,7 +1080,7 @@ object Similarity extends QueryPack {
     * `buckets = 1` and the row is value-identical to the full law. */
   def semanticDedupIvfVerified(spark: SparkSession, d: String): DataFrame = {
     val all = vecs(spark, d)
-    val sub = all.filter(inProbe(probeBuckets(all.count()))).localCheckpoint()
+    val sub = probeFrame(all, probeBuckets(all.count()))
     val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
       .select(col("vec_id"), col("is_survivor").as("ex_s"))
     val ivf = clusterized(sub,
@@ -1126,7 +1137,7 @@ object Similarity extends QueryPack {
     // under test); only the gate's comparison set is probe-sampled —
     // same discipline as [[semanticDedupIvfVerified]] since r9
     val nlist = nlistForCorpus(n)
-    val sub = all.filter(inProbe(probeBuckets(n))).localCheckpoint()
+    val sub = probeFrame(all, probeBuckets(n))
     val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
       .select(col("vec_id"), col("is_survivor").as("ex_s"))
     val ivf = clusterized(sub,

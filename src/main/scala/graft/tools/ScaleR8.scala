@@ -165,7 +165,7 @@ object ScaleR8 {
     * metric snapshots. The zero-exchange claim predicts shW_rec ≈ 0
     * for every vote round (edges cached `a`-partitioned; both aggs
     * partition-local; the label join broadcast). */
-  private def lpaDiagnose(spark: SparkSession, d: String, mult: Int): Unit = {
+  private[tools] def lpaDiagnose(spark: SparkSession, d: String, mult: Int): Unit = {
     println(s"\n[scale-r8] lpa mult=$mult (dir=$d)")
     val m = new StageMetrics(spark)
     header()
@@ -249,7 +249,7 @@ object ScaleR8 {
   /** ER with each phase bracketed: FastSS candidate generation,
     * attribute+levenshtein verify, connected components, canonical
     * assembly — the stages of [[Extended.entityResolutionOf]]. */
-  private def erDiagnose(spark: SparkSession, d: String, mult: Int): Unit = {
+  private[tools] def erDiagnose(spark: SparkSession, d: String, mult: Int): Unit = {
     println(s"\n[scale-r8] er mult=$mult (dir=$d)")
     val m = new StageMetrics(spark)
     header()
