@@ -45,12 +45,31 @@ object ScaleR9 {
     val which = args.headOption.getOrElse("all")
     val mults = sys.env.get("SCALE_R9_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16, 64))
+    // Partition POLICIES under measurement (SCALE_R9_POLICY):
+    //  - rows32: partitions = 32·mult — per-partition ROWS constant
+    //    from the 1× baseline. Measured to OVERSHOOT: 32 partitions
+    //    at 1× is already latency-provisioned (2×cores), so scaling
+    //    it linearly lands partitions at ~1 MB by 64× and scheduling
+    //    overhead dominates.
+    //  - bytes:  partitions = max(32, mult) — per-partition shuffle
+    //    BYTES ≈ constant (the 16.5 GB 256× verify shuffle / 256
+    //    ≈ 64 MB, AQE's advisory target). The formula a deployment
+    //    derives from data volume, not a hand-set count.
+    //  - aqe:    partitions = 4096 everywhere + parallelismFirst=false,
+    //    so AQE's target-size coalescing picks the count at runtime
+    //    from actual shuffle sizes — the zero-knob production answer.
+    val policy = sys.env.getOrElse("SCALE_R9_POLICY", "bytes")
     for (mult <- mults) {
-      // THE KNOB POLICY: initial shuffle partitions ∝ input rows
-      // (32 at 1×), AQE coalesces what's small. No per-sweep hand-set.
-      val parts = math.max(32, 32 * mult)
+      val parts = policy match {
+        case "rows32" => math.max(32, 32 * mult)
+        case "bytes"  => math.max(32, mult)
+        case "aqe"    => 4096
+        case p => throw new IllegalArgumentException(s"unknown policy $p")
+      }
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        (policy != "aqe").toString)
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      println(s"\n[scale-r9] mult=$mult shuffle.partitions=$parts (policy: 32×mult, AQE coalesce)")
+      println(s"\n[scale-r9] mult=$mult policy=$policy shuffle.partitions=$parts")
       if (which == "gate" || which == "all") gateCost(spark, d, mult)
       if (which == "er" || which == "all") ScaleR8.erDiagnose(spark, d, mult)
       if (which == "lpa" || which == "all") ScaleR8.lpaDiagnose(spark, d, mult)
