@@ -477,6 +477,44 @@ object Similarity extends QueryPack {
         expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) as bigint)").as("q_l1"),
         expr("cast(array_max(transform(q, x -> abs(x))) as bigint)").as("q_max"))
 
+  /** JL projection planes: [[ProjDims]] × [[Dim]], deterministic with a
+    * seed DISTINCT from the LSH planes (the two sketches must stay
+    * independent); scaled at use-time by 1/√16 = 0.25 — an exact binary
+    * fraction, so the scaling multiply is bit-identical across engines. */
+  private[graft] val ProjDims = 16
+  private lazy val projPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(137)
+    Array.fill(ProjDims, Dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * every embedding × a fixed 16×64 matrix → a 16-dim sketch, the
+    * standard pre-ANN compaction (4× less index memory and scan
+    * bandwidth at a distance distortion the JL lemma bounds;
+    * QueriesSpec measures the cosine distortion on this corpus).
+    *
+    * Scale shape: a stateless per-row projection — pure scan
+    * bandwidth, zero shuffle, fully inside whole-stage codegen via the
+    * [[graft.functions.DotProduct]] expression (the same tight-loop
+    * rationale as `cosine_sim`; a `transform`+`aggregate` lambda chain
+    * would allocate per element). Each output coordinate is one
+    * sequential dot fold — the identical association DuckDB's
+    * `list_dot_product` runs — times an exact 0.25, so all 16
+    * coordinates hash-check bit-for-bit against the literal-plane
+    * oracle ([[bucketSql]]'s technique with the raw dot kept instead
+    * of its sign bit). */
+  def embedProject(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    val all = vecs(spark, d)
+    val cols = (0 until ProjDims).map { j =>
+      (GraftPlanBridge.column(graft.functions.DotProduct(
+          GraftPlanBridge.expr(col("v")),
+          GraftPlanBridge.expr(lit(projPlanes(j))))) * lit(0.25))
+        .as(f"p$j%02d")
+    }
+    all.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
+
   /** IVF-PQ — the two approximate stages COMPOSED the way a production
     * index layers them (FAISS IVFPQ): the coarse quantizer cuts each
     * query's candidate set to its `nprobe` inverted lists, the PQ code
@@ -1205,6 +1243,7 @@ object Similarity extends QueryPack {
     "ann_ivfpq_served_verified" -> annIvfPqServedVerified,
     "embed_label_sim" -> embedLabelSim,
     "embed_quantize" -> embedQuantize,
+    "embed_project" -> embedProject,
     "knn_classify" -> knnClassify)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
@@ -1367,6 +1406,24 @@ object Similarity extends QueryPack {
     "ann_ivf_verified" -> recallGateSql(0.5),
     "ann_pq_verified" -> recallGateSql(0.4),
     "ann_ivfpq_verified" -> recallGateSql(0.6),
+    // all 16 projected coordinates from the same literal planes — the
+    // raw-dot sibling of the bucket-key oracles. One pitfall the
+    // sign-only bucket oracles never hit: a bare numeric list literal
+    // parses as DECIMAL(19,18)[] in DuckDB, ROUNDING 17-sig-digit
+    // plane values by 1 ulp (measured) — harmless to a sign, fatal to
+    // a hash-checked raw dot. Each element therefore parses as a
+    // string cast to DOUBLE (strtod is correctly rounded).
+    "embed_project" -> {
+      def dLit(p: Array[Double]): String =
+        p.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+      val cols = (0 until ProjDims).map { j =>
+        s"list_dot_product(v, ${dLit(projPlanes(j))}) * CAST(0.25 AS DOUBLE) AS p${"%02d".format(j)}"
+      }.mkString(",\n       ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |       $cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
     "ann_pq_auto" -> recallGateSql(0.4,
       s"$dimSqlAuto AS dim,\n       $mSqlAuto AS m,\n       "),
     "ann_ivfpq_auto" -> recallGateSql(0.5,

@@ -459,6 +459,32 @@ class QueriesSpec extends SparkSpec {
     assert(ivfpq.getAs[Boolean]("meets_floor"))
   }
 
+  test("embed_project: 16 dims, deterministic, JL distortion bounded on real pairs") {
+    import graft.similarity.Similarity
+    val proj = Similarity.embedProject(spark, sf0001)
+    assert(proj.columns.toSeq === "vec_id" +: (0 until 16).map(j => f"p$j%02d"))
+    val rows = proj.collect()
+    assert(rows.length === Tables.embeddings(spark, sf0001).count())
+    // deterministic across invocations (fixed planes, no RNG at plan time)
+    assert(Similarity.embedProject(spark, sf0001).collect().map(_.toString).toSeq
+      === rows.map(_.toString).toSeq)
+    // the JL property on this corpus: projected cosine tracks original
+    // cosine for the exact near-dup pairs (the pairs the projection
+    // exists to pre-screen) — mean absolute error bounded
+    graft.functions.VectorFunctions.register(spark)
+    val pcols = array((0 until 16).map(j => col(f"p$j%02d")): _*)
+    val pv = proj.select(col("vec_id"), pcols.as("pv"))
+    val pairs = Similarity.embedNearDup(spark, sf0001)
+      .select("vec_a", "vec_b", "cos_sim")
+      .join(pv.select(col("vec_id").as("vec_a"), col("pv").as("pa")), "vec_a")
+      .join(pv.select(col("vec_id").as("vec_b"), col("pv").as("pb")), "vec_b")
+      .select(col("cos_sim"), expr("cosine_sim(pa, pb)").as("proj_sim"))
+      .collect()
+    assert(pairs.nonEmpty)
+    val mae = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / pairs.length
+    assert(mae < 0.25, f"projected-cosine MAE $mae%.3f too large for 16 dims")
+  }
+
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap

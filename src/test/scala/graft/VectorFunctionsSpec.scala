@@ -31,6 +31,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("dot_product: golden values, sequential-fold parity, null passthrough") {
+    VectorFunctions.register(spark)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(expr("dot_product(a, b)")).as[Double].collect().head
+    assert(dot(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)) === 32.0)
+    assert(dot(Seq(1.0, 0.0), Seq(0.0, 1.0)) === 0.0)
+    // bit-exact against the same sequential fold the oracle runs
+    val e = Tables.embeddings(spark, sf0001).limit(20)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val p = e.head._2.map(x => x * 0.5 - 0.1)
+    val got = Tables.embeddings(spark, sf0001).limit(20)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", expr("dot_product(v, " +
+        p.map(_.toString + "D").mkString("array(", ", ", ")") + ")").as("d"))
+      .as[(Long, Double)].collect().toMap
+    for ((id, v) <- e) {
+      var acc = 0.0
+      v.zip(p).foreach { case (x, y) => acc += x * y }
+      assert(got(id) === acc, s"vec $id")
+    }
+    val r = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(expr("dot_product(a, b)")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("interpreted eval agrees with codegen over real embeddings") {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sf0001).limit(50)
