@@ -515,6 +515,65 @@ object Similarity extends QueryPack {
     all.select(col("vec_id") +: cols: _*).orderBy("vec_id")
   }
 
+  /** ANN through the JL sketch — [[embedProject]]'s payoff query: the
+    * candidate scan ranks in 16-dim PROJECTED space (4× less index
+    * bandwidth than the 64-dim scan; at scale the projection is the
+    * stored index and full vectors live elsewhere — mirrored here by
+    * carrying ONLY (vec_id, pv) through the scan and joining the
+    * 64-dim floats back by id for the 20-row shortlist, the
+    * [[annPq]] re-rank discipline), then exact cosine re-ranks to
+    * top-5. Unlike the quantized sketches this one is EXACTLY
+    * oracle-expressible (the projection is deterministic literal-plane
+    * math and both cosines are the shared sequential fold), so the
+    * whole project → shortlist → re-rank pipeline is hash-checked end
+    * to end.
+    *
+    * Measured honestly: recall@5 is 0.36 at sf0.001 / 0.14 at sf0.01
+    * with this 20-wide shortlist, and a dims×shortlist sweep (16/24/32
+    * × 20/40/60) tops out at 0.66 — JL preserves DISTANCES within the
+    * lemma's ε, not RANKS among near-ties, and this corpus's cosine
+    * spectrum is flat (isotropic synthetic vectors), so top-k order
+    * inside the ε band is near-random. That is precisely why production
+    * top-k stacks use data-ADAPTIVE sketches ([[annIvf]]/[[annPq]]
+    * train on the corpus; measured 0.76–0.92 recall here) and reserve
+    * data-OBLIVIOUS projection for threshold screens (near-dup
+    * prefilters, where QueriesSpec's distortion bound — projected
+    * cosine MAE < 0.25 on the true near-dup pairs — is the operative
+    * property). The query stays registered as the hash-checked
+    * composition + the measured cautionary tale; QueriesSpec floors
+    * recall at the non-regression level, not a quality claim. */
+  def annProjected(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    val all = vecs(spark, d)
+    val pcols = (0 until ProjDims).map { j =>
+      GraftPlanBridge.column(graft.functions.DotProduct(
+          GraftPlanBridge.expr(col("v")),
+          GraftPlanBridge.expr(lit(projPlanes(j))))) * lit(0.25)
+    }
+    val proj = all.select(col("vec_id"), array(pcols: _*).as("pv"))
+    val q = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pv").as("qp"))
+    val c = proj.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("pv").as("cp"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("proj_sim").desc, col("neighbor_id"))
+    val shortlist = c.join(broadcast(q))
+      .withColumn("proj_sim", expr("cosine_sim(qp, cp)"))
+      .withColumn("p_rank", row_number().over(wP))
+      .filter(col("p_rank") <= 20)
+      .select("query_id", "neighbor_id")
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ — the two approximate stages COMPOSED the way a production
     * index layers them (FAISS IVFPQ): the coarse quantizer cuts each
     * query's candidate set to its `nprobe` inverted lists, the PQ code
@@ -1244,6 +1303,7 @@ object Similarity extends QueryPack {
     "embed_label_sim" -> embedLabelSim,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
+    "ann_projected" -> annProjected,
     "knn_classify" -> knnClassify)
 
   /** DuckDB mirrors of the exact-cosine queries. The SQL reproduces the
@@ -1344,6 +1404,17 @@ object Similarity extends QueryPack {
        |FROM sims WHERE rank <= 5""".stripMargin
   }
 
+  /** One projected coordinate as oracle SQL: the dot against plane `j`
+    * scaled by the exact 0.25. Plane elements parse as STRING-cast
+    * DOUBLEs — a bare numeric list literal is DECIMAL(19,18)[] in
+    * DuckDB and rounds 17-sig-digit values by 1 ulp (measured;
+    * harmless to the sign-only bucket oracles, fatal to a hash-checked
+    * raw dot). */
+  private def projDotSql(j: Int): String = {
+    val lit = projPlanes(j).map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+    s"list_dot_product(v, $lit) * CAST(0.25 AS DOUBLE)"
+  }
+
   /** The data-derived PQ geometry columns as oracle scalar subqueries —
     * [[mForDim]] / [[nlistForCorpus]] / [[nprobeForNlist]] re-expressed
     * in the same integer math over the raw table. */
@@ -1414,15 +1485,37 @@ object Similarity extends QueryPack {
     // a hash-checked raw dot. Each element therefore parses as a
     // string cast to DOUBLE (strtod is correctly rounded).
     "embed_project" -> {
-      def dLit(p: Array[Double]): String =
-        p.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
       val cols = (0 until ProjDims).map { j =>
-        s"list_dot_product(v, ${dLit(projPlanes(j))}) * CAST(0.25 AS DOUBLE) AS p${"%02d".format(j)}"
+        s"${projDotSql(j)} AS p${"%02d".format(j)}"
       }.mkString(",\n       ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT vec_id,
          |       $cols
          |FROM e ORDER BY vec_id""".stripMargin
+    },
+    // the whole project -> projected-space shortlist -> exact re-rank
+    // pipeline replayed: pv built from the same double-cast plane
+    // literals, both cosines the shared sequential fold
+    "ann_projected" -> {
+      val pvList = (0 until ProjDims).map(projDotSql).mkString("[", ",\n         ", "]")
+      val csP = cosSql.format("q.pv", "c.pv", "q.pv", "q.pv", "c.pv", "c.pv")
+      val csE = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, $pvList AS pv FROM e),
+         |sl AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $csP DESC, c.vec_id) AS p_rank
+         |  FROM p q JOIN p c ON q.vec_id < 10 AND c.vec_id >= 10),
+         |re AS (
+         |  SELECT sl.query_id, sl.neighbor_id, $csE AS cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |                            ORDER BY $csE DESC, sl.neighbor_id) AS rank
+         |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+         |          JOIN e c ON c.vec_id = sl.neighbor_id
+         |  WHERE sl.p_rank <= 20)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM re
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "ann_pq_auto" -> recallGateSql(0.4,
       s"$dimSqlAuto AS dim,\n       $mSqlAuto AS m,\n       "),

@@ -485,6 +485,22 @@ class QueriesSpec extends SparkSpec {
     assert(mae < 0.25, f"projected-cosine MAE $mae%.3f too large for 16 dims")
   }
 
+  test("ann_projected: recall vs exact top-5 floored; shortlist honors the 16-dim ranking") {
+    import graft.similarity.Similarity
+    val exact = Similarity.annTopK(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sketch = Similarity.annProjected(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sketch).size.toDouble / exact.size
+    // NON-REGRESSION floor, not a quality claim: measured 0.36 here —
+    // JL preserves distances, not ranks, on this flat-spectrum corpus
+    // (the scaladoc's dims×shortlist sweep tops out at 0.66; the
+    // data-adaptive sketches are the top-k tools). A broken projection
+    // or shortlist drops recall to ~chance (5/115 ≈ 0.04) and trips this.
+    assert(recall >= 0.25, f"projected-space recall $recall%.2f under floor")
+    assert(sketch.size === exact.size) // 10 queries x top-5 both sides
+  }
+
   test("semantic_dedup_lsh/_ivf: survivor agreement with exact + subset law") {
     val exact = graft.similarity.Similarity.semanticDedup(spark, sf0001)
       .select($"vec_id", $"is_survivor").as[(Long, Boolean)].collect().toMap
