@@ -1206,7 +1206,11 @@ object Similarity extends QueryPack {
     * oracle reproduces it from COUNT(*). Floor 4 = don't shatter a
     * model-scale corpus into near-empty cells. */
   private[graft] def nlistForCorpus(n: Long, targetOccupancy: Int = 64): Int =
-    math.max(4L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+    // clamp before the narrowing: at ~137B+ vectors (reachable at
+    // 100 TB of embeddings) the unclamped toInt wraps NEGATIVE — found
+    // by the PropertiesSpec monotonicity property, not by a test scale
+    math.min(Int.MaxValue.toLong,
+      math.max(4L, (n + targetOccupancy - 1) / targetOccupancy)).toInt
 
   /** [[semanticDedupIvfVerified]] with the quantizer geometry DERIVED
     * FROM THE CORPUS ([[nlistForCorpus]]) instead of the pinned

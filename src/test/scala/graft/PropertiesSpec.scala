@@ -39,6 +39,33 @@ class PropertiesSpec extends AnyFunSuite {
     assert((1L to 100L).map(mix).sliding(2).exists(p => p.head > p.last))
   }
 
+  test("geometry knobs: bounds and monotonicity over arbitrary corpus sizes") {
+    import graft.similarity.Similarity.{probeBuckets, nlistForCorpus, nprobeForNlist, mForDim, autoBits}
+    val n = Gen.chooseNum(0L, Long.MaxValue / 2)
+    // probe-set size target: buckets >= 1 and expected sample n/buckets
+    // stays within [cap, 2*cap) once n clears the cap
+    check(Prop.forAll(n) { x =>
+      val b = probeBuckets(x)
+      b >= 1L && (x < 1024 || (x / b >= 1024 && x / b < 2048))
+    })
+    check(Prop.forAll(n, n) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      probeBuckets(lo) <= probeBuckets(hi) &&          // monotone
+      nlistForCorpus(lo) <= nlistForCorpus(hi) &&
+      autoBits(lo) <= autoBits(hi)
+    })
+    // nprobe: floor 2, never exceeds nlist, monotone
+    check(Prop.forAll(Gen.chooseNum(1, Int.MaxValue / 2)) { nl =>
+      val p = nprobeForNlist(nl)
+      p >= 2 && (nl < 8 || p <= nl) && nprobeForNlist(nl + 1) >= p
+    })
+    // m tiles standard dims at 8/subspace, floor 1
+    check(Prop.forAll(Gen.chooseNum(1, 1 << 16)) { d =>
+      val m = mForDim(d)
+      m >= 1 && (d < 8 || d / m == 8)
+    })
+  }
+
   test("rolling hash: matches a reference fold for arbitrary strings incl. non-ASCII") {
     def reference(s: String): Long = {
       var acc = 0L
