@@ -109,6 +109,30 @@ object SnapshotStore {
     spark.read.parquet(snap.toString)
   }
 
+  /** Time travel: read a SPECIFIC published version (must not have
+    * been vacuumed). Snapshots are immutable, so this is exactly the
+    * table-format `VERSION AS OF` read — diffing two corpus releases
+    * ([[graft.dedup.Dedup.snapshotDiffOf]]) composes directly on two
+    * of these. */
+  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val dir = new Path(tableDir)
+    val snap = new Path(dir, f"snap-$version%08d")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(snap),
+      s"version $version of $tableDir does not exist (published and not vacuumed?)")
+    spark.read.parquet(snap.toString)
+  }
+
+  /** All live (not yet vacuumed) versions, ascending. */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toLong).sorted.toSeq
+  }
+
   /** [[graft.dedup.Dedup.compactChanges]] re-expressed over the
     * manifest store: fold the changelog into the current snapshot,
     * publish the merge as a new version (one atomic pointer swap — a

@@ -68,6 +68,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.compactChanges(spark, dir, changes) === v2)
   }
 
+  test("time travel: readVersion pins past snapshots; vacuum retires them loudly") {
+    val dir = tmpDir("snaptravel")
+    SnapshotStore.publish(spark, dir, Seq((1L, "v0")).toDF("id", "s"))
+    SnapshotStore.publish(spark, dir, Seq((1L, "v1"), (2L, "v1")).toDF("id", "s"))
+    SnapshotStore.publish(spark, dir, Seq((3L, "v2")).toDF("id", "s"))
+    assert(SnapshotStore.versions(spark, dir) === Seq(0L, 1L, 2L))
+    assert(SnapshotStore.readVersion(spark, dir, 0L)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "v0")))
+    assert(SnapshotStore.readVersion(spark, dir, 1L).count() === 2L)
+    // diffing two releases composes on two pinned reads
+    val diff = SnapshotStore.readVersion(spark, dir, 2L)
+      .exceptAll(SnapshotStore.readVersion(spark, dir, 1L)).count()
+    assert(diff === 1L)
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(SnapshotStore.versions(spark, dir) === Seq(2L))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("a reader racing publishes sees exactly one complete version, never a mix") {
     val dir = tmpDir("snaprace")
     // each version v: exactly 64 rows, every row carrying v — a torn
