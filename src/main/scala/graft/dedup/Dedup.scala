@@ -1042,9 +1042,11 @@ object Dedup extends QueryPack {
     * DIRECTORY RENAME, which HDFS and POSIX filesystems provide and
     * object stores (S3 et al.) do NOT — there `rename` is a
     * non-atomic copy+delete and a crash mid-"rename" can expose a
-    * partial directory. On an object store run this recipe against a
-    * table format with a metadata pointer swap (or see the manifest
-    * variant in [[graft.ingest.EventSink]]) instead. */
+    * partial directory. On an object store — or whenever concurrent
+    * readers may LIST mid-swap — use
+    * [[graft.ingest.SnapshotStore.compactChanges]] instead: the same
+    * fold behind a single-file manifest-pointer swap, with a
+    * racing-reader spec proving old-or-new-never-mixed reads. */
   def compactChanges(spark: SparkSession, basePath: String,
       changesPath: String): Unit = {
     import org.apache.hadoop.fs.Path

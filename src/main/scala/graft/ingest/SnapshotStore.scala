@@ -11,21 +11,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader that enumerates the table directory in the window between
   * `rename(base, aside)` and `rename(tmp, base)` sees no directory at
   * all, and one that lists while an object-store "rename" copies sees
-  * a partial one. This store removes the race by never moving data at
-  * all: every publish writes a NEW immutable snapshot directory
-  * (`snap-<version>`) and then repoints a single MANIFEST file at it
-  * with ONE atomic rename. Readers resolve the manifest first, then
-  * read the immutable directory it names — so any read observes
-  * exactly one complete published version, never a mix, no matter how
-  * it interleaves with a publish (SnapshotStoreSpec races them).
+  * a partial one. This store removes the race by never moving — and
+  * never OVERWRITING — anything: every publish writes a NEW immutable
+  * snapshot directory (`snap-<v>`) and then makes it visible by
+  * renaming a NEW `manifest-<v>` file into place; readers resolve the
+  * highest manifest, then read the immutable directory it names — so
+  * any read observes exactly one complete published version, never a
+  * mix, no matter how it interleaves with a publish
+  * (SnapshotStoreSpec races them).
   *
-  * Filesystem contract, explicitly: atomicity rests on SINGLE-FILE
-  * rename-with-overwrite ([[FileContext.rename]] with
-  * `Options.Rename.OVERWRITE`), which POSIX and HDFS guarantee —
-  * a far weaker ask than the directory-rename atomicity the swap
-  * recipe needs. On an object store, swap the pointer write for a
-  * conditional put (same shape, e.g. S3 `If-Match`); the snapshot
-  * layout is unchanged.
+  * Filesystem contract, explicitly: atomicity rests only on
+  * SINGLE-FILE rename TO A FRESH NAME, which POSIX and HDFS
+  * guarantee — a far weaker ask than the directory-rename atomicity
+  * the swap recipe needs, and deliberately weaker than
+  * rename-with-OVERWRITE too: the first cut of this store used an
+  * overwritten single MANIFEST and the racing-reader spec caught
+  * readers seeing no manifest at all — the generic Hadoop
+  * `rename(…, OVERWRITE)` is delete-then-rename on the local
+  * filesystem, a two-step with a missing-destination window. On an
+  * object store, versioned manifests need only atomic single-object
+  * PUT + listing (which stores provide); the layout is unchanged.
   *
   * Retention: [[publish]] NEVER deletes — old snapshots stay readable
   * for in-flight scans — and reclamation is the separate, deliberate
@@ -38,43 +43,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
 
-  private val ManifestName = "MANIFEST"
+  private val ManifestPrefix = "manifest-"
 
   private def fc(spark: SparkSession, p: Path): FileContext =
     FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** Current (version, snapshot path) per the manifest, if any. */
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live manifest versions, ascending (empty if none published). */
+  private def manifestVersions(spark: SparkSession, dir: Path): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong).sorted.toSeq
+  }
+
+  /** Current (version, snapshot path): the HIGHEST versioned manifest
+    * file. Versioned manifests instead of one overwritten pointer —
+    * the first cut swapped a single MANIFEST with
+    * `FileContext.rename(…, OVERWRITE)` and the racing-reader spec
+    * caught readers seeing NO manifest at all: on the local
+    * filesystem (and any AbstractFileSystem that inherits the generic
+    * implementation) rename-with-overwrite is delete-then-rename, a
+    * two-step with a missing-destination window. Creating a FRESH
+    * `manifest-<v>` per publish needs only plain rename-to-new-name —
+    * atomic on POSIX and HDFS — and a reader's list always observes a
+    * prefix of completed publishes (the Iceberg versioned-metadata
+    * pattern). */
   def current(spark: SparkSession, tableDir: String): Option[(Long, Path)] = {
     val dir = new Path(tableDir)
-    val ctx = fc(spark, dir)
-    val mf = new Path(dir, ManifestName)
-    try {
-      val in = ctx.open(mf)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      require(name.startsWith("snap-"), s"malformed manifest '$name' in $tableDir")
-      Some((name.stripPrefix("snap-").toLong, new Path(dir, name)))
-    } catch { case _: java.io.FileNotFoundException => None }
+    manifestVersions(spark, dir).lastOption.map { v =>
+      (v, new Path(dir, f"snap-$v%08d"))
+    }
   }
 
   /** Publish `df` as the next version: write the immutable snapshot
-    * directory, fsync-equivalent via the parquet committer, then
-    * atomically repoint the manifest. Returns the new version. */
+    * directory, then make it visible with ONE atomic
+    * rename-to-fresh-name of its manifest file. Returns the new
+    * version. Single-writer by contract (a compaction schedule), like
+    * every swap recipe here. */
   def publish(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val dir = new Path(tableDir)
     val ctx = fc(spark, dir)
-    val prev = current(spark, tableDir)
-    val v = prev.map(_._1 + 1).getOrElse(0L)
+    val v = current(spark, tableDir).map(_._1 + 1).getOrElse(0L)
     val name = f"snap-$v%08d"
     df.write.mode("overwrite").parquet(new Path(dir, name).toString)
-    // the pointer swap: write aside, then ONE atomic single-file rename
-    val tmp = new Path(dir, s".$ManifestName.tmp")
+    // fresh-name pointer: write aside, rename into place (no overwrite
+    // anywhere — see [[current]] for why that distinction is load-bearing)
+    val tmp = new Path(dir, s".$ManifestPrefix$v.tmp")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(name.getBytes("UTF-8")) finally out.close()
-    ctx.rename(tmp, new Path(dir, ManifestName), Options.Rename.OVERWRITE)
+    ctx.rename(tmp, new Path(dir, f"$ManifestPrefix$v%08d"))
     v
   }
 
@@ -90,11 +114,12 @@ object SnapshotStore {
   def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 2): Unit = {
     val dir = new Path(tableDir)
     val v = current(spark, tableDir).map(_._1).getOrElse(return)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+    val f = fs(spark, dir)
+    if (f.exists(dir)) f.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("snap-") && n.stripPrefix("snap-").toLong <= v - keepLast)
-        fs.delete(st.getPath, true)
+      val old = (pfx: String) =>
+        n.startsWith(pfx) && n.stripPrefix(pfx).toLong <= v - keepLast
+      if (old(ManifestPrefix) || old("snap-")) f.delete(st.getPath, true)
     }
   }
 
@@ -124,14 +149,8 @@ object SnapshotStore {
   }
 
   /** All live (not yet vacuumed) versions, ascending. */
-  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
-    val dir = new Path(tableDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("snap-"))
-      .map(_.stripPrefix("snap-").toLong).sorted.toSeq
-  }
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] =
+    manifestVersions(spark, new Path(tableDir))
 
   /** [[graft.dedup.Dedup.compactChanges]] re-expressed over the
     * manifest store: fold the changelog into the current snapshot,

@@ -59,10 +59,10 @@ class PropertiesSpec extends AnyFunSuite {
       val p = nprobeForNlist(nl)
       p >= 2 && (nl < 8 || p <= nl) && nprobeForNlist(nl + 1) >= p
     })
-    // m tiles standard dims at 8/subspace, floor 1
+    // m = floor(d/8) with floor 1: 8·m never exceeds d, remainder < 8
     check(Prop.forAll(Gen.chooseNum(1, 1 << 16)) { d =>
       val m = mForDim(d)
-      m >= 1 && (d < 8 || d / m == 8)
+      m >= 1 && (d < 8 || (8 * m <= d && d - 8 * m < 8))
     })
   }
 
