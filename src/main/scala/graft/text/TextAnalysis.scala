@@ -526,6 +526,31 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** HARD per-source quota — exactly `min(|source|, Q)` documents per
+    * source, chosen reproducibly as the Q smallest Lehmer-mixed
+    * doc_ids (ties → doc_id). The cap-contract sibling of
+    * [[corpusMix]]: the mix holds an EXPECTED token share per source
+    * (probabilistic, budget-shaped), the quota holds a HARD document
+    * ceiling ("no source contributes more than Q docs" — the balance
+    * guarantee a curriculum or eval set states). Seedless mix order ⇒
+    * the same Q docs on any engine, partitioning, or run.
+    *
+    * Plan: the custom [[graft.plans.TopKPerKey]] bounded-heap operator
+    * (partial map-side heaps, Q-bounded final merge — no window, no
+    * per-partition full sort; `serve_top_per_type`'s exec node reused
+    * on the corpus axis). At 100 TB the window form sorts every
+    * partition's full doc list; the heap form keeps Q rows per source
+    * per partition and shuffles only heap contents. */
+  private[graft] val SourceQuotaDocs = 10
+  def sourceQuota(spark: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        Seq("source"),
+        Seq(graft.functions.DetMix.lehmerMix(col("doc_id")).asc, col("doc_id").asc),
+        k = SourceQuotaDocs)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Deterministic GLOBAL SHUFFLE of the corpus — the reproducible
     * training-order stage: every epoch-0 data loader needs the corpus
     * in a pseudo-random but bit-reproducible order, and `ORDER BY
@@ -1105,6 +1130,7 @@ object TextAnalysis extends QueryPack {
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "source_quota" -> sourceQuota,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1484,6 +1510,17 @@ object TextAnalysis extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // 512 AS pack_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // ROW_NUMBER over the inlined Lehmer order per source — the window
+    // twin of the bounded-heap TopKPerKey plan
+    "source_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY (doc_id % 2147483647) * 48271 % 2147483647
+        |                    * 48271 % 2147483647, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM t WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin,
     // the same all-integer Lehmer keep test, per source; the budget is
     // the shared DefaultMixBudget constant, not a re-typed literal
     "corpus_mix" ->

@@ -29,6 +29,36 @@ class TopKPerKeySpec extends SparkSpec {
     assert(custom.nonEmpty)
   }
 
+  test("source_quota: hard cap binds per source, heap plan, window-equivalent") {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.text.TextAnalysis.sourceQuota(spark, sf0001)
+    // the cap binds: every source holds EXACTLY the quota here (25 docs
+    // per source in the corpus, quota 10)
+    val per = q.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(per.nonEmpty)
+    assert(per.values.forall(_ == graft.text.TextAnalysis.SourceQuotaDocs.toLong))
+    // plan is the bounded heap, not Sort+Window
+    val plan = graft.plans.TopKPerKey(
+        Tables.documents(spark, sf0001).select($"doc_id", $"source"),
+        Seq("source"),
+        Seq(graft.functions.DetMix.lehmerMix($"doc_id").asc, $"doc_id".asc),
+        k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"))
+    // equals the window formulation doc-for-doc
+    val w = Window.partitionBy($"source")
+      .orderBy(graft.functions.DetMix.lehmerMix($"doc_id").asc, $"doc_id".asc)
+    val windowed = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(q.select($"doc_id").as[Long].collect().toSet === windowed)
+    // non-binding branch: a source under quota keeps every doc
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val kept = TopKPerKey(tiny, Seq("source"),
+      Seq(graft.functions.DetMix.lehmerMix($"doc_id").asc, $"doc_id".asc), k = 10)
+    assert(kept.count() === 3L)
+  }
+
   test("k larger than any group returns every row; duplicate order values kept") {
     val df = Seq((1L, 10.0), (1L, 10.0), (2L, 5.0)).toDF("key", "v")
     val out = TopKPerKey(df, Seq("key"), Seq($"v".desc), k = 5)
