@@ -181,8 +181,6 @@ object ProfileR6 {
         println("[profile] plan:\n" + round.queryExecution.executedPlan)
 
       case other => sys.error(s"unknown mode '$other'")
-
-      case other => sys.error(s"unknown mode '$other'")
     }
     spark.stop()
   }
