@@ -77,4 +77,44 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Bytes-proportional shuffle sizing — SCALE.md §r9's measured
+    * three-way policy comparison, promoted into the engine (VERDICT r9
+    * #3): initial `spark.sql.shuffle.partitions` =
+    * `max(floor, ⌈inputBytes / 64 MB⌉)`, then AQE coalesces DOWN at
+    * runtime from actual shuffle sizes. The measurement: partitions
+    * kept at a latency-provisioned constant while data grew 256× put
+    * ~16 GB through 32 partitions (GC-bound, 460 s where the sized run
+    * took 3.6 s); rows-proportional partitions overshot into ~1 MB
+    * tasks (scheduling-bound, 2.5× slower); AQE alone, started from a
+    * high constant, paid un-coalescible map-side fan-out (16–226%
+    * slower). Deriving the INITIAL count from bytes at the 64 MB
+    * advisory target — then letting AQE trim — beat both. 64 MB is
+    * AQE's own `advisoryPartitionSizeInBytes` default, so the initial
+    * guess and the runtime re-plan pull toward the same size. */
+  val BytesPerShufflePartition: Long = 64L << 20
+
+  /** The policy as a pure formula (spec anchor). Capped at 2²⁰
+    * partitions — past that (64 TB of shuffle) per-reducer metadata in
+    * the map-output tracker, not partition size, is the binding
+    * constraint, the one knob this formula does not model. */
+  def shufflePartitionsForBytes(bytes: Long, floor: Int = 32): Int =
+    math.min(1L << 20, math.max(floor.toLong,
+      (bytes + BytesPerShufflePartition - 1) / BytesPerShufflePartition)).toInt
+
+  /** Size the session's initial shuffle-partition count from a data
+    * directory's on-disk footprint. The floor is the session's CURRENT
+    * setting — latency provisioning (≈2×cores) already encodes the
+    * small-data answer, so this only ever RAISES the count, and at the
+    * driver's test scales (≪ 64 MB × 32) it is the identity. Returns
+    * the count it set. */
+  def tuneShufflePartitions(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val floor = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = shufflePartitionsForBytes(bytes, floor)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    parts
+  }
 }

