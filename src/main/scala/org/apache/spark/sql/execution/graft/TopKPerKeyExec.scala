@@ -2,14 +2,17 @@ package org.apache.spark.sql.execution.graft
 
 import scala.collection.mutable
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession, Strategy}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Group-wise top-k as a first-class operator: for each group key, the
   * first `k` rows under `order`.
@@ -62,18 +65,45 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "fallbackPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "partitions that fell back to external sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
+    val rowSchema = child.schema
     val orderCopy = order
     val keysCopy = keys
     val kCopy = k
+    // Memory escape hatch (VERDICT r9 #3 hardening): the per-key heap
+    // state is O(keys-in-partition × k) with no spill path — fine when
+    // the operator's own per-partition OUTPUT fits in memory (its
+    // normal regime: output shrinks as partitions grow), but a skewed
+    // key-space partition has no bound. Past `maxRetainedRows` retained
+    // heap rows the partition degrades to Spark's spilling external
+    // sorter ([[UnsafeExternalRowSorter]], the machinery under
+    // SortExec): already-retained rows plus the rest of the input sort
+    // by (keys, order) — spilling to disk under memory pressure like
+    // any SortExec — and a single sorted walk keeps the first k per
+    // key. Rows the heap phase already REJECTED are provably outside
+    // their key's top k (k better rows existed in this partition), so
+    // feeding heaps + remaining input is exact. The default budget
+    // (4M rows ≈ hundreds of MB at typical row widths) never triggers
+    // in the three registered users' plans; the spec drives it with a
+    // tiny budget and pins result equality across both paths.
+    val budget = conf.getConfString("spark.graft.topKPerKey.maxRetainedRows",
+      (1 << 22).toString).toLong
+    val fallbackMetric = longMetric("fallbackPartitions")
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keysCopy, schema)
       val ordering = new LazilyGeneratedOrdering(orderCopy, schema)
       // max-heap under the sort order: head = worst row kept → O(log k)
       // membership test + eviction per incoming row
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var retained = 0L
+      var sorted: Iterator[InternalRow] = null
+      while (iter.hasNext && sorted == null) {
+        val row = iter.next()
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -84,13 +114,41 @@ case class TopKPerKeyExec(
         }
         if (heap.size < kCopy) {
           heap.enqueue(row.copy())
+          retained += 1
+          if (retained > budget) {
+            // degrade THIS partition: drain the heaps and the rest of
+            // the input through the spilling sorter
+            fallbackMetric += 1
+            val fullOrder = keysCopy.map(SortOrder(_, Ascending)) ++ orderCopy
+            val sorter = UnsafeExternalRowSorter.create(
+              rowSchema, new LazilyGeneratedOrdering(fullOrder, schema),
+              PrefixComparators.LONG,
+              new UnsafeExternalRowSorter.PrefixComputer {
+                private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+                override def computePrefix(row: InternalRow) = { zero.value = 0L; zero }
+              },
+              SparkEnv.get.memoryManager.pageSizeBytes,
+              false)
+            val pending = heaps.valuesIterator.flatMap(_.iterator) ++ iter
+            sorted = sorter.sort(pending.map(_.asInstanceOf[UnsafeRow]))
+          }
         } else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue()
           heap.enqueue(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.toSeq.sorted(ordering)
+      if (sorted == null)
+        heaps.iterator.flatMap { case (_, heap) => heap.toSeq.sorted(ordering) }
+      else {
+        // sorted walk: rows of one key are consecutive; keep the first k
+        var curKey: UnsafeRow = null
+        var kept = 0
+        sorted.filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || curKey != key) { curKey = key.copy(); kept = 0 }
+          kept += 1
+          kept <= kCopy
+        }
       }
     }
   }

@@ -72,4 +72,50 @@ class TopKPerKeySpec extends SparkSpec {
       .select("id").as[String].collect().toSet
     assert(out === Set("a", "b"))
   }
+
+  test("heap budget (VERDICT r9 #4): a skewed high-cardinality key space past " +
+    "the budget falls back to the spilling sort, result unchanged") {
+    // ~50k distinct keys land in 4 partitions — per-partition key
+    // cardinality far beyond a 64-row retained budget — plus one hot
+    // key with 10k rows (the skew the heap path has no escape from)
+    val wide = spark.range(50000)
+      .select(($"id" % 50000).as("key"), ($"id" * 2654435761L % 1000).as("v"))
+    val hot = spark.range(10000)
+      .select(lit(999999L).as("key"), $"id".as("v")) // distinct v: set compare stays exact
+    val df = wide.unionAll(hot)
+    def run(): Set[(Long, Long)] = {
+      val q = TopKPerKey(df, Seq("key"), Seq($"v".asc, $"key".asc), k = 2)
+      // collect() on q ITSELF: .as[...] would wrap a fresh QueryExecution
+      // whose metrics are not the ones read below
+      val out = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // read the fallback metric off the executed plan; query stages are
+      // traversal LEAVES, so descend through the AQE wrapper and each
+      // QueryStageExec explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.graft.TopKPerKeyExec
+      def findTopK(p: SparkPlan): Seq[TopKPerKeyExec] = p match {
+        case a: AdaptiveSparkPlanExec => findTopK(a.executedPlan)
+        case s: QueryStageExec => findTopK(s.plan)
+        case e: TopKPerKeyExec => e +: e.children.flatMap(findTopK)
+        case other => other.children.flatMap(findTopK)
+      }
+      val execs = findTopK(q.queryExecution.executedPlan)
+      assert(execs.nonEmpty)
+      val fellBack = execs.head.metrics("fallbackPartitions").value
+      if (spark.conf.getOption("spark.graft.topKPerKey.maxRetainedRows").contains("64"))
+        assert(fellBack > 0, "tiny budget must engage the sort fallback")
+      else
+        assert(fellBack === 0, "default budget must stay on the heap path")
+      out
+    }
+    val onHeap = run()
+    spark.conf.set("spark.graft.topKPerKey.maxRetainedRows", "64")
+    try {
+      val onSort = run()
+      assert(onSort === onHeap, "fallback path must be value-identical")
+      // sanity: the hot key kept exactly k rows, smallest v first
+      assert(onSort.count(_._1 == 999999L) === 2)
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxRetainedRows")
+  }
 }
