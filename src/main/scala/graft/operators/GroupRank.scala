@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed within-group ranking — `row_number() OVER (PARTITION BY
+  * group ORDER BY order)` WITHOUT one window partition per group.
+  *
+  * The grouped sibling of [[AssignIds]]: a plain grouped window puts
+  * every row of a group through ONE task, so low-cardinality strata
+  * (languages, sources — 5-ish groups over 100 TB) serialize the whole
+  * corpus through a handful of executors. The distributed formulation
+  * reuses the range-partition + offsets recipe, with the group columns
+  * leading the range key:
+  *
+  *  1. `repartitionByRange(group ++ order)` — range-disjoint
+  *     partitions; a group spans a contiguous RUN of partitions, each
+  *     internally ordered, so `offset + local position` is the global
+  *     in-group rank;
+  *  2. per-(partition, group) row counts — a frame of at most
+  *     `partitions + groups` rows (each partition holds whole groups
+  *     plus at most a leading/trailing fragment);
+  *  3. running-sum offsets per group across partition ids — a window
+  *     over that model-sized counts frame (never collected: unlike
+  *     [[AssignIds]]' single global scan-left, the per-group running
+  *     sum is itself expressible as a tiny window), broadcast-joined
+  *     back;
+  *  4. within-partition `row_number` windowed by (partition, group) —
+  *     every window partition is one data partition's slice of one
+  *     group.
+  *
+  * The ranked frame is durably pinned ([[Materialize]]) between the
+  * counts pass and the rank pass so both see one placement.
+  * (Order keys must be made unique per group by a tie-break column —
+  * same contract as [[AssignIds]].)
+  */
+object GroupRank {
+
+  /** `df` plus a dense 1-based `out` rank within each `groupCols`
+    * stratum following `orderCols`. */
+  def withGroupRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], out: String = "rk",
+      partitions: Int = 32): DataFrame = {
+    val rangeKey = groupCols.map(col) ++ orderCols
+    val ranged = Materialize(
+      df.repartitionByRange(partitions, rangeKey: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy("__pid", groupCols: _*)
+      .agg(count(lit(1)).as("__n"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .drop("__n")
+    val wLocal = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    ranged
+      .join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(out, row_number().over(wLocal).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

@@ -637,6 +637,57 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Pure two-level-IVF ANN — [[annIvf]] with the flat
+    * collect-per-round quantizer replaced by [[HierQuantizer]] and
+    * every geometry knob data-derived ([[nlistAnnForCorpus]] /
+    * [[nprobeForNlist]]): exact cosine runs only inside the probed
+    * cells, no PQ stage. This is the registered query that exercises
+    * the bounded coarse model END TO END on its own (the IVF-PQ auto
+    * path layers PQ on top): train on a Lehmer sample, driver holds
+    * O(√nlist) super-centroids, corpus assignment scores O(√nlist)
+    * per vector, queries expand to nprobe cells against the
+    * DISTRIBUTED cell frame. Approximate ⇒ rows-only; the recall
+    * floor is [[annHierVerified]]'s hash-checked gate. */
+  def annHier(spark: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val all = vecs(spark, d)
+    val n = all.count()
+    val nlist = nlistAnnForCorpus(n)
+    val nprobe = nprobeForNlist(nlist)
+    val model = HierQuantizer.train(spark, all.select("vec_id", "v"), n, nlist)
+    val assigned = HierQuantizer.assignCells(model,
+      all.select("vec_id", "v"), soft = 1, s1 = 2, "list_id")
+    val q = HierQuantizer.queryCells(model,
+        all.filter(col("vec_id") < 10).select("vec_id", "v"), nprobe, "list_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("list_id"))
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(q, "list_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall gate over [[annHier]], with the data-derived geometry
+    * emitted as oracle-recomputed columns — the hash-checked row that
+    * makes the two-level quantizer's recall a CORRECTNESS statement,
+    * not a spec assertion. Floor set conservatively under the measured
+    * recall (see QueriesSpec). */
+  def annHierVerified(spark: SparkSession, d: String): DataFrame = {
+    val all = vecs(spark, d)
+    val n = all.count()
+    val nlist = nlistAnnForCorpus(n)
+    recallGate(spark, d, annHier(spark, d), 0.5)
+      .select(lit(nlist.toLong).as("nlist"),
+        lit(nprobeForNlist(nlist).toLong).as("nprobe"),
+        col("floor"), col("n_exact"), col("meets_floor"))
+  }
+
   /** [[annIvfPqWith]] re-planned over the two-level [[HierQuantizer]]
     * (VERDICT r9 #1): same IVF-PQ semantics — coarse lists cut
     * candidates, PQ codes rank them, exact cosine re-ranks the
@@ -1417,6 +1468,8 @@ object Similarity extends QueryPack {
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
     "ann_ivf_verified" -> annIvfVerified,
+    "ann_hier" -> annHier,
+    "ann_hier_verified" -> annHierVerified,
     "ann_pq" -> annPq,
     "ann_pq_verified" -> annPqVerified,
     "ann_pq_auto" -> annPqAuto,
@@ -1620,6 +1673,8 @@ object Similarity extends QueryPack {
   val oracles = Map(
     "ann_lsh" -> lshTopkSql(NumTables, "bks[t]"),
     "ann_ivf_verified" -> recallGateSql(0.5),
+    "ann_hier_verified" -> recallGateSql(0.5,
+      s"$nlistSqlAuto AS nlist,\n       $nprobeSqlAuto AS nprobe,\n       "),
     "ann_pq_verified" -> recallGateSql(0.4),
     "ann_ivfpq_verified" -> recallGateSql(0.6),
     // all 16 projected coordinates from the same literal planes — the

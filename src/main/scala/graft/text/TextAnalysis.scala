@@ -126,6 +126,99 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 retrieval (k1 = 1.2, b = 0.75) — [[tfidfTopTerms]]'s
+    * RETRIEVAL direction: for each query term, the top
+    * [[Bm25TopDocs]] documents by Okapi BM25 with document-length
+    * normalization. Query terms are data-derived — the
+    * [[Bm25QueryTerms]] highest-df terms appearing in at most
+    * nine-tenths of the corpus (the synthetic vocabulary is dense —
+    * a half-corpus stopword cut leaves one term; ties → term), so
+    * the oracle recomputes the query set
+    * itself. The idf factor is the RATIONAL form
+    * `(N − df + ½)/(df + ½)` — the argument of the classic BM25 log,
+    * monotone in it, so per-term document ranking is EXACTLY BM25's
+    * while every factor stays integer-exact: with k1 = 6/5 and
+    * b = 3/4, numerator and denominator of both factors clear to
+    * integers (`idf = (2N−2df+1)/(2df+1)`,
+    * `tf_norm = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)` where S = total
+    * corpus tokens) and each engine performs the same two exact-int →
+    * double divisions and one multiply — bitwise-identical on both.
+    * (Factored divisions, not one giant rational: per-factor integers
+    * stay ≲10¹⁷ even at 10⁹-doc corpora, inside the 2⁵³ exact-double
+    * window the single-fraction form would leave.)
+    *
+    * Plan shape at 100 TB: tf / df are map-side-combinable hash
+    * aggregates; the query-term set is a TakeOrdered over the
+    * df frame; candidates are one broadcast join (5 terms) against
+    * the tf frame; the per-term top-k runs through the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — 5 huge posting lists
+    * would serialize through 5 window tasks, the heaps keep k rows
+    * per term per partition. */
+  private[graft] val Bm25QueryTerms = 5
+  private[graft] val Bm25TopDocs = 5
+
+  def textBm25(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_tokens"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfreq.join(broadcast(stats))
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+      .orderBy(col("df").desc, col("term"))
+      .limit(Bm25QueryTerms)
+      .select("term", "df")
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") * 2 - col("df") * 2 + 1).cast("double")
+          / (col("df") * 2 + 1))
+      .withColumn("tfn",
+        (col("tf") * 22 * col("s_tokens")).cast("double")
+          / (col("tf") * col("s_tokens") * 10 + col("s_tokens") * 3
+             + col("dl") * col("n_docs") * 9))
+      .withColumn("score", col("idf") * col("tfn"))
+    val top = graft.plans.TopKPerKey(
+      scored.select("term", "doc_id", "tf", "dl", "score"),
+      Seq("term"), Seq(col("score").desc, col("doc_id").asc), k = Bm25TopDocs)
+    // ranks over the ≤ terms×k survivor frame — model-sized by then
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .select("term", "doc_id", "tf", "dl", "score", "rn")
+      .orderBy("term", "rn")
+  }
+
+  /** Per-language QUALITY-PERCENTILE gate — keep each language's top
+    * quartile by type-token ratio (the [[quality]] score), the
+    * relative form of the fixed-threshold Gopher gates: absolute
+    * thresholds drift across languages and registers, so curation
+    * pipelines state "best q% within each stratum" instead. Exact
+    * ranks come from [[graft.operators.GroupRank]] — a plain
+    * `PARTITION BY lang` window would pull each language's ENTIRE
+    * corpus through one task (5 strata over 100 TB = 5 tasks); the
+    * range-partition + offsets form keeps every task partition-sized.
+    * The quartile cut is count-based (`4·rk ≤ n_lang` — integer-exact,
+    * no percentile interpolation to disagree on), with the per-stratum
+    * counts broadcast back. */
+  def qualityTopQ(spark: SparkSession, d: String): DataFrame = {
+    val docs = withToks(Tables.documents(spark, d))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+    val ranked = graft.operators.GroupRank.withGroupRank(
+      docs, Seq("lang"), Seq(col("ttr").desc, col("doc_id")), "rk")
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(cnt), "lang")
+      .filter(col("rk") * 4 <= col("n_lang"))
+      .select("lang", "doc_id", "n_tokens", "n_distinct", "ttr", "rk")
+      .orderBy("lang", "rk")
+  }
+
   /** Repetition ratio — the duplicated-n-gram degeneracy signal a
     * pretraining filter runs (loops, boilerplate spam, "aaaa..." text
     * score high): the most frequent trigram's share of all trigram
@@ -1118,6 +1211,8 @@ object TextAnalysis extends QueryPack {
     "text_tokens" -> tokenCounts,
     "text_fingerprint" -> fingerprints,
     "text_tfidf" -> tfidfTopTerms,
+    "text_bm25" -> textBm25,
+    "quality_topq" -> qualityTopQ,
     "text_repetition" -> repetition,
     "text_gopher" -> gopherGates,
     "text_freq_score" -> freqScore,
@@ -1285,6 +1380,45 @@ object TextAnalysis extends QueryPack {
         |  FROM scored) t
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    // same two-division-one-multiply double tree as the Spark side:
+    // rational idf × cleared-integer length norm (k1=6/5, b=3/4)
+    "text_bm25" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens FROM d2),
+        |terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM terms GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df FROM dfreq CROSS JOIN stats
+        |      WHERE df * 10 <= n_docs * 9 ORDER BY df DESC, term LIMIT 5),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+        |         (CAST(n_docs * 2 - q.df * 2 + 1 AS DOUBLE) / (q.df * 2 + 1)) *
+        |         (CAST(tf.tf * 22 * s_tokens AS DOUBLE) /
+        |          (tf.tf * s_tokens * 10 + s_tokens * 3 + tf.dl * n_docs * 9)) AS score
+        |  FROM tf JOIN q USING (term) CROSS JOIN stats),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY term
+        |        ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM scored)
+        |SELECT term, doc_id, tf, dl, score, rn FROM r WHERE rn <= 5
+        |ORDER BY term, rn""".stripMargin,
+    // the quartile cut is integer (4·rk ≤ count) — no percentile
+    // interpolation semantics to reconcile across engines
+    "quality_topq" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |s AS (SELECT *, CAST(n_distinct AS DOUBLE) / n_tokens AS ttr FROM t),
+        |r AS (SELECT *,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |             ORDER BY ttr DESC, doc_id) AS BIGINT) AS rk,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM s)
+        |SELECT lang, doc_id, n_tokens, n_distinct, ttr, rk FROM r
+        |WHERE rk * 4 <= n_lang ORDER BY lang, rk""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

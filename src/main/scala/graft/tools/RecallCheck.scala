@@ -15,6 +15,7 @@ object RecallCheck {
       println(f"${name}_RECALL=${exact.intersect(pairs(df)).size.toDouble / exact.size}%.3f")
     recall("IVF", graft.similarity.Similarity.annIvf(spark, d))
     recall("PQ", graft.similarity.Similarity.annPq(spark, d))
+    recall("HIER", graft.similarity.Similarity.annHier(spark, d))
     spark.stop()
   }
 }
