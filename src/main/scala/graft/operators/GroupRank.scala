@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
 object GroupRank {
 
   /** `df` plus a dense 1-based `out` rank within each `groupCols`
-    * stratum following `orderCols`. */
+    * stratum following `orderCols`; with `totalOut` set, also each
+    * row's group size (free — it is the same counts frame's full-
+    * window sum, and rank-based cuts almost always need it). */
   def withGroupRank(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], out: String = "rk",
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, totalOut: Option[String] = None): DataFrame = {
     val rangeKey = groupCols.map(col) ++ orderCols
     val ranged = Materialize(
       df.repartitionByRange(partitions, rangeKey: _*)
@@ -51,8 +53,11 @@ object GroupRank {
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .withColumns(totalOut.map(t => t -> sum(col("__n")).over(wTot)).toMap)
       .drop("__n")
     val wLocal = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols: _*)

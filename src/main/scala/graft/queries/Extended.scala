@@ -1349,14 +1349,12 @@ object Extended extends QueryPack {
     * Scale shape: the naive `ntile().over(partitionBy(source))` pulls
     * each source through ONE partition — and sources are exactly the
     * axis that is huge at 100 TB (a source is "CommonCrawl", not a
-    * shard). This is [[graft.operators.AssignIds]]' range-partition
-    * formulation generalized to per-key ranks: range-partition on
-    * (source, n_chars, doc_id) so each source SPANS partitions while
-    * every partition holds contiguous key runs, collect per-(partition,
-    * source) counts — O(partitions + sources) driver model state, like
-    * the k-means centroids — and broadcast per-source running offsets
-    * back; `offset + within-partition row_number` is the per-source
-    * rank, and the quartile is closed-form integer math on
+    * shard). The per-source rank + total come from
+    * [[graft.operators.GroupRank]] (range partition with group-leading
+    * keys, model-sized per-(partition, group) counts, running-sum
+    * offsets broadcast back — since r10 the shared operator, which
+    * also retired this query's driver collect and bare
+    * localCheckpoint); the quartile is closed-form integer math on
     * (rank, source total). No single-partition window anywhere. */
   def qualityQuartiles(spark: SparkSession, d: String): DataFrame =
     quartileBinsOf(
@@ -1368,35 +1366,12 @@ object Extended extends QueryPack {
     * exposed so the unit spec can pin NTILE remainder semantics and
     * partitioning invariance on constructed corpora. */
   private[graft] def quartileBinsOf(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ranged = docs
-      .repartitionByRange(32, col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin placement; counts + ranks see one layout
-    val counts = ranged.groupBy("__pid", "source")
-      .agg(count(lit(1)).as("__n"))
-      .as[(Int, String, Long)].collect()
-    val bySource = counts.groupBy(_._2)
-    val offsets = bySource.toSeq.flatMap { case (src, rows) =>
-      val sorted = rows.sortBy(_._1)
-      // running offset of each partition's slice within its source
-      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
-        case ((pid, _, _), off) => (pid, src, off)
-      }
-    }.toDF("__pid", "source", "__off")
-    val totals = bySource.toSeq
-      .map { case (src, rows) => (src, rows.map(_._3).sum) }
-      .toDF("source", "__tot")
-    val w = Window.partitionBy(col("__pid"), col("source"))
-      .orderBy(col("n_chars"), col("doc_id"))
     // NTILE(k) closed form: rem = tot % k leading buckets hold
     // (tot div k)+1 rows each, the rest hold (tot div k); CASE keeps
     // the zero-size ELSE division unevaluated when tot < k
-    ranged
-      .join(broadcast(offsets), Seq("__pid", "source"))
-      .join(broadcast(totals), "source")
-      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+    graft.operators.GroupRank.withGroupRank(docs, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), "__rank",
+        totalOut = Some("__tot"))
       .withColumn("quartile", expr(
         s"""CASE WHEN __rank <= (__tot % $k) * (__tot DIV $k + 1)
            |     THEN (__rank - 1) DIV (__tot DIV $k + 1) + 1
