@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession, Strategy}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -22,9 +22,14 @@ import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
   * (shuffle → per-partition full sort → window walk → filter). This
   * operator keeps a bounded heap of k rows per key instead: O(n log k)
   * with k rows of state per key, versus O(n log n) and n rows materialized
-  * in the sort. At 100 TB with small k this removes the dominant sort
-  * entirely (spill included); the shuffle on the group key remains, as it
-  * must.
+  * in the sort. Since r10 it plans in TWO PHASES like a partial
+  * aggregate — a map-side pass before the exchange cuts each input
+  * partition to ≤ k rows per key (top-k is a semilattice merge, so
+  * partial-then-final is exact), so the shuffle carries the bounded
+  * survivor set, not the full input: the window formulation AND the
+  * single-phase form both shuffled everything. At 100 TB with small k
+  * this removes both the dominant sort and almost all of the shuffle;
+  * the exchange on the group key remains, as it must.
   *
   * The logical node carries resolved expressions; the strategy pattern-
   * matches it; the exec declares `ClusteredDistribution(keys)` so the
@@ -47,7 +52,14 @@ case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase, like partial aggregation: a map-side pass bounds the
+      // exchange to <= k rows per key per input partition (the window
+      // formulation and the r9 single-phase exec both shuffled the FULL
+      // input), then the post-exchange pass finishes exactly. Top-k is
+      // a semilattice merge, so partial-then-final is exact for any
+      // partitioning of the input.
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -56,14 +68,22 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of one key must meet in one partition — the planner
-    * inserts the hash-partitioned exchange to satisfy this. */
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final phase: all surviving rows of one key must meet in one
+    * partition — the planner inserts the hash exchange to satisfy
+    * this, BETWEEN the partial and final phases. The partial phase
+    * accepts any distribution (it runs on the map side, before the
+    * exchange, like a partial aggregate). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "fallbackPartitions" -> SQLMetrics.createMetric(sparkContext,

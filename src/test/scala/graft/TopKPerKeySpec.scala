@@ -17,6 +17,37 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort ["), s"no per-partition full sort expected:\n$plan")
   }
 
+  test("two-phase: partial heaps below the exchange bound shuffled rows to keys×k×maps") {
+    val df = spark.range(100000)
+      .select(($"id" % 7).as("key"), ($"id" * 2654435761L % 100000).as("v"))
+    val q = TopKPerKey(df.toDF(), Seq("key"), Seq($"v".asc), k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val iFinal = plan.indexOf("TopKPerKey [")
+    val iEx = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
+      s"expected final > exchange > partial layering:\n$plan")
+    // the exchange carried the partial's output (≤ 7 keys × 3 × maps),
+    // not the 100k input rows
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def findShuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => findShuffles(a.executedPlan)
+      case s: QueryStageExec => findShuffles(s.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(findShuffles)
+      case other => other.children.flatMap(findShuffles)
+    }
+    val shuffles = findShuffles(q.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    val written = shuffles.head.metrics
+      .collectFirst { case (name, m) if name.toLowerCase.contains("recordswritten") => m.value }
+    written.foreach(w =>
+      assert(w <= 7L * 3 * 64, s"exchange carried $w rows — partial heap not engaged?"))
+    assert(written.nonEmpty, "no records-written metric found on the exchange")
+  }
+
   test("result set == window row_number formulation, all keys covered") {
     val custom = TopKPerKey(Tables.orders(spark, sf0001), Seq("o_custkey"),
       Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
