@@ -53,6 +53,24 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Contention sentinel (VERDICT r10 #6): the two r10 driver reps
+    // disagreed by 13% on identical code, and per-query ratios are only
+    // as good as the rep. This fixed workload — data-independent,
+    // code-independent (spark.range → modular keys → hash agg → noop),
+    // sized to ~0.5 s on a quiet 32-core host — is timed once per pass;
+    // its per-pass times land in every artifact, so host drift during a
+    // rep is MEASURABLE from the artifact itself instead of argued from
+    // cross-rep forensics.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .withColumn("k", col("id") % 4096)
+        .groupBy("k").agg(sum(col("id")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Warmup: every query once at sf0.01 (JIT, codegen, classloading).
     // Spark's generated-code cache is keyed on source text, which doesn't
     // include the input path — so each warmup pass compiles exactly the
@@ -63,10 +81,12 @@ object Bench {
     // during warmup, not mid-measurement. A missing warmup dir degrades
     // to a cold-start measurement (failures are swallowed per query).
     val warmDir = "/root/testdata/sf0.01"
+    sentinel() // JIT-warm the sentinel's own codegen too
     SparkEntry.queries.values.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -85,7 +105,9 @@ object Bench {
     def writePass(p: Int, rows: Seq[(String, Double, Boolean)]): Unit = {
       val qs = rows.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
         .mkString("{", ",", "}")
-      val line = s"""{"pass":$p,"stamp":"$stamp","queries":$qs,"sf":"$sfDir"}"""
+      val s = sentinel()
+      sentinels(s"pass$p") = s
+      val line = s"""{"pass":$p,"stamp":"$stamp","sentinel_sec":$s,"queries":$qs,"sf":"$sfDir"}"""
       // target/ gets wiped by sbt clean / round turnover (r8 lost the
       // r8builder pass artifacts SCALE.md cites that way) — so every
       // artifact ALSO lands in the git-tracked bench_artifacts/, where
@@ -173,7 +195,9 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val sj = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","sentinel":$sj,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout can truncate the (long) per-query tail —
     // persist the complete line as a machine-readable artifact too, both

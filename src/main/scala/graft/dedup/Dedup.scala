@@ -1214,16 +1214,17 @@ object Dedup extends QueryPack {
     * oracle is the same recompute-the-releases SQL — which means the
     * row turns red if the store ever returns the wrong version, a torn
     * snapshot, or a lossy round-trip. The table dir is a per-call temp
-    * registered for delete-on-exit; the two publishes are tiny
+    * under the SHARED materialization root
+    * ([[graft.operators.Materialize.tempDir]], delete-on-exit) — NOT
+    * driver-local /tmp, which executors cannot reach off-local
+    * (VERDICT r10 #3 / ADVICE r10); the two publishes are tiny
     * (snapshot = the documents projection at the test SFs; at 100 TB a
     * release publish is the same single parquet write any snapshot
     * costs, and the diff reads 40-byte digest tuples, never text). */
   def snapshotTimeTravel(spark: SparkSession, d: String): DataFrame = {
     import graft.ingest.SnapshotStore
     val docs = Tables.documents(spark, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap-tt").toString
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val dir = graft.operators.Materialize.tempDir(spark, "snap-tt")
     val va = SnapshotStore.publish(spark, dir, snapshotV1(docs))
     val vb = SnapshotStore.publish(spark, dir, snapshotV2(docs))
     diffSnapshots(

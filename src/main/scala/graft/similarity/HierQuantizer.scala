@@ -33,11 +33,13 @@ import graft.operators.Materialize
   * train on bounded DETERMINISTIC samples (the repo's one sampling
   * hash, [[DetMix.lehmerMix]] — seedless and partition-independent,
   * the `probeFrame` technique), with the super level on
-  * O(64·k1) rows and the sub level on O(16·nlist). At every driver
-  * scale the sample floors swallow the whole corpus (buckets = 1), so
-  * the training data is the full corpus there — sampling only engages
-  * where it is needed. All reused intermediates are durably
-  * materialized ([[Materialize]]), not localCheckpoint'd.
+  * O(64·k1) rows and the sub level on min(16·nlist, [[SubTrainCap]])
+  * rows — the hard cap (VERDICT r10 #5) keeps total Lloyd FLOPs
+  * Θ(cap·√nlist) instead of Θ(n·√nlist) once nlist ∝ corpus. At every
+  * driver scale the sample floors swallow the whole corpus
+  * (buckets = 1), so the training data is the full corpus there —
+  * sampling only engages where it is needed. All reused intermediates
+  * are durably materialized ([[Materialize]]), not localCheckpoint'd.
   *
   * Determinism end to end: Lehmer-mix sampling, id-seeded Lloyd at
   * both levels, min-struct argmax tie-breaks, and the repo's
@@ -65,9 +67,19 @@ object HierQuantizer {
     * plenty (64 points/centroid); subs get 16 — the codebook only
     * partitions space ahead of exact verification in every caller, so
     * marginal Lloyd quality buys nothing downstream (same measured
-    * argument as the PQ iters=1 trade, SCALE.md §ANN). */
+    * argument as the PQ iters=1 trade, SCALE.md §ANN). The sub level
+    * additionally HARD-CAPS total training points at [[SubTrainCap]]
+    * (VERDICT r10 #5): under the dedup geometry nlist = n/64 makes the
+    * uncapped 16·nlist target n/4 — never collected, but Θ(sample·k2)
+    * distributed Lloyd FLOPs grow superlinearly at extreme n. FAISS's
+    * own train-on-sample discipline caps total points regardless of k;
+    * 2²⁰ rows ≥ the 16/cell target up to nlist = 65 536 (n ≈ 4.2 M
+    * dedup-side), past which per-cell training data thins gracefully —
+    * acceptable because the codebook only PARTITIONS space ahead of
+    * exact verification. */
   private val SupPerCell = 64L
   private val SubPerCell = 16L
+  private[graft] val SubTrainCap = 1L << 20
   private val SampleFloor = 1024L
 
   private def sampled(all: DataFrame, n: Long, target: Long): DataFrame = {
@@ -96,7 +108,7 @@ object HierQuantizer {
       .select(col("cid").as("sup"), col("cv").as("sv"))
 
     // ---- level 2: k2 sub-centroids per super-cell, DISTRIBUTED ----
-    val subSample = sampled(base, n, SubPerCell * nlist)
+    val subSample = sampled(base, n, math.min(SubTrainCap, SubPerCell * nlist))
     // single-super assignment of the training sample: argmax as a hash
     // aggregate against the broadcast supers (no window sort)
     val supAssigned = Materialize(
@@ -118,7 +130,7 @@ object HierQuantizer {
     // min-struct argmax, decimal-exact per-dimension means. No collect
     // anywhere — the materialize between rounds truncates lineage the
     // way trainCentroids' collect did, without the driver round-trip.
-    (1 to iters).foldLeft(Materialize(seed)) { (subs, _) =>
+    val trained = (1 to iters).foldLeft(Materialize(seed)) { (subs, _) =>
       val assigned = supAssigned.join(subs, "sup")
         .withColumn("c_sim", expr("cosine_sim(v, cv)"))
         .groupBy(col("vec_id"))
@@ -136,7 +148,27 @@ object HierQuantizer {
         .agg(expr("transform(array_sort(collect_list(struct(pos, " +
           "CAST(sx AS DOUBLE) / cnt))), p -> p.col2)").as("cv"))
       Materialize(updated.select("sup", "scid", "cv"))
-    } match { case subs => Model(supers, subs, k1, k2) }
+    }
+    Model(supers, Materialize(patchDeadSupers(supers, trained)), k1, k2)
+  }
+
+  /** ADVICE r10: a super-cell that attracted no training-sample
+    * vectors ends with ZERO sub-centroids (no seed rows, and Lloyd
+    * only updates cells that won a vector — possible because the two
+    * levels train on DIFFERENT Lehmer samples), and [[assignCells]]'
+    * inner join on `sup` would then silently DROP every corpus vector
+    * whose probed supers are all such dead cells — a vector missing
+    * from the ANN index / dedup candidate set with no error. Seed
+    * each dead super with its own centroid as a single sub-cell
+    * (scid 0): every probed super now yields ≥ 1 cell, so every input
+    * row is assigned. Cell ids stay unique — a dead super has no
+    * other scid. */
+  private[graft] def patchDeadSupers(supers: DataFrame,
+      trained: DataFrame): DataFrame = {
+    val dead = supers
+      .join(trained.select("sup").distinct(), Seq("sup"), "left_anti")
+      .select(col("sup"), lit(0L).as("scid"), col("sv").as("cv"))
+    trained.unionByName(dead)
   }
 
   /** Per-row cell assignment: the top `soft` cells among the `s1`

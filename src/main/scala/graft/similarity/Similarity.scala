@@ -829,15 +829,23 @@ object Similarity extends QueryPack {
     val n = all.count()
     val dim = all.agg(max(size(col("v")))).head().getInt(0)
     val m = mForDim(dim) // largest-divisor form: always tiles (ADVICE r9)
-    // sqrt-capped nlist + the two-level quantizer (VERDICT r9 #1): the
-    // coarse model stays sublinear in the corpus, trained on a bounded
-    // sample, never collect-proportional to n. Below the n=65 536
-    // crossover (every driver scale) the value equals the old
-    // occupancy formula, so the hash-checked knob is unchanged there.
+    // sqrt-capped nlist (VERDICT r9 #1): below 65 281 (every driver
+    // scale) the value equals the old occupancy formula, so the
+    // hash-checked knob is unchanged there (ADVICE r10 on the exact
+    // band). The TRAINING implementation is the size-gated hybrid
+    // (VERDICT r10 #4): flat quantizer below [[HierCrossover]] — the
+    // r9 plan, cheaper below the sweep's measured crossover and with a
+    // harmless ≤1k-centroid driver model — two-level [[HierQuantizer]]
+    // above it, where the coarse model must stay sublinear in the
+    // corpus, trained on a bounded sample, never collect-proportional
+    // to n. Both feed the same recall gate; the floor is measured for
+    // both implementations (r9's and r10's green rows respectively).
     val nlist = nlistAnnForCorpus(n)
     val nprobe = nprobeForNlist(nlist)
-    recallGate(spark, d,
-        annIvfPqHierWith(spark, d, n, nlist, nprobe, m, dim / m), 0.5)
+    val sketch =
+      if (n < HierCrossover) annIvfPqWith(spark, d, nlist, nprobe, m, dim / m)
+      else annIvfPqHierWith(spark, d, n, nlist, nprobe, m, dim / m)
+    recallGate(spark, d, sketch, 0.5)
       .select(lit(nlist.toLong).as("nlist"), lit(nprobe.toLong).as("nprobe"),
         lit(dim.toLong).as("dim"), lit(m.toLong).as("m"),
         col("floor"), col("n_exact"), col("meets_floor"))
@@ -1357,10 +1365,13 @@ object Similarity extends QueryPack {
   /** ANN-side nlist (VERDICT r9 #1): occupancy-64 until the model
     * would outgrow the FAISS `4·√n` convention, then the sqrt branch
     * takes over — `min(⌈n/64⌉, 4·isqrt(n))`, floors and clamps as
-    * before. The crossover is n = 65 536: below it (every driver
-    * scale) the value is EXACTLY [[nlistForCorpus]]'s, so the
-    * hash-checked geometry column is unchanged where the oracle runs;
-    * above it the model is O(√n) — the coarse-quantizer collect and
+    * before. The sqrt branch binds from n = 65 281 (ADVICE r10: for
+    * n ∈ [65 281, 65 535] the min already picks `4·isqrt(n)`, one
+    * below `⌈n/64⌉` — the clean "equal below 65 536" claim was off by
+    * that 255-value band); below 65 281 — every driver scale — the
+    * value is EXACTLY [[nlistForCorpus]]'s, so the hash-checked
+    * geometry column is unchanged where the oracle runs; in the sqrt
+    * regime the model is O(√n) — the coarse-quantizer collect and
     * broadcast stay sublinear in the corpus forever. The DEDUP twin
     * keeps occupancy-proportional cells on purpose (constant per-cell
     * pair work needs occupancy pinned) and bounds its model through
@@ -1370,6 +1381,17 @@ object Similarity extends QueryPack {
     math.min(Int.MaxValue.toLong,
       math.max(4L, math.min((n + targetOccupancy - 1) / targetOccupancy,
         4L * isqrt(n)))).toInt
+
+  /** Implementation-choice gate for the coarse quantizer (VERDICT r10
+    * #4): below this corpus size the FLAT quantizer (driver-collected
+    * centroids, full-corpus Lloyd) is both cheaper (SCALE.md §r10:
+    * 2.38 s vs 8.06 s at the sweep's ×1) and harmless (≤ ~1 k
+    * centroids on the driver); at or above it the two-level
+    * [[HierQuantizer]] takes over and the model stays sublinear. This
+    * gates only WHICH training implementation runs — the oracle-checked
+    * geometry formulas ([[nlistForCorpus]] / [[nlistAnnForCorpus]]) are
+    * untouched by it, so no hash-checked column moves. */
+  private[graft] val HierCrossover: Long = 65536L
 
   /** [[semanticDedupIvfVerified]] with the quantizer geometry DERIVED
     * FROM THE CORPUS ([[nlistForCorpus]]) instead of the pinned
@@ -1401,20 +1423,28 @@ object Similarity extends QueryPack {
     val sub = probeFrame(all, probeBuckets(n))
     val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
       .select(col("vec_id"), col("is_survivor").as("ex_s"))
-    // two-level quantizer since r10 (VERDICT r9 #1): same occupancy-
-    // constant cell count, but the model is sample-trained, only the
-    // O(√nlist) super level is driver-held, and per-vector assignment
-    // is O(√nlist) — the subset law is structural under ANY candidate
-    // generator restricted to the probe set. Knobs from HierProbe's
-    // (s1 × soft) sweep at sf0.1 (n=2000, k1=k2=6): agreement 0.87 at
-    // (2,4) — the super level, not the cell count, was the recall
-    // bottleneck — 0.90 at (3,4), 0.98 at (4,6), 0.998 at (4,8);
-    // (4,6) clears the 0.9 floor with margin at constant per-vector
-    // cost (4 supers probed, 6 cells kept — both constants at any
-    // corpus size, so candidates stay linear)
-    val ivf = clusterized(sub,
-        verifyPairs(sub, ivfCandidatesHierAmong(spark, all, sub, n, nlist,
-          softAssign = 6, s1 = 4), 0.4))
+    // Size-gated quantizer hybrid (VERDICT r10 #4). Below
+    // [[HierCrossover]] the flat quantizer is strictly cheaper
+    // (SCALE.md §r10 crossover table: 2.38 s vs 8.06 s at ×1 — the
+    // two-level model's sample/seed/round overhead only amortizes once
+    // nlist is large) AND its driver collect is harmless (nlist ≤ 1024
+    // centroids). Above it, the two-level quantizer since r10 (VERDICT
+    // r9 #1): same occupancy-constant cell count, but the model is
+    // sample-trained, only the O(√nlist) super level is driver-held,
+    // and per-vector assignment is O(√nlist). The gate laws hold under
+    // EITHER generator — the subset law is structural for ANY candidate
+    // set restricted to the probe set, and the agreement floor is
+    // measured for both (flat soft=4: r9's green rows; hier knobs from
+    // HierProbe's (s1 × soft) sweep at sf0.1 (n=2000, k1=k2=6):
+    // agreement 0.87 at (2,4) — the super level, not the cell count,
+    // was the recall bottleneck — 0.90 at (3,4), 0.98 at (4,6), 0.998
+    // at (4,8); (4,6) clears the 0.9 floor with margin at constant
+    // per-vector cost, so candidates stay linear either way).
+    val cand =
+      if (n < HierCrossover) ivfCandidatesAmong(spark, all, sub, nlist, 4)
+      else ivfCandidatesHierAmong(spark, all, sub, n, nlist,
+        softAssign = 6, s1 = 4)
+    val ivf = clusterized(sub, verifyPairs(sub, cand, 0.4))
       .select(col("vec_id"), col("is_survivor").as("iv_s"))
     exact.join(ivf, "vec_id")
       .agg(
@@ -1607,10 +1637,14 @@ object Similarity extends QueryPack {
   /** [[isqrt]] as SQL: double-sqrt seed corrected by one CASE step each
     * way (the seed is within 1 of the true floor for every BIGINT —
     * same argument as the Scala side, so the engines cannot split at a
-    * perfect-square boundary). `nn` must be a non-negative BIGINT
-    * expression free of outer references. */
+    * perfect-square boundary). The upward correction mirrors the Scala
+    * side's OVERFLOW-SAFE division form (`s+1 <= n // (s+1)`, never
+    * `(s+1)²` which DuckDB raises on for n within ~3e9 of 2⁶³ — ADVICE
+    * r10); the downward `s0*s0` is safe because s0 ≤ isqrt(n)+1 <
+    * 2³²+1. `nn` must be a non-negative BIGINT expression free of
+    * outer references. */
   private def isqrtSql(nn: String): String =
-    "(SELECT s1 + CASE WHEN (s1+1)*(s1+1) <= n THEN 1 ELSE 0 END FROM " +
+    "(SELECT s1 + CASE WHEN (s1+1) <= n // (s1+1) THEN 1 ELSE 0 END FROM " +
       "(SELECT n, s0 - CASE WHEN s0*s0 > n THEN 1 ELSE 0 END AS s1 FROM " +
       s"(SELECT CAST(($nn) AS BIGINT) AS n, CAST(FLOOR(SQRT(CAST(($nn) AS DOUBLE))) AS BIGINT) AS s0)))"
   /** [[nlistAnnForCorpus]]: occupancy-64 min'd with 4·isqrt(n), floor

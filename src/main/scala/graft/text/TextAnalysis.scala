@@ -644,6 +644,37 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Deterministic STRATIFIED train/val/test split with EXACT
+    * per-stratum proportions — the held-out-set stage of a training
+    * pipeline. Bernoulli splits (`sample_stratified`'s shape) only hold
+    * proportions in expectation; an eval set wants them exact per
+    * language: here each stratum is ranked by the seedless Lehmer
+    * shuffle key (a fixed pseudo-random permutation of the id space —
+    * reproducible on any engine/partitioning, `sample_det`'s hash) and
+    * cut by integer rank-vs-size compares — `rk·10 ≤ n·8` → train,
+    * `rk·10 ≤ n·9` → val, else test — so every language lands exactly
+    * ⌊0.8·n⌋ / ⌊0.9·n⌋−⌊0.8·n⌋ / the rest, no float thresholds to
+    * disagree on.
+    *
+    * Scale shape: ranks come from [[graft.operators.GroupRank]] (range
+    * partition + broadcast offsets — no one-task-per-language window
+    * collapse; parallelism inherits the session's bytes-tuned shuffle
+    * partitions), and the stratum size rides along free as the counts
+    * frame's full-window sum (`totalOut`). One range shuffle total. */
+  def splitStratified(spark: SparkSession, d: String): DataFrame = {
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), mix.as("shuffle_key"))
+    graft.operators.GroupRank.withGroupRank(
+        docs, Seq("lang"), Seq(col("shuffle_key"), col("doc_id")), "rk",
+        totalOut = Some("n_lang"))
+      .select(col("lang"), col("doc_id"), col("rk"), col("n_lang"),
+        when(col("rk") * 10 <= col("n_lang") * 8, lit("train"))
+          .when(col("rk") * 10 <= col("n_lang") * 9, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic GLOBAL SHUFFLE of the corpus — the reproducible
     * training-order stage: every epoch-0 data loader needs the corpus
     * in a pseudo-random but bit-reproducible order, and `ORDER BY
@@ -1225,6 +1256,7 @@ object TextAnalysis extends QueryPack {
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "split_stratified" -> splitStratified,
     "source_quota" -> sourceQuota,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
@@ -1403,6 +1435,25 @@ object TextAnalysis extends QueryPack {
         |        ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM scored)
         |SELECT term, doc_id, tf, dl, score, rn FROM r WHERE rn <= 5
         |ORDER BY term, rn""".stripMargin,
+    // the split cuts are integer rank-vs-size compares and the shuffle
+    // key is the same Lehmer mix every sample_det oracle inlines — no
+    // float threshold anywhere, so the engines agree bitwise
+    "split_stratified" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           AS shuffle_key
+        |  FROM documents),
+        |r AS (SELECT *,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |             ORDER BY shuffle_key, doc_id) AS BIGINT) AS rk,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM m)
+        |SELECT lang, doc_id, rk, n_lang,
+        |       CASE WHEN rk * 10 <= n_lang * 8 THEN 'train'
+        |            WHEN rk * 10 <= n_lang * 9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the quartile cut is integer (4·rk ≤ count) — no percentile
     // interpolation semantics to reconcile across engines
     "quality_topq" ->

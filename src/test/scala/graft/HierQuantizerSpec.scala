@@ -81,4 +81,36 @@ class HierQuantizerSpec extends SparkSpec {
     assert(m1.subs.orderBy("sup", "scid").collect().toSeq ===
       m2.subs.orderBy("sup", "scid").collect().toSeq)
   }
+
+  test("dead supers are patched (ADVICE r10): every super carries >= 1 sub-cell, " +
+    "so no assignment can silently drop a vector") {
+    import spark.implicits._
+    // unit: a super with no trained subs gets its own centroid as scid 0
+    val supers = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(0.5, 0.5)))
+      .toDF("sup", "sv")
+    val trained = Seq((0L, 0L, Seq(0.9, 0.1)), (0L, 1L, Seq(0.8, 0.2)),
+      (1L, 0L, Seq(0.1, 0.9))).toDF("sup", "scid", "cv")
+    val patched = HierQuantizer.patchDeadSupers(supers, trained)
+      .orderBy("sup", "scid").collect()
+    assert(patched.length === 4)
+    val added = patched.last
+    assert(added.getLong(0) === 2L && added.getLong(1) === 0L &&
+      added.getSeq[Double](2) === Seq(0.5, 0.5))
+    // end-to-end invariant on a real train: no super without subs, and
+    // single-super probing (s1 = 1, the tightest path) still assigns
+    // every input row exactly once
+    val m = HierQuantizer.train(spark, all, n, 16)
+    assert(m.supers.join(m.subs.select("sup").distinct(), Seq("sup"), "left_anti")
+      .count() === 0L)
+    val assigned = HierQuantizer.assignCells(m, all, soft = 1, s1 = 1, "cell")
+    assert(assigned.count() === n)
+    assert(assigned.select("vec_id").distinct().count() === n)
+  }
+
+  test("sub-level training sample is hard-capped (VERDICT r10 #5)") {
+    // the cap constant itself: 2^20, >= the 16/cell target up to
+    // nlist = 65 536 — past that the sample stops growing with nlist
+    assert(HierQuantizer.SubTrainCap === (1L << 20))
+    assert(16L * 65536L === HierQuantizer.SubTrainCap)
+  }
 }

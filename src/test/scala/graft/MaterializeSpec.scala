@@ -54,6 +54,25 @@ class MaterializeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.materialize.dir")
   }
 
+  test("tempDir resolves under the shared materialization root (VERDICT r10 #3)") {
+    val dir = tmpDir("materialize-tempdir")
+    spark.conf.set("spark.graft.materialize.dir", dir)
+    try {
+      val got = Materialize.tempDir(spark, "snap-tt")
+      assert(got.contains(dir) && got.contains("graft-materialize") &&
+        got.contains("snap-tt-"), s"tempDir escaped the shared root: $got")
+      assert(new java.io.File(new java.net.URI(got).getPath).isDirectory ||
+        new java.io.File(got).isDirectory)
+      // without the override, the root falls back to the warehouse dir —
+      // a filesystem every executor can reach, unlike driver /tmp
+      spark.conf.unset("spark.graft.materialize.dir")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val fallback = Materialize.tempDir(spark, "snap-tt")
+      assert(fallback.contains(new org.apache.hadoop.fs.Path(wh).toUri.getPath),
+        s"fallback $fallback not under warehouse $wh")
+    } finally spark.conf.unset("spark.graft.materialize.dir")
+  }
+
   test("mode selection: local session takes the localCheckpoint path") {
     // apply() on the local test session must NOT write parquet anywhere
     val dir = tmpDir("materialize-local")

@@ -427,4 +427,42 @@ class PlanShapeSpec extends SparkSpec {
       assert(shufflePartitionsForBytes(1L << 30, floor = before.toInt) === 16)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("GroupRank/AssignIds (VERDICT r10 #1): range parallelism derives from " +
+    "the session's bytes-tuned shuffle partitions, not a constant") {
+    import graft.operators.{AssignIds, GroupRank}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    // the resolver: <= 0 → session conf (the value tuneShufflePartitions
+    // manages), explicit stays explicit
+    assert(AssignIds.sizedPartitions(docs, 5) === 5)
+    assert(AssignIds.sizedPartitions(docs, 0) ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(AssignIds.sizedPartitions(docs, 0) === 7)
+      // end-to-end: every stage of the default path runs at the
+      // session's count — the output inherits it (range exchange,
+      // then the __pid-hash window shuffle), so a hardcoded constant
+      // anywhere would surface here
+      val ids = AssignIds.withContiguousIds(docs,
+        Seq(col("source"), col("doc_id")))
+      assert(ids.rdd.getNumPartitions === 7,
+        s"range/rank stages must run at the session's 7 partitions")
+      // and the default path ranks exactly like an explicit count
+      val defRanks = GroupRank.withGroupRank(docs, Seq("source"),
+          Seq(col("doc_id")), "rk")
+        .select("doc_id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expRanks = GroupRank.withGroupRank(docs, Seq("source"),
+          Seq(col("doc_id")), "rk", partitions = 3)
+        .select("doc_id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(defRanks === expRanks)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
 }

@@ -77,8 +77,11 @@ class PropertiesSpec extends AnyFunSuite {
       s * s <= x && (s + 1) * (s + 1) > x
     })
     // ANN nlist: floor 4, Int.MaxValue clamp, monotone, equals the
-    // occupancy formula below the 65 536 crossover (the hash-checked
-    // driver scales) and the 4·√n branch above it
+    // occupancy formula up to 65 280 and is bounded by the 4·√n branch
+    // past that. 65 280, not 65 536 (ADVICE r10): for
+    // x ∈ [65 281, 65 535] the min already picks 4·isqrt(x) = 1020,
+    // one below ⌈x/64⌉ — the exact condition is
+    // 4·isqrt(x) ≥ ⌈x/64⌉, which last holds at x = 65 280
     check(Prop.forAll(n, n) { (a, b) =>
       val (lo, hi) = (math.min(a, b), math.max(a, b))
       nlistAnnForCorpus(lo) <= nlistAnnForCorpus(hi)
@@ -86,9 +89,15 @@ class PropertiesSpec extends AnyFunSuite {
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { x =>
       val v = nlistAnnForCorpus(x)
       v >= 4 && v <= Int.MaxValue &&
-        (x > 65536L || v == nlistForCorpus(x)) &&
-        (x <= 65536L || v.toLong <= 4L * isqrt(x))
+        (x > 65280L || v == nlistForCorpus(x)) &&
+        (x <= 65280L || v.toLong <= 4L * isqrt(x))
     })
+    // the band itself, pinned exhaustively so the bound above can't
+    // silently rot: sqrt binds from exactly 65 281
+    (65281L to 65535L).foreach { x =>
+      assert(nlistAnnForCorpus(x) == 1020 && nlistForCorpus(x) > 1020)
+    }
+    assert(nlistAnnForCorpus(65280L) == nlistForCorpus(65280L))
   }
 
   test("rolling hash: matches a reference fold for arbitrary strings incl. non-ASCII") {
