@@ -172,6 +172,68 @@ object Dedup extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- winnowing fingerprints ----------
+
+  /** Winnowing gram width (word trigrams, the corpus's shingle width),
+    * window (4 consecutive gram starts — guarantee: any shared run of
+    * w+k-1 = 6 tokens yields a shared fingerprint), and the
+    * shared-fingerprint floor for reporting a pair. */
+  private[graft] val WinnowK = 3
+  private[graft] val WinnowW = 4
+  private[graft] val WinnowShared = 2L
+
+  /** MOSS-style WINNOWING near-dup pairs (Schleimer, Wilkerson, Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting") —
+    * the fingerprint-selection dedup modality the n-gram/MinHash/
+    * SimHash trio doesn't cover: instead of sketching the whole
+    * shingle SET, select the MINIMUM gram hash in every window of
+    * [[WinnowW]] consecutive gram positions. The guarantee is local —
+    * any shared token run of length ≥ w+k−1 forces a shared selected
+    * fingerprint — so winnowing catches LOCALIZED overlap (a copied
+    * paragraph inside otherwise-different documents) that whole-set
+    * Jaccard dilutes below threshold, at ~2/(w+1) of the grams'
+    * storage. Pairs = docs sharing ≥ [[WinnowShared]] selected
+    * fingerprints, counted exactly.
+    *
+    * Scale shape: gram hashing is a stateless scan projection; the
+    * window-min runs per document ordered by position (doc-sized
+    * partitions — bounded, never a corpus axis); the pair step is an
+    * equi-join on the fingerprint value (id-only shuffles, the
+    * inverted-index recipe) — winnowing's selection density bounds the
+    * index at ~2/(w+1) of all gram occurrences, and the hot-key story
+    * is the same as [[ngramJaccardOf]]'s. Every hash is the poly-31
+    * rolling hash over the GRAM STRING — the one string hash the
+    * DuckDB oracle replays exactly (`text_fingerprint`'s list_reduce
+    * mirror) — so the query is hash-checked end to end, unlike the
+    * XXH64-keyed shingle family. Tail windows truncate (the frame
+    * clamps at the last gram), which only ADDS selected fingerprints
+    * near document ends — the local guarantee is unaffected;
+    * identically clamped on both engines. */
+  def winnowPairs(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.RollingHashExpr.register(spark)
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= WinnowK)
+    val grams = docs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(1, size(t) - ${WinnowK - 1}), " +
+        s"i -> rolling_hash(concat_ws(' ', slice(t, i, $WinnowK))))"))
+      .as(Seq("pos", "h")))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val fps = grams
+      .withColumn("fp", min(col("h")).over(wWin))
+      .select("doc_id", "fp")
+      .distinct()
+    fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Prefix-filtered variant (Bayardo et al.'s AllPairs / Xiao et al.'s
     * PPJoin family), result-identical to [[ngramJaccardOf]]: order every
     * doc's shingles by one global order (corpus frequency asc — rarest
@@ -1239,6 +1301,7 @@ object Dedup extends QueryPack {
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_exact_hashkey" -> exactHashSurvivors,
     "dedup_ngram" -> ngramJaccard,
+    "dedup_winnow" -> winnowPairs,
     "split_leakage" -> splitLeakage,
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_minhash" -> minhashLsh,
@@ -1432,6 +1495,41 @@ object Dedup extends QueryPack {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> jaccardSql,
+    // winnowing replayed exactly: same trigram strings, same poly-31
+    // rolling hash (text_fingerprint's list_reduce mirror), same
+    // 4-gram-window MIN with the same end-clamped frame, same >= 2
+    // shared-fingerprint floor
+    "dedup_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $WinnowK),
+         |p AS (
+         |  SELECT doc_id, t,
+         |         unnest(generate_series(1, len(t) - ${WinnowK - 1})) AS pos
+         |  FROM toks),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |         t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS gram
+         |  FROM p),
+         |h AS (
+         |  SELECT doc_id, pos,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(generate_series(1, length(gram)),
+         |                            j -> CAST(ascii(gram[j]) AS BIGINT))),
+         |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+         |  FROM g),
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW
+         |                      AND ${WinnowW - 1} FOLLOWING) AS fp
+         |  FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "split_leakage" -> splitLeakageSql,
     // the exhaustive mirror of the incremental batch-vs-history LSH
     // probe: every j >= 0.8 pair touching a batch doc, classified with

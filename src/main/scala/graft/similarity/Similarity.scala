@@ -137,6 +137,39 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training — per
+    * query the top-5 most-similar vectors carrying a DIFFERENT label
+    * (the pairs that teach a metric model the most: close in embedding
+    * space, wrong by supervision — the classic upgrade over random
+    * in-batch negatives, per Robinson et al. 2021 "Contrastive Learning
+    * with Hard Negative Samples"). Exact form over the standard 10-row
+    * query frame, so it is fully oracle-expressible (brute-force
+    * labeled [[annTopK]]); at 100 TB the shortlist comes from any of
+    * the ANN paths (IVF/LSH/hier cells) with the label-disagreement
+    * filter applied post-probe — the filter is a scalar predicate, so
+    * it composes with every bucketed candidate generator above
+    * unchanged. Broadcast of the 10-row query side; the window keys on
+    * query_id (10 partitions of corpus-candidate size — bounded). */
+  def mineHardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val q = vecs(spark, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val c = vecs(spark, d).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        col("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — no RNG at plan
     * time, so resume/retry sees identical planes): `Tables` hash tables of
     * `BitsPerTable` sign bits each. Multi-table trades memory for recall —
@@ -1494,6 +1527,7 @@ object Similarity extends QueryPack {
     "semantic_dedup_ivf_auto" -> semanticDedupIvfAuto,
     "semantic_incremental" -> semanticIncremental,
     "ann_topk" -> annTopK,
+    "mine_hard_negatives" -> mineHardNegatives,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
@@ -1931,6 +1965,20 @@ object Similarity extends QueryPack {
          |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM sims
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "mine_hard_negatives" -> {
+      val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS q_label,
+         |         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS n_label,
+         |         $cs AS cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                            ORDER BY $cs DESC, c.vec_id) AS rank
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label)
+         |SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank
+         |FROM sims WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "knn_classify" -> {
       val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")

@@ -3,9 +3,70 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
-/** Round-11 additions: the exact-proportion stratified split. */
+/** Round-11 additions: the exact-proportion stratified split, MOSS
+  * winnowing dedup, and hard-negative mining. */
 class NewOpsR11Spec extends SparkSpec {
   import spark.implicits._
+
+  test("dedup_winnow matches a local winnowing mirror at sf0.001") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def fingerprints(text: String): Set[Long] = {
+      val t = text.split(" ", -1)
+      if (t.length < Dedup.WinnowK) return Set.empty
+      val hs = t.sliding(Dedup.WinnowK).map(g =>
+        graft.functions.RollingHashExpr.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g.mkString(" "))))
+        .toArray
+      hs.indices.map { j =>
+        hs.slice(j, math.min(j + Dedup.WinnowW, hs.length)).min
+      }.toSet
+    }
+    val fps = docs.map { case (id, text) => id -> fingerprints(text) }
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      shared = (fa intersect fb).size.toLong if shared >= Dedup.WinnowShared
+    } yield (a, b, shared)).toSet
+    val got = Dedup.winnowPairs(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "planted near-dups must share winnowed fingerprints")
+    // selection density: winnowing keeps at most one fp per window start
+    fps.foreach { case (id, f) =>
+      val nGrams = docs.find(_._1 == id).get._2.split(" ", -1).length - Dedup.WinnowK + 1
+      if (nGrams > 0) assert(f.size <= nGrams)
+    }
+  }
+
+  test("mine_hard_negatives: top-5 cross-label neighbors, exact mirror") {
+    import graft.similarity.Similarity
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    val want = queries.flatMap { case (qid, ql, qv) =>
+      corpus.filter(_._2 != ql)
+        .map { case (nid, nl, nv) => (qid, ql, nid, nl, cos(qv, nv)) }
+        .sortBy { case (_, _, nid, _, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((a, b, c, d, e), i) => (a, b, c, d, i + 1L) }
+    }.toSet
+    val got = Similarity.mineHardNegatives(spark, sf0001)
+      .select($"query_id", $"q_label", $"neighbor_id", $"n_label", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // every mined negative really disagrees on the label
+    assert(got.forall { case (_, ql, _, nl, _) => ql != nl })
+  }
 
   test("split_stratified: exact 80/10/10 per language, deterministic, disjoint") {
     val out = TextAnalysis.splitStratified(spark, sf0001)
