@@ -64,15 +64,20 @@ object ScaleR11 {
   }
 
   /** Disjoint id-shifted copies through ONE scan: crossJoin against
-    * range(mult), ids shifted by copy·10⁷ exactly like ScaleR7-R10. */
+    * range(mult), ids shifted by copy·10⁷ exactly like ScaleR7-R10.
+    * The base parquet is a single file → one input partition, and the
+    * broadcast-range crossJoin inherits it — repartition by the bytes
+    * policy or every downstream narrow stage runs on one core. */
   private def amplifiedVecs(spark: SparkSession, d: String,
       mult: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
       .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
         col("v"))
+      .repartition(parts, col("vec_id"))
   }
 
   private def subTarget(nlist: Int): Long =
