@@ -422,6 +422,52 @@ object TextAnalysis extends QueryPack {
       .filter(col("n") < KAnonThreshold)
       .orderBy("source", "lang")
 
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source mixture standard (Arivazhagan et al. 2019, "Massively
+    * Multilingual Neural Machine Translation in the Wild"; the T=2 /
+    * α=0.5 setting mT5 and XLM-R popularized): w_s ∝ p_s^(1/T)
+    * flattens the source distribution, upsampling low-resource sources
+    * without drowning the head. p_s^(1/2) is irrational, so exact
+    * cross-engine arithmetic computes the share on a fixed-point grid
+    * with INTEGER sqrt: w_fix = isqrt(tok_s · 10⁴) ≈ sqrt(tok_s)·100
+    * (the normalizer's sqrt(tok_total) cancels, so sqrt of the RAW
+    * count is the right discretization — no division before the sqrt,
+    * and the 10⁴ grid keeps the floor error ≤ 1 part in 2·10⁴ of the
+    * smallest source; overflows only past 9.2·10¹⁴ tokens per source).
+    * isqrt is the double-sqrt seed corrected by one CASE step each way
+    * — Math.sqrt and DuckDB sqrt are both IEEE correctly-rounded, and
+    * every correction is integer compare, so both engines land the
+    * same BIGINT. The denominator is an exact BIGINT sum; the ONLY
+    * floating op is the final single correctly-rounded DOUBLE division
+    * w_fix / D (both ≤ 2⁵³ — bit-identical in any engine), with the
+    * all-integer parts-per-million twin alongside. One
+    * map-side-combinable aggregate over (source): model-sized output
+    * at any corpus size. */
+  def mixTemperature(spark: SparkSession, d: String): DataFrame =
+    mixTemperatureOf(Tables.documents(spark, d))
+
+  def mixTemperatureOf(documents: DataFrame): DataFrame = {
+    def isqrtCol(n: Column): Column = {
+      val s0 = floor(sqrt(n.cast("double"))).cast("long")
+      val down = when(s0 * s0 > n, s0 - lit(1L)).otherwise(s0)
+      when((down + lit(1L)) * (down + lit(1L)) <= n, down + lit(1L))
+        .otherwise(down)
+    }
+    val bySource = documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w_fix", isqrtCol(col("n_tokens") * lit(10000L)))
+    val denom = bySource.agg(sum(col("w_fix")).as("d_fix"))
+    bySource.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_fix"),
+        (col("w_fix").cast("double") / col("d_fix").cast("double"))
+          .as("weight"),
+        expr("(w_fix * 1000000L) div d_fix").as("weight_ppm"))
+      .orderBy("source")
+  }
+
   /** Mixture-drift diagnostic: TOTAL-VARIATION distance between each
     * source's unigram distribution and the whole-corpus distribution —
     * the "has this slice's language shifted away from the mixture"
@@ -1256,6 +1302,7 @@ object TextAnalysis extends QueryPack {
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "mix_temperature" -> mixTemperature,
     "split_stratified" -> splitStratified,
     "source_quota" -> sourceQuota,
     "corpus_shuffle" -> corpusShuffle,
@@ -1719,6 +1766,27 @@ object TextAnalysis extends QueryPack {
         |WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
         |      < (CAST($DefaultMixBudget AS BIGINT) * 2147483647) // tot
         |ORDER BY doc_id""".stripMargin,
+    // the same isqrt-on-a-10^4-grid as the Scala side: double-sqrt
+    // seed (IEEE correctly-rounded in both engines) corrected one CASE
+    // step down then up — all-integer compares, so both engines land
+    // the identical BIGINT; the only floating op is the final division
+    "mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT *, n_tokens * 10000 AS r,
+        |             CAST(FLOOR(SQRT(CAST(n_tokens * 10000 AS DOUBLE))) AS BIGINT) AS s0
+        |      FROM t),
+        |c AS (SELECT *, CASE WHEN s0 * s0 > r THEN s0 - 1 ELSE s0 END AS s1 FROM g),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |             CASE WHEN (s1 + 1) * (s1 + 1) <= r THEN s1 + 1 ELSE s1 END AS w_fix
+        |      FROM c),
+        |d AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS d_fix FROM w)
+        |SELECT source, n_docs, n_tokens, w_fix,
+        |       CAST(w_fix AS DOUBLE) / CAST(d_fix AS DOUBLE) AS weight,
+        |       (w_fix * 1000000) // d_fix AS weight_ppm
+        |FROM w, d ORDER BY source""".stripMargin,
     "corpus_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id,

@@ -107,4 +107,70 @@ class NewOpsR11Spec extends SparkSpec {
       .as[(String, Long, String)].collect()
     assert(want.sortBy(_._2).toSeq === out.sortBy(_._2).toSeq)
   }
+
+  test("ann_mrl: prefix-filtered rerank, exact mirror at sf0.001") {
+    import graft.similarity.Similarity
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    val want = queries.flatMap { case (qid, qv) =>
+      val qp = qv.take(Similarity.MrlPrefixDims)
+      val cand = corpus
+        .map { case (nid, nv) =>
+          (nid, nv, cos(qp, nv.take(Similarity.MrlPrefixDims))) }
+        .sortBy { case (nid, _, s) => (-s, nid) }
+        .take(Similarity.MrlCandidates)
+      cand.map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1L) }
+    }.toSet
+    val got = Similarity.annMrl(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // shape: exactly 5 ranked rows per query, ranks 1..5
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L) })
+  }
+
+  test("mix_temperature: integer-exact sqrt shares, T=2 semantics") {
+    val got = TextAnalysis.mixTemperature(spark, sf0001)
+      .select($"source", $"n_tokens", $"w_fix", $"weight", $"weight_ppm")
+      .as[(String, Long, Long, Double, Long)].collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select($"source", size(split($"text", " ")).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got.map(_._1).toSet === toks.keySet)
+    def isqrt(n: Long): Long = {
+      val s0 = math.sqrt(n.toDouble).toLong
+      val s = if (s0 * s0 > n) s0 - 1 else s0
+      if ((s + 1) * (s + 1) <= n) s + 1 else s
+    }
+    val wf = got.map(r => r._1 -> r._3).toMap
+    toks.foreach { case (src, t) => assert(wf(src) === isqrt(t * 10000L)) }
+    val d = got.map(_._3).sum
+    got.foreach { case (_, _, f, w, ppm) =>
+      assert(w === f.toDouble / d.toDouble)
+      assert(ppm === f * 1000000L / d)
+    }
+    // T=2 flattens: every source's weight share sits between its raw
+    // token share and the uniform share (the defining property of
+    // temperature upsampling)
+    val tot = toks.values.sum.toDouble
+    val uniform = 1.0 / toks.size
+    got.foreach { case (src, t, _, w, _) =>
+      val raw = t / tot
+      val (lo, hi) = if (raw < uniform) (raw, uniform) else (uniform, raw)
+      assert(w >= lo - 1e-4 && w <= hi + 1e-4, s"$src w=$w raw=$raw")
+    }
+  }
 }
