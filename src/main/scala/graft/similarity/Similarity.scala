@@ -186,7 +186,12 @@ object Similarity extends QueryPack {
     * neighbor_id at both stages), so the row is hash-checked end to
     * end; at scale stage 1 composes with the IVF/hier cell generators
     * above — prefix scoring is a drop-in replacement for full scoring
-    * inside any candidate bucket. */
+    * inside any candidate bucket. Both top-k cuts run through the
+    * bounded-heap [[graft.plans.TopKPerKey]] (map-side partial heaps,
+    * shuffle ≤ queries×k×maps), NOT a per-query window — 10 window
+    * partitions over queries×n scored rows is the one-task-per-key
+    * collapse the operator exists to kill; the rank columns are
+    * windowed only over the ≤ queries×k survivor frames. */
   private[graft] val MrlPrefixDims = 16
   private[graft] val MrlCandidates = 40
 
@@ -198,22 +203,24 @@ object Similarity extends QueryPack {
     val cPre = all.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"),
         slice(col("v"), 1, MrlPrefixDims).as("cp"))
-    val wPre = Window.partitionBy(col("query_id"))
-      .orderBy(col("pre_sim").desc, col("neighbor_id"))
-    val cand = cPre.join(broadcast(q.select("query_id", "qp")))
-      .withColumn("pre_sim", expr("cosine_sim(qp, cp)"))
-      .withColumn("prank", row_number().over(wPre))
-      .filter(col("prank") <= MrlCandidates)
-      .select("query_id", "neighbor_id", "pre_sim")
+    val cand = graft.plans.TopKPerKey(
+      cPre.join(broadcast(q.select("query_id", "qp")))
+        .withColumn("pre_sim", expr("cosine_sim(qp, cp)"))
+        .select("query_id", "neighbor_id", "pre_sim"),
+      Seq("query_id"), Seq(col("pre_sim").desc, col("neighbor_id").asc),
+      k = MrlCandidates)
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand
-      .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
-        "neighbor_id")
-      .join(broadcast(q.select("query_id", "qv")), "query_id")
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(wFull))
-      .filter(col("rank") <= 5)
+    graft.plans.TopKPerKey(
+      cand
+        .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+          "neighbor_id")
+        .join(broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "pre_sim", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc),
+      k = 5)
+      .withColumn("rank", row_number().over(wFull)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "pre_sim", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }

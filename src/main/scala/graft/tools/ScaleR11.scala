@@ -53,6 +53,7 @@ object ScaleR11 {
       println(s"\n[scale-r11] mult=$mult shuffle.partitions=$parts")
       if (which == "dedup" || which == "all") dedupQuantizer(spark, d, mult)
       if (which == "ann" || which == "all") annQuantizer(spark, d, mult)
+      if (which == "mrl") mrlRerank(spark, d, mult)
     }
     spark.stop()
   }
@@ -135,5 +136,78 @@ object ScaleR11 {
       f"scored_per_vec=${model.k1 + 2 * model.k2}%5d vs_flat=$nlist%7d " +
       f"driver_b=${model.k1.toLong * dim * 8}%8d")
     all.unpersist()
+  }
+
+  /** Matryoshka prefix-rerank vs full-dim brute force at the same
+    * mult: both sides score every corpus vector for the 10 standard
+    * queries, but the MRL side scores the 16-dim PREFIX in stage 1 (4×
+    * fewer multiply-adds and — stored as its own column — 4× fewer
+    * scan bytes), then fetches only top-[[graft.similarity.Similarity
+    * .MrlCandidates]] full vectors per query for the exact rerank. The
+    * copies are deterministically perturbed (tie-free cosines) so the
+    * reported recall@5 measures ranking, not id tie-breaks. */
+  private def mrlRerank(spark: SparkSession, d: String, mult: Int): Unit = {
+    import graft.similarity.Similarity
+    val base = amplifiedVecs(spark, d, mult)
+      .withColumn("v", expr("transform(v, x -> x + (vec_id % 9973) * 1e-6d)"))
+    // dim 64 at the registered geometry, then dim 256 (v⊗4 — same
+    // information, 4× the bytes/FLOPs) to locate the dimension
+    // crossover: the prefix stage saves FLOPs/scan bytes but the
+    // rerank fetch pays a second corpus pass, so MRL wins only once
+    // per-row vector math dwarfs per-row iteration overhead
+    mrlRerankAt(spark, base, mult, Similarity.MrlPrefixDims,
+      Similarity.MrlCandidates, dimTag = 64)
+    mrlRerankAt(spark, base.withColumn("v", expr("concat(v, v, v, v)")),
+      mult, 64, Similarity.MrlCandidates, dimTag = 256)
+  }
+
+  private def mrlRerankAt(spark: SparkSession, vecsDf: DataFrame, mult: Int,
+      pd: Int, cNum: Int, dimTag: Int): Unit = {
+    val all = vecsDf.cache()
+    val (n, _) = timed(all.count())
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        slice(col("v"), 1, pd).as("qp"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    // the PREFIX is its own stored column in the production layout —
+    // cache it materialized so stage 1's timing reads 16-dim rows,
+    // not 64-dim rows plus an on-the-fly slice
+    val cPre = corpus
+      .select(col("vec_id").as("neighbor_id"), slice(col("v"), 1, pd).as("cp"))
+      .cache()
+    cPre.count()
+    val (exact, tExact) = timed {
+      graft.plans.TopKPerKey(
+        corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+          .join(broadcast(q.select("query_id", "qv")))
+          .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+          .select("query_id", "neighbor_id", "cos_sim"),
+        Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (got, tMrl) = timed {
+      val cand = graft.plans.TopKPerKey(
+        cPre.join(broadcast(q.select("query_id", "qp")))
+          .withColumn("pre_sim", expr("cosine_sim(qp, cp)"))
+          .select("query_id", "neighbor_id", "pre_sim"),
+        Seq("query_id"), Seq(col("pre_sim").desc, col("neighbor_id").asc),
+        k = cNum)
+      graft.plans.TopKPerKey(
+        cand
+          .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+            "neighbor_id")
+          .join(broadcast(q.select("query_id", "qv")), "query_id")
+          .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+          .select("query_id", "neighbor_id", "cos_sim"),
+        Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = (exact intersect got).size.toDouble / exact.size
+    println(f"[scale-r11] mrl   mult=$mult%4d n=$n%9d dim=$dimTag%4d " +
+      f"prefix_dims=$pd%3d cand=$cNum%3d exact_s=$tExact%7.2f mrl_s=$tMrl%7.2f " +
+      f"speedup=${tExact / tMrl}%5.2f recall@5=$recall%5.3f")
+    cPre.unpersist(); all.unpersist()
   }
 }

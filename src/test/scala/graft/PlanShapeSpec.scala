@@ -465,4 +465,18 @@ class PlanShapeSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
   }
+
+  test("ann_mrl: prefix stage broadcasts the query frame; stage-2 " +
+    "full-vector fetch is an equi-join, never a second corpus cross") {
+    val p = planOf(similarity.Similarity.annMrl(spark, sf0001))
+    // exactly ONE corpus-wide cross (the 10-query × corpus prefix
+    // scan, a broadcast nested loop by design); the rerank fetch must
+    // hash-join candidates back by neighbor_id
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "prefix scan = broadcast NLJ of the tiny query frame")
+    assert(p.sliding("BroadcastNestedLoopJoin".length).count(
+      _ == "BroadcastNestedLoopJoin") === 1,
+      s"stage 2 must not rescan the corpus crosswise:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
