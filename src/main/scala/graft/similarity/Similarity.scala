@@ -120,8 +120,13 @@ object Similarity extends QueryPack {
   }
 
   /** Exact top-5 nearest neighbors (cosine) for the first 10 vectors,
-    * searched over the rest of the corpus. Brute-force scan + per-query
-    * top-k via window row_number — the ANN correctness baseline. */
+    * searched over the rest of the corpus — the ANN correctness
+    * baseline. The corpus-wide cut runs through the bounded-heap
+    * [[graft.plans.TopKPerKey]] (shuffle ≤ queries×k×maps), NOT a
+    * per-query window: 10 window partitions over queries×n scored
+    * rows serialize the whole scan onto 10 tasks — ScaleR11 measured
+    * the window form ×5.1 slower at 8.2 M vectors. Only the ≤
+    * queries×5 survivor frame is windowed, for the rank column. */
   def annTopK(spark: SparkSession, d: String): DataFrame = {
     val q = vecs(spark, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -129,10 +134,12 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(broadcast(q))
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    graft.plans.TopKPerKey(
+      c.join(broadcast(q))
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
@@ -159,14 +166,17 @@ object Similarity extends QueryPack {
         col("v").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(broadcast(q))
-      .filter(col("n_label") =!= col("q_label"))
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
-        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
-        col("cos_sim"), col("rank"))
+    graft.plans.TopKPerKey(
+      c.join(broadcast(q))
+        .filter(col("n_label") =!= col("q_label"))
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+          col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+          col("cos_sim")),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
+      .select("query_id", "q_label", "neighbor_id", "n_label",
+        "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
 
