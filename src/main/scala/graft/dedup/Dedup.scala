@@ -181,6 +181,7 @@ object Dedup extends QueryPack {
   private[graft] val WinnowK = 3
   private[graft] val WinnowW = 4
   private[graft] val WinnowShared = 2L
+  private[graft] val WinnowMaxDf = 256L
 
   /** MOSS-style WINNOWING near-dup pairs (Schleimer, Wilkerson, Aiken
     * 2003, "Winnowing: Local Algorithms for Document Fingerprinting") —
@@ -200,8 +201,17 @@ object Dedup extends QueryPack {
     * partitions — bounded, never a corpus axis); the pair step is an
     * equi-join on the fingerprint value (id-only shuffles, the
     * inverted-index recipe) — winnowing's selection density bounds the
-    * index at ~2/(w+1) of all gram occurrences, and the hot-key story
-    * is the same as [[ngramJaccardOf]]'s. Every hash is the poly-31
+    * index at ~2/(w+1) of all gram occurrences. The hot-key quadratic
+    * (a BOILERPLATE fingerprint in m documents makes m² pairs) is
+    * killed the way MOSS itself does it — common-fingerprint
+    * ELIMINATION: fingerprints with document frequency >
+    * [[WinnowMaxDf]] are template/boilerplate content, not a copying
+    * signal, and are dropped BEFORE the pair join (Schleimer et al. §5
+    * discard matches "in many documents"; same role as the rarest-
+    * first prefix filter in [[ngramJaccardPrefixOf]]). The cap is a
+    * semantic law mirrored in the oracle, so every bucket entering the
+    * join is ≤ [[WinnowMaxDf]] rows at ANY corpus size. Every hash is
+    * the poly-31
     * rolling hash over the GRAM STRING — the one string hash the
     * DuckDB oracle replays exactly (`text_fingerprint`'s list_reduce
     * mirror) — so the query is hash-checked end to end, unlike the
@@ -209,10 +219,13 @@ object Dedup extends QueryPack {
     * clamps at the last gram), which only ADDS selected fingerprints
     * near document ends — the local guarantee is unaffected;
     * identically clamped on both engines. */
-  def winnowPairs(spark: SparkSession, d: String): DataFrame = {
+  def winnowPairs(spark: SparkSession, d: String): DataFrame =
+    winnowPairsOf(Tables.documents(spark, d))
+
+  def winnowPairsOf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.RollingHashExpr.register(spark)
-    val docs = Tables.documents(spark, d)
+    graft.functions.RollingHashExpr.register(documents.sparkSession)
+    val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= WinnowK)
     val grams = docs.select(col("doc_id"), posexplode(expr(
@@ -225,8 +238,14 @@ object Dedup extends QueryPack {
       .withColumn("fp", min(col("h")).over(wWin))
       .select("doc_id", "fp")
       .distinct()
-    fps.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+    // MOSS common-fingerprint elimination: df > WinnowMaxDf ⇒
+    // boilerplate, dropped before the join — bounds every bucket
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp"),
+      "fp")
+    kept.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -1524,10 +1543,14 @@ object Dedup extends QueryPack {
          |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
          |                      ROWS BETWEEN CURRENT ROW
          |                      AND ${WinnowW - 1} FOLLOWING) AS fp
-         |  FROM h)
+         |  FROM h),
+         |keep AS (
+         |  SELECT s.doc_id, s.fp FROM sel s
+         |  JOIN (SELECT fp FROM sel GROUP BY fp
+         |        HAVING COUNT(*) <= $WinnowMaxDf) d USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowShared
          |ORDER BY doc_a, doc_b""".stripMargin,
     "split_leakage" -> splitLeakageSql,

@@ -23,7 +23,12 @@ class NewOpsR11Spec extends SparkSpec {
         hs.slice(j, math.min(j + Dedup.WinnowW, hs.length)).min
       }.toSet
     }
-    val fps = docs.map { case (id, text) => id -> fingerprints(text) }
+    val fps0 = docs.map { case (id, text) => id -> fingerprints(text) }
+    // MOSS common-fingerprint elimination, mirrored: df > WinnowMaxDf
+    // fingerprints never reach the pair join
+    val df = fps0.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val fps = fps0.map { case (id, f) =>
+      id -> f.filter(df(_) <= Dedup.WinnowMaxDf) }
     val want = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
       shared = (fa intersect fb).size.toLong if shared >= Dedup.WinnowShared
@@ -38,6 +43,25 @@ class NewOpsR11Spec extends SparkSpec {
       val nGrams = docs.find(_._1 == id).get._2.split(" ", -1).length - Dedup.WinnowK + 1
       if (nGrams > 0) assert(f.size <= nGrams)
     }
+  }
+
+  test("winnow boilerplate elimination: an over-common fingerprint " +
+    "produces no pairs") {
+    import graft.dedup.Dedup
+    // identical template docs: every window min is shared by ALL of
+    // them, so once the corpus holds more copies than WinnowMaxDf,
+    // every fingerprint is boilerplate by the df law and must be
+    // eliminated BEFORE the pair join — no quadratic bucket, no pairs
+    // from template-only content
+    val tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val n = (Dedup.WinnowMaxDf + 10).toInt
+    val docs = (0 until n).map(i => (i.toLong, tmpl)).toDF("doc_id", "text")
+    assert(Dedup.winnowPairsOf(docs).count() === 0L,
+      "template-only overlap must not produce pairs")
+    // control: below the cap the same content DOES pair (identical
+    // docs share every fingerprint, and a 12-token run selects >= 2)
+    val few = docs.filter($"doc_id" < 4)
+    assert(Dedup.winnowPairsOf(few).count() === 4L * 3 / 2)
   }
 
   test("mine_hard_negatives: top-5 cross-label neighbors, exact mirror") {
