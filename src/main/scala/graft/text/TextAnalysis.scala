@@ -434,6 +434,12 @@ object TextAnalysis extends QueryPack {
     * count is the right discretization — no division before the sqrt,
     * and the 10⁴ grid keeps the floor error ≤ 1 part in 2·10⁴ of the
     * smallest source; overflows only past 9.2·10¹⁴ tokens per source).
+    * The seed-and-correct isqrt is EXACT for grid values ≤ 2⁵²
+    * (PropertiesSpec pins it) — i.e. up to ~4.5·10¹¹ tokens per
+    * source; past that a BIGINT no longer round-trips through DOUBLE
+    * and the ±1 correction window can undershoot the true floor by a
+    * few ULPs' worth — still the SAME BIGINT in both engines (identical
+    * IEEE ops), with ≤ 10⁻⁷ relative effect on a weight.
     * isqrt is the double-sqrt seed corrected by one CASE step each way
     * — Math.sqrt and DuckDB sqrt are both IEEE correctly-rounded, and
     * every correction is integer compare, so both engines land the

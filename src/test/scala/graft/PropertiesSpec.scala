@@ -15,6 +15,31 @@ class PropertiesSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("mix_temperature isqrt: double-seed + one CASE step each way is " +
+    "exact for grid values <= 2^52") {
+    // the EXACT scalar mirror of mixTemperatureOf's isqrtCol (and of
+    // the oracle SQL's s0/s1/CASE chain)
+    def alg(n: Long): Long = {
+      val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+      val down = if (s0 * s0 > n) s0 - 1 else s0
+      if ((down + 1) * (down + 1) <= n) down + 1 else down
+    }
+    // ground truth via BigInt bisection-free Newton
+    def isqrt(n: Long): Long = {
+      var x = BigInt(n).bigInteger.sqrt().longValueExact()
+      while (x * x > n) x -= 1
+      while ((x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    val grid = Gen.oneOf(
+      Gen.chooseNum(0L, 1L << 20),                    // small sources
+      Gen.chooseNum(0L, 1L << 52),                    // full exact domain
+      Gen.chooseNum((1L << 52) - (1L << 20), 1L << 52), // upper boundary
+      Gen.chooseNum(0L, 1L << 26).map(s => s * s),    // perfect squares
+      Gen.chooseNum(1L, 1L << 26).map(s => s * s - 1)) // just below them
+    check(Prop.forAll(grid) { n => alg(n) == isqrt(n) })
+  }
+
   test("Lehmer mix: range, injectivity on [1, M-1], and overflow headroom") {
     import graft.functions.DetMix.{Modulus, Multiplier}
     // the EXACT scalar mirror of DetMix.lehmerMix's column expression
