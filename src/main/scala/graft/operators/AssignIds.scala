@@ -65,4 +65,52 @@ object AssignIds {
       .withColumn("new_id", row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** KEYED variant for orders of the shape `(numeric primary, unique
+    * ascending long tiebreak)` — [[GroupRank.withGroupRankBy]] with no
+    * group columns. Placement is a pure function of the row's value
+    * (frozen quantile boundaries + codegen'd binary-search bucket), so
+    * the recompute hazard that forces [[withContiguousIds]] to pin its
+    * range-shuffled frame does not exist: no [[Materialize]], no
+    * durable corpus write, one corpus shuffle total. */
+  def withContiguousIdsBy(df: DataFrame, primary: Column,
+      tieBreak: Column, primaryDesc: Boolean = false,
+      partitions: Int = 0): DataFrame =
+    GroupRank.withGroupRankBy(df, Seq.empty, primary, primaryDesc,
+      tieBreak, out = "new_id", partitions = partitions)
+
+  /** Keyed GLOBAL ids under a `(group columns lexicographic asc,
+    * primary, tiebreak)` total order — the `(source, doc_id)` shape:
+    * within-group keyed ranks plus a broadcast running offset over the
+    * per-group totals (a #groups-sized frame from a map-side-combined
+    * count — the group axis is exactly the one that is huge per value
+    * and tiny in cardinality at 100 TB). */
+  def withContiguousIdsGrouped(df: DataFrame, groupCols: Seq[String],
+      primary: Column, tieBreak: Column, primaryDesc: Boolean = false,
+      partitions: Int = 0): DataFrame = {
+    val ranked = GroupRank.withGroupRankBy(df, groupCols, primary,
+      primaryDesc, tieBreak, out = "__grk", partitions = partitions)
+    // group totals in group order, scan-left on the driver: #groups
+    // rows of model-sized state (an empty-key window here would plan a
+    // SinglePartition exchange). Ordered by SPARK's comparator (the
+    // orderBy below), so the offsets follow the same group order the
+    // ranks' semantics promise.
+    val spark = df.sparkSession
+    val gt = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__gn"))
+      .orderBy(groupCols.map(col): _*)
+      .collect()
+    val offs = gt.map(_.toSeq.dropRight(1))
+      .zip(gt.map(_.getLong(groupCols.size)).scanLeft(0L)(_ + _))
+      .map { case (g, off) => org.apache.spark.sql.Row.fromSeq(g :+ off) }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(df.schema(_)) :+
+        org.apache.spark.sql.types.StructField("__goff",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val offsets = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(offs: _*)), schema)
+    ranked.join(broadcast(offsets), groupCols)
+      .withColumn("new_id", col("__grk") + col("__goff"))
+      .drop("__grk", "__goff")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.graft.GraftPlanBridge
 
 /** Distributed within-group ranking — `row_number() OVER (PARTITION BY
   * group ORDER BY order)` WITHOUT one window partition per group.
@@ -31,15 +32,18 @@ import org.apache.spark.sql.functions._
   *     group.
   *
   * The ranked frame is durably pinned ([[Materialize]]) between the
-  * counts pass and the rank pass so both see one placement. On a
-  * cluster the durable pin writes the FULL ranked input to temp
-  * parquet once — accepted deliberately (ADVICE r10): the counts pass
-  * and the rank pass MUST observe one physical placement (range-
+  * counts pass and the rank pass so both see one placement: range-
   * partition boundaries come from a row sample, so a recompute may
-  * split differently and corrupt every offset), and one columnar
-  * temp write is the same order of I/O any global sort spills; the
-  * dir is deleted on JVM exit. (Order keys must be made unique per
-  * group by a tie-break column — same contract as [[AssignIds]].)
+  * split differently and corrupt every offset. On a cluster that pin
+  * writes the FULL ranked input to temp parquet once — which is why
+  * every REGISTERED query now flows through [[withGroupRankBy]]
+  * instead (ADVICE r10 "cheaper mechanism", done in r11): when the
+  * order is `(numeric primary, unique tiebreak)` — every real caller —
+  * placement can be a pure function of the row's VALUE against frozen
+  * quantile boundaries, and nothing needs pinning at all. This generic
+  * `Seq[Column]` path remains for arbitrary multi-key orders. (Order
+  * keys must be made unique per group by a tie-break column — same
+  * contract as [[AssignIds]].)
   */
 object GroupRank {
 
@@ -77,5 +81,125 @@ object GroupRank {
       .join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn(out, row_number().over(wLocal).cast("long") + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** KEYED variant — same semantics as [[withGroupRank]] for orders of
+    * the shape `(numeric primary [asc|desc], unique ascending long
+    * tiebreak)`, with the durable corpus-sized pin REMOVED.
+    *
+    * [[withGroupRank]] must pin its range-shuffled frame
+    * ([[Materialize]]) because `repartitionByRange` draws partition
+    * boundaries from a row SAMPLE: a recompute may split differently
+    * and corrupt every offset, and off-local that pin is a full
+    * corpus write to temp parquet (accepted in r10, retired here).
+    * This path makes placement a pure function of the row's VALUE
+    * instead: quantile-sketch boundaries are collected once to the
+    * driver (`parts − 1` doubles — model-sized), frozen into the plan
+    * as a literal, and each row's bucket is a codegen'd binary search
+    * ([[graft.functions.RangeBucketExpr]]). Determinism no longer
+    * depends on physical placement, so nothing needs pinning:
+    *
+    *  1. one pass builds the boundary sketch (`approxQuantile`, scan
+    *     pruned to the key column);
+    *  2. the counts pass is a map-side-combined aggregate over
+    *     `(bucket, group)` — only `buckets × groups` rows shuffle;
+    *  3. the rank pass shuffles the corpus ONCE, by `(bucket, group)`
+    *     hash, for the within-bucket window; offsets broadcast back.
+    *
+    * Tied primaries all take the same bucket (strict-< search), so a
+    * tie can never straddle a bucket boundary; the unique tiebreak
+    * orders them inside the window. Boundary BALANCE only affects
+    * parallelism, never ranks: any boundary set yields exact ranks,
+    * which is why a sketch (even a nondeterministic one — it is
+    * frozen after one collection) is sufficient. Contract: `primary`
+    * numeric, non-null, finite; `tieBreak` unique within each group,
+    * compared ascending.
+    *
+    * `totalOut` additionally emits the group size, as in
+    * [[withGroupRank]]. */
+  def withGroupRankBy(df: DataFrame, groupCols: Seq[String],
+      primary: Column, primaryDesc: Boolean, tieBreak: Column,
+      out: String = "rk", partitions: Int = 0,
+      totalOut: Option[String] = None): DataFrame =
+    keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
+      partitions, value = None, out, totalOut)
+
+  /** Distributed per-group RUNNING SUM of `value` in `(primary,
+    * tiebreak)` order — `sum(value) OVER (PARTITION BY group ORDER BY
+    * ... ROWS UNBOUNDED PRECEDING)` without the one-task-per-group
+    * collapse, via the same keyed-bucket machinery as
+    * [[withGroupRankBy]] (the counts pass sums `value` per
+    * `(bucket, group)` instead of counting rows). The prefix sum
+    * INCLUDES the current row. `totalOut` emits the group's full sum —
+    * budget cuts (`cum ≤ fraction · total`) need both sides. */
+  def withRunningSumBy(df: DataFrame, groupCols: Seq[String],
+      primary: Column, primaryDesc: Boolean, tieBreak: Column,
+      value: Column, out: String = "cum", partitions: Int = 0,
+      totalOut: Option[String] = None): DataFrame =
+    keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
+      partitions, value = Some(value), out, totalOut)
+
+  /** Shared core of the keyed paths: bucket → tiny counts aggregate →
+    * broadcast offsets → within-bucket window. `value = None` ranks
+    * (row_number + offset), `Some(v)` prefix-sums `v`. */
+  private def keyedPrefix(df: DataFrame, groupCols: Seq[String],
+      primary: Column, primaryDesc: Boolean, tieBreak: Column,
+      partitions: Int, value: Option[Column], out: String,
+      totalOut: Option[String]): DataFrame = {
+    val parts = AssignIds.sizedPartitions(df, partitions)
+    val key = if (primaryDesc) negate(primary.cast("double"))
+              else primary.cast("double")
+    val keyed = df.withColumn("__k", key)
+      .withColumn("__v", value.map(_.cast("long")).getOrElse(lit(1L)))
+    // parts−1 doubles to the driver, once; frozen into the plan below.
+    val bs: Seq[Double] =
+      if (parts <= 1) Seq.empty
+      else keyed.stat.approxQuantile("__k",
+        (1 until parts).map(_.toDouble / parts).toArray, 0.02)
+        .distinct.sorted.toSeq
+    val bucket = GraftPlanBridge.column(graft.functions.RangeBucketExpr(
+      GraftPlanBridge.expr(col("__k")), bs))
+    val bucketed = keyed.withColumn("__b", bucket)
+    // map-side-combined: only buckets × groups rows reach the exchange
+    val counts = bucketed.groupBy("__b", groupCols: _*)
+      .agg(sum(col("__v")).as("__n"))
+    val offsets =
+      if (groupCols.nonEmpty) {
+        // per-group running sum across bucket ids — a window over the
+        // model-sized counts frame, partitioned by the group columns
+        // (never empty-key, so never a SinglePartition exchange)
+        val wOff = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+          .withColumns(totalOut.map(t => t -> sum(col("__n")).over(wTot)).toMap)
+          .drop("__n")
+      } else {
+        // no groups: the empty-key window would plan a SinglePartition
+        // exchange; scan-left the buckets-sized counts on the driver
+        // instead (model-sized state, the flat-AssignIds discipline)
+        val cm = counts.collect().map(r => r.getInt(0) -> r.getLong(1))
+          .sortBy(_._1)
+        val total = cm.map(_._2).sum
+        val spark = df.sparkSession
+        import spark.implicits._
+        val base = cm.map(_._1)
+          .zip(cm.map(_._2).scanLeft(0L)(_ + _))
+          .toSeq.toDF("__b", "__off")
+        totalOut.fold(base)(t => base.withColumn(t, lit(total)))
+      }
+    val wLocal = Window
+      .partitionBy(col("__b") +: groupCols.map(col): _*)
+      .orderBy(col("__k"), tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = value.map(_ => sum(col("__v")).over(wLocal))
+      .getOrElse(row_number().over(wLocal).cast("long"))
+    bucketed
+      .join(broadcast(offsets), "__b" +: groupCols)
+      .withColumn(out, local + col("__off"))
+      .drop("__k", "__v", "__b", "__off")
   }
 }

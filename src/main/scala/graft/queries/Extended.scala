@@ -666,16 +666,17 @@ object Extended extends QueryPack {
   }
 
   /** Dense ordinal ids over the documents table (order: source, doc_id)
-    * via [[graft.operators.AssignIds.withContiguousIds]] — the
-    * distributed global row_number. The oracle is the naive
-    * `ROW_NUMBER() OVER (ORDER BY ...)`, which DuckDB can afford at
-    * sf0.01; the Spark side must produce the identical ranks from
-    * range-partitioned offsets without ever collapsing to one
+    * via [[graft.operators.AssignIds.withContiguousIdsGrouped]] — the
+    * distributed global row_number (keyed pin-free form: within-source
+    * keyed ranks + a broadcast running offset over the #sources-sized
+    * totals). The oracle is the naive `ROW_NUMBER() OVER (ORDER BY
+    * ...)`, which DuckDB can afford at sf0.01; the Spark side must
+    * produce the identical ranks without ever collapsing to one
     * partition (PlanShapeSpec pins the plan shape). */
   def assignIds(spark: SparkSession, d: String): DataFrame =
     graft.operators.AssignIds
-      .withContiguousIds(Tables.documents(spark, d),
-        Seq(col("source"), col("doc_id")))
+      .withContiguousIdsGrouped(Tables.documents(spark, d),
+        Seq("source"), col("doc_id"), col("doc_id"))
       .select(col("doc_id"), col("source"), col("new_id"))
       .orderBy("new_id")
 
@@ -1350,12 +1351,11 @@ object Extended extends QueryPack {
     * each source through ONE partition — and sources are exactly the
     * axis that is huge at 100 TB (a source is "CommonCrawl", not a
     * shard). The per-source rank + total come from
-    * [[graft.operators.GroupRank]] (range partition with group-leading
-    * keys, model-sized per-(partition, group) counts, running-sum
-    * offsets broadcast back — since r10 the shared operator, which
-    * also retired this query's driver collect and bare
-    * localCheckpoint); the quartile is closed-form integer math on
-    * (rank, source total). No single-partition window anywhere. */
+    * [[graft.operators.GroupRank.withGroupRankBy]] (value-deterministic
+    * buckets, model-sized per-(bucket, group) counts, running-sum
+    * offsets broadcast back — since r10 the shared operator, since r11
+    * the keyed pin-free form); the quartile is closed-form integer math
+    * on (rank, source total). No single-partition window anywhere. */
   def qualityQuartiles(spark: SparkSession, d: String): DataFrame =
     quartileBinsOf(
       Tables.documents(spark, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -1369,8 +1369,8 @@ object Extended extends QueryPack {
     // NTILE(k) closed form: rem = tot % k leading buckets hold
     // (tot div k)+1 rows each, the rest hold (tot div k); CASE keeps
     // the zero-size ELSE division unevaluated when tot < k
-    graft.operators.GroupRank.withGroupRank(docs, Seq("source"),
-        Seq(col("n_chars"), col("doc_id")), "__rank",
+    graft.operators.GroupRank.withGroupRankBy(docs, Seq("source"),
+        col("n_chars"), primaryDesc = false, col("doc_id"), "__rank",
         totalOut = Some("__tot"))
       .withColumn("quartile", expr(
         s"""CASE WHEN __rank <= (__tot % $k) * (__tot DIV $k + 1)

@@ -197,10 +197,11 @@ object TextAnalysis extends QueryPack {
     * relative form of the fixed-threshold Gopher gates: absolute
     * thresholds drift across languages and registers, so curation
     * pipelines state "best q% within each stratum" instead. Exact
-    * ranks come from [[graft.operators.GroupRank]] — a plain
-    * `PARTITION BY lang` window would pull each language's ENTIRE
+    * ranks come from [[graft.operators.GroupRank.withGroupRankBy]] — a
+    * plain `PARTITION BY lang` window would pull each language's ENTIRE
     * corpus through one task (5 strata over 100 TB = 5 tasks); the
-    * range-partition + offsets form keeps every task partition-sized.
+    * keyed bucket + offsets form keeps every task bucket-sized, with
+    * no pin (placement is value-deterministic, r11).
     * The quartile cut is count-based (`4·rk ≤ n_lang` — integer-exact,
     * no percentile interpolation to disagree on), with the per-stratum
     * counts broadcast back. */
@@ -210,8 +211,8 @@ object TextAnalysis extends QueryPack {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-    val ranked = graft.operators.GroupRank.withGroupRank(
-      docs, Seq("lang"), Seq(col("ttr").desc, col("doc_id")), "rk")
+    val ranked = graft.operators.GroupRank.withGroupRankBy(
+      docs, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"), "rk")
     val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     ranked.join(broadcast(cnt), "lang")
       .filter(col("rk") * 4 <= col("n_lang"))
@@ -708,18 +709,20 @@ object TextAnalysis extends QueryPack {
     * ⌊0.8·n⌋ / ⌊0.9·n⌋−⌊0.8·n⌋ / the rest, no float thresholds to
     * disagree on.
     *
-    * Scale shape: ranks come from [[graft.operators.GroupRank]] (range
-    * partition + broadcast offsets — no one-task-per-language window
-    * collapse; parallelism inherits the session's bytes-tuned shuffle
-    * partitions), and the stratum size rides along free as the counts
-    * frame's full-window sum (`totalOut`). One range shuffle total. */
+    * Scale shape: ranks come from
+    * [[graft.operators.GroupRank.withGroupRankBy]] (value-deterministic
+    * buckets + broadcast offsets — no one-task-per-language window
+    * collapse, no durable pin; parallelism inherits the session's
+    * bytes-tuned shuffle partitions), and the stratum size rides along
+    * free as the counts frame's full-window sum (`totalOut`). One
+    * corpus shuffle total. */
   def splitStratified(spark: SparkSession, d: String): DataFrame = {
     val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), mix.as("shuffle_key"))
-    graft.operators.GroupRank.withGroupRank(
-        docs, Seq("lang"), Seq(col("shuffle_key"), col("doc_id")), "rk",
-        totalOut = Some("n_lang"))
+    graft.operators.GroupRank.withGroupRankBy(
+        docs, Seq("lang"), col("shuffle_key"), primaryDesc = false,
+        col("doc_id"), "rk", totalOut = Some("n_lang"))
       .select(col("lang"), col("doc_id"), col("rk"), col("n_lang"),
         when(col("rk") * 10 <= col("n_lang") * 8, lit("train"))
           .when(col("rk") * 10 <= col("n_lang") * 9, lit("val"))
@@ -734,20 +737,20 @@ object TextAnalysis extends QueryPack {
     * Lehmer mix as `sample_det`/[[corpusMixOf]] (a fixed permutation of
     * the id space — no RNG state, identical on any engine or
     * partitioning), and the dense position comes from
-    * [[graft.operators.AssignIds]] — range partition on the key +
-    * broadcast offsets + within-partition rank, so the global
-    * row-numbering never collapses to a single-partition window. One
-    * range shuffle total; at 100 TB this is exactly a sort-by-key
-    * write. */
+    * [[graft.operators.AssignIds.withContiguousIdsBy]] — frozen-
+    * boundary value buckets + broadcast offsets + within-bucket rank,
+    * so the global row-numbering never collapses to a single-partition
+    * window and needs no pin. One corpus shuffle total; at 100 TB this
+    * is exactly a sort-by-key write. */
   def corpusShuffle(spark: SparkSession, d: String): DataFrame =
     corpusShuffleOf(Tables.documents(spark, d))
 
   def corpusShuffleOf(documents: DataFrame): DataFrame = {
     val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     graft.operators.AssignIds
-      .withContiguousIds(
+      .withContiguousIdsBy(
         documents.select(col("doc_id"), mix.as("shuffle_key")),
-        Seq(col("shuffle_key"), col("doc_id")))
+        col("shuffle_key"), col("doc_id"))
       .select(col("doc_id"), col("shuffle_key"), col("new_id").as("pos"))
       .orderBy("pos")
   }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AssignIds, GroupRank}
+import graft.functions.RangeBucketExpr
+
+/** The keyed (deterministic value-bucketed) GroupRank/AssignIds paths:
+  * rank/prefix-sum equivalence against the window formulation, tie
+  * robustness (a tied primary must never straddle a bucket), recompute
+  * determinism without any pin, and the plan law the variant exists
+  * for — no checkpoint scan, no durable corpus write. */
+class GroupRankKeyedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(n: Int) =
+    (1 to n).map(i => (s"g${i % 3}", i.toLong, (i * 37 % 19).toDouble))
+      .toDF("g", "id", "score")
+
+  test("RangeBucketExpr.bucket is lower_bound: strict-< search, ties low") {
+    val bs = Array(1.0, 3.0, 3.5)
+    assert(RangeBucketExpr.bucket(0.5, bs) === 0)
+    assert(RangeBucketExpr.bucket(1.0, bs) === 0) // equal → lower bucket
+    assert(RangeBucketExpr.bucket(1.1, bs) === 1)
+    assert(RangeBucketExpr.bucket(3.0, bs) === 1)
+    assert(RangeBucketExpr.bucket(3.2, bs) === 2)
+    assert(RangeBucketExpr.bucket(9.9, bs) === 3)
+    assert(RangeBucketExpr.bucket(9.9, Array.empty[Double]) === 0)
+  }
+
+  test("withGroupRankBy matches the window row_number, asc and desc, " +
+    "with heavy primary ties, across partition counts") {
+    val df = mk(97)
+    for (parts <- Seq(1, 4, 9); desc <- Seq(true, false)) {
+      val ord = if (desc) $"score".desc else $"score".asc
+      val w = Window.partitionBy($"g").orderBy(ord, $"id")
+      val want = df.withColumn("rk", row_number().over(w).cast("long"))
+        .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+      val got = GroupRank.withGroupRankBy(df, Seq("g"), $"score", desc,
+          $"id", "rk", partitions = parts)
+        .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+      assert(got === want, s"parts=$parts desc=$desc")
+    }
+  }
+
+  test("withGroupRankBy totalOut rides along as the group size") {
+    val df = mk(50)
+    val got = GroupRank.withGroupRankBy(df, Seq("g"), $"score", false,
+        $"id", "rk", totalOut = Some("n"))
+      .select($"g", $"n").distinct().as[(String, Long)].collect().toMap
+    val want = df.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("withRunningSumBy matches the window prefix sum (current row " +
+    "inclusive) and emits the group total") {
+    val df = mk(83).withColumn("tok", ($"id" % 7 + 1).cast("long"))
+    val w = Window.partitionBy($"g").orderBy($"score", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum", sum($"tok").over(w))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val got = GroupRank.withRunningSumBy(df, Seq("g"), $"score", false,
+        $"id", $"tok", "cum", partitions = 5, totalOut = Some("tot"))
+    val gotCum = got.select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(gotCum === want)
+    val gotTot = got.select($"g", $"tot").distinct()
+      .as[(String, Long)].collect().toMap
+    val wantTot = df.groupBy($"g").agg(sum($"tok")).as[(String, Long)]
+      .collect().toMap
+    assert(gotTot === wantTot)
+  }
+
+  test("withContiguousIdsBy = global row_number; grouped variant = " +
+    "(group asc, primary, tie) total order") {
+    val df = mk(60)
+    val flat = AssignIds.withContiguousIdsBy(df, $"score", $"id")
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    val wantFlat = df.withColumn("new_id",
+        row_number().over(Window.orderBy($"score", $"id")).cast("long"))
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    assert(flat === wantFlat)
+    val grouped = AssignIds.withContiguousIdsGrouped(df, Seq("g"),
+        $"score", $"id")
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    val wantGrouped = df.withColumn("new_id",
+        row_number().over(Window.orderBy($"g", $"score", $"id")).cast("long"))
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    assert(grouped === wantGrouped)
+  }
+
+  test("keyed path is recompute-deterministic with no pin: two runs of " +
+    "the same frame agree bit-for-bit") {
+    val df = mk(90)
+    val build = () => GroupRank.withGroupRankBy(df, Seq("g"), $"score",
+        true, $"id", "rk", partitions = 6)
+      .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    assert(build() === build())
+  }
+
+  test("plan law: no checkpoint scan, no temp-parquet scan — the pin is " +
+    "gone; offsets come back broadcast; the bucket is the codegen'd " +
+    "binary search") {
+    // a parquet-backed frame: a tiny local one is constant-folded into
+    // a LocalTableScan, which hides the bucket expression from the plan
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    val ranked = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+      false, $"doc_id", "rk", partitions = 5)
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan ExistingRDD"),
+      s"keyed path must not localCheckpoint:\n$p")
+    assert(!p.toLowerCase.contains("graft-mat"),
+      s"keyed path must not durable-materialize:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast:\n$p")
+    assert(p.contains("range_bucket"), s"bucket must be the expression:\n$p")
+  }
+
+  test("empty frame and single-partition degenerate cleanly") {
+    val empty = mk(5).filter($"id" > 100)
+    assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,
+      $"id", "rk").count() === 0L)
+    val one = mk(7)
+    val got = GroupRank.withGroupRankBy(one, Seq("g"), $"score", false,
+        $"id", "rk", partitions = 1)
+      .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"score", $"id")
+    val want = one.withColumn("rk", row_number().over(w).cast("long"))
+      .select($"g", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+}

@@ -269,10 +269,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("corpus_shuffle never collapses to a single-partition window") {
     val p = planOf(text.TextAnalysis.corpusShuffle(spark, sf0001))
+    // the final presentation sort is a range exchange; the RANK must
+    // not be: positions come from the keyed bucket + offsets form
+    // (value-deterministic placement — no pin, no single-task window)
     assert(!p.contains("Exchange SinglePartition"),
-      s"global rank must use the AssignIds range/offset form:\n$p")
-    assert(p.contains("rangepartitioning"),
-      "the order must come from one range shuffle")
+      s"global rank must use the keyed AssignIds bucket/offset form:\n$p")
+    assert(p.contains("range_bucket"),
+      s"placement must be the frozen-boundary binary search:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"the keyed path needs no checkpoint pin:\n$p")
   }
 
   test("dedup_incremental candidates come from the band equi-join, never all-pairs") {

@@ -48,9 +48,9 @@ class QuartileBinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"single-partition exchange found:\n$plan")
-    // the window must key on (physical partition, source), never source alone
-    assert(plan.contains("Window") && plan.contains("__pid"),
-      s"expected a (__pid, source)-partitioned window:\n$plan")
+    // the window must key on (value bucket, source), never source alone
+    assert(plan.contains("Window") && plan.contains("__b"),
+      s"expected a (__b, source)-partitioned window:\n$plan")
   }
 
   test("invariant to input partitioning and matches a window NTILE") {
