@@ -697,6 +697,38 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Per-source TOKEN-budget downsampling — the third cap contract
+    * next to [[corpusMixOf]] (expected token share, probabilistic) and
+    * [[sourceQuota]] (hard DOCUMENT ceiling): a hard TOKEN ceiling at
+    * document granularity, the form a pretraining recipe actually
+    * states ("at most X tokens from each source"). Documents are taken
+    * in the seedless Lehmer shuffle order (an unbiased fixed
+    * permutation — taking them in doc_id or length order would bias
+    * the kept set) until the source's cumulative whitespace-token
+    * count reaches 60% of its total; the cut is integer-exact
+    * (`5·cum ≤ 3·tot`), so both engines agree bit-for-bit.
+    *
+    * Scale shape: the cumulative count is
+    * [[graft.operators.GroupRank.withRunningSumBy]] — the distributed
+    * prefix sum (value-deterministic buckets + broadcast offsets), so
+    * no source ever funnels through one task and nothing is pinned;
+    * the source total rides along free as the counts frame's
+    * full-window sum (`totalOut`). One corpus shuffle total. */
+  def tokenBudget(spark: SparkSession, d: String): DataFrame = {
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mix.as("shuffle_key"))
+    graft.operators.GroupRank.withRunningSumBy(
+        docs, Seq("source"), col("shuffle_key"), primaryDesc = false,
+        col("doc_id"), col("n_tokens"), "cum_tokens",
+        totalOut = Some("tot_tokens"))
+      .filter(col("cum_tokens") * 5 <= col("tot_tokens") * 3)
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "tot_tokens")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * per-stratum proportions — the held-out-set stage of a training
     * pipeline. Bernoulli splits (`sample_stratified`'s shape) only hold
@@ -1314,6 +1346,7 @@ object TextAnalysis extends QueryPack {
     "mix_temperature" -> mixTemperature,
     "split_stratified" -> splitStratified,
     "source_quota" -> sourceQuota,
+    "token_budget" -> tokenBudget,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1494,6 +1527,26 @@ object TextAnalysis extends QueryPack {
     // the split cuts are integer rank-vs-size compares and the shuffle
     // key is the same Lehmer mix every sample_det oracle inlines — no
     // float threshold anywhere, so the engines agree bitwise
+    // the budget cut is integer (5·cum ≤ 3·tot); both running sums are
+    // CAST to BIGINT so DuckDB's HUGEINT SUM cannot leak a float
+    "token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           AS shuffle_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |              ORDER BY shuffle_key, doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+        |           AS tot_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens, tot_tokens
+        |FROM r WHERE cum_tokens * 5 <= tot_tokens * 3
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "split_stratified" ->
       """WITH m AS (
         |  SELECT doc_id, lang,

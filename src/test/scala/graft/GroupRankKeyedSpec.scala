@@ -116,6 +116,30 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(p.contains("range_bucket"), s"bucket must be the expression:\n$p")
   }
 
+  test("token_budget: kept set is the exact mix-order prefix under the " +
+    "60% token ceiling, per source") {
+    import graft.text.TextAnalysis
+    val got = TextAnalysis.tokenBudget(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // never exceeds the integer budget, and cum is the true prefix sum
+    got.foreach { case (_, _, _, cum, tot) => assert(cum * 5 <= tot * 3) }
+    // independent reference: the naive per-source window prefix sum
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mix.as("sk"))
+    val w = Window.partitionBy($"source").orderBy($"sk", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"source")
+    val want = docs.withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("tot", sum($"n_tokens").over(wt))
+      .filter($"cum" * 5 <= $"tot" * 3)
+      .select($"source", $"doc_id", $"n_tokens", $"cum", $"tot")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet === want)
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,
