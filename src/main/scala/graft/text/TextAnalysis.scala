@@ -729,6 +729,30 @@ object TextAnalysis extends QueryPack {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  /** Length-CURRICULUM training order — phase docs by global length
+    * quartile (shortest first, the classic easy→hard curriculum axis),
+    * Lehmer-shuffled WITHIN each phase, with one dense global position
+    * over (phase, shuffle) so a data loader can stream the curriculum
+    * as a single ordered scan. Composes three keyed pieces: the NTILE
+    * closed form over a single stratum
+    * ([[graft.queries.Extended.quartileBinsOf]] — the bucketed form
+    * distributes fine with ONE group, because parallelism comes from
+    * the value buckets, not the group count), the seedless mix, and
+    * [[graft.operators.AssignIds.withContiguousIdsGrouped]] for the
+    * cross-phase offsets (4 groups — a 4-row broadcast). */
+  def curriculumOrder(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), lit("all").as("source"), col("n_chars"))
+    val phased = graft.queries.Extended.quartileBinsOf(docs, 4)
+      .select(col("doc_id"), col("quartile").as("phase"))
+      .withColumn("shuffle_key",
+        graft.functions.DetMix.lehmerMix(col("doc_id")))
+    graft.operators.AssignIds.withContiguousIdsGrouped(
+        phased, Seq("phase"), col("shuffle_key"), col("doc_id"))
+      .select(col("doc_id"), col("phase"), col("new_id").as("pos"))
+      .orderBy("pos")
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * per-stratum proportions — the held-out-set stage of a training
     * pipeline. Bernoulli splits (`sample_stratified`'s shape) only hold
@@ -1347,6 +1371,7 @@ object TextAnalysis extends QueryPack {
     "split_stratified" -> splitStratified,
     "source_quota" -> sourceQuota,
     "token_budget" -> tokenBudget,
+    "curriculum_order" -> curriculumOrder,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1527,6 +1552,20 @@ object TextAnalysis extends QueryPack {
     // the split cuts are integer rank-vs-size compares and the shuffle
     // key is the same Lehmer mix every sample_det oracle inlines — no
     // float threshold anywhere, so the engines agree bitwise
+    // phases are NTILE(4) over the whole corpus (DuckDB's NTILE and the
+    // Spark closed form agree remainder-for-remainder); the order key is
+    // the same Lehmer mix, so positions match bitwise
+    "curriculum_order" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         NTILE(4) OVER (ORDER BY n_chars, doc_id) AS phase,
+        |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, phase,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY phase, shuffle_key, doc_id)
+        |            AS BIGINT) AS pos
+        |FROM q ORDER BY pos""".stripMargin,
     // the budget cut is integer (5·cum ≤ 3·tot); both running sums are
     // CAST to BIGINT so DuckDB's HUGEINT SUM cannot leak a float
     "token_budget" ->

@@ -140,6 +140,26 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(got.toSet === want)
   }
 
+  test("curriculum_order: positions are dense 1..n, phases are the " +
+    "global length NTILE(4), and within a phase the order is the mix") {
+    import graft.text.TextAnalysis
+    val got = TextAnalysis.curriculumOrder(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val n = got.length
+    assert(got.map(_._3).sorted.toSeq === (1L to n).toSeq, "dense positions")
+    // independent reference: naive global windows
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val want = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"), mix.as("sk"))
+      .withColumn("phase", ntile(4).over(
+        Window.orderBy($"n_chars", $"doc_id")).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"phase", $"sk", $"doc_id")).cast("long"))
+      .select($"doc_id", $"phase", $"pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet === want)
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,
