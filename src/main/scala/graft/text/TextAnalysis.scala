@@ -753,6 +753,53 @@ object TextAnalysis extends QueryPack {
       .orderBy("pos")
   }
 
+  /** Stride-scheduled MIXTURE INTERLEAVE — the training-ORDER
+    * counterpart of [[corpusMixOf]]/[[mixTemperature]]: those choose
+    * WHICH documents each source contributes; a loader also needs the
+    * order in which sources interleave so every PREFIX of the stream
+    * holds the target mixture (a front-loaded source is a distribution
+    * shift mid-run). Classic stride scheduling (Waldspurger & Weihl,
+    * OSDI '94): source i (alphabetical index) gets weight 2^−i, each
+    * document's virtual time is `rk << i` (its within-source mix-order
+    * rank times the stride), and the stream is the virtual-time order
+    * — so after any V ticks, source i has contributed ⌊V / 2^i⌋ ± 1
+    * documents: the geometric shares hold in every window, not just in
+    * expectation. All-integer (shifts, never float division), so both
+    * engines sort identically; ties (equal v) break by source index
+    * then rank.
+    *
+    * Scale shape: within-source ranks and the final dense position are
+    * both the keyed bucket machinery ([[graft.operators.GroupRank
+    * .withGroupRankBy]], [[graft.operators.AssignIds
+    * .withContiguousIdsBy]]) — two corpus shuffles, a #sources-sized
+    * broadcast, no pins, no single-task window. The tiebreak encoding
+    * `src_idx·(N+1)+rk` and the shifted virtual time stay inside a
+    * long for any corpus this engine addresses (N < 2⁴⁵ at 16
+    * sources). */
+  def mixtureSchedule(spark: SparkSession, d: String): DataFrame = {
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), mix.as("sk"))
+    val srcs = docs.select("source").distinct()
+      .orderBy("source").collect().map(_.getString(0))
+    val idx = srcs.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toSeq
+    import spark.implicits._
+    val idxDf = idx.toDF("source", "src_idx")
+    val n = docs.count()
+    val ranked = graft.operators.GroupRank.withGroupRankBy(
+        docs, Seq("source"), col("sk"), primaryDesc = false,
+        col("doc_id"), "rk")
+      .join(broadcast(idxDf), "source")
+      .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))
+      .withColumn("t", col("src_idx") * lit(n + 1) + col("rk"))
+    graft.operators.AssignIds
+      .withContiguousIdsBy(ranked, col("v"), col("t"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        col("new_id").as("pos"))
+      .orderBy("pos")
+  }
+
   /** Deterministic STRATIFIED train/val/test split with EXACT
     * per-stratum proportions — the held-out-set stage of a training
     * pipeline. Bernoulli splits (`sample_stratified`'s shape) only hold
@@ -1372,6 +1419,7 @@ object TextAnalysis extends QueryPack {
     "source_quota" -> sourceQuota,
     "token_budget" -> tokenBudget,
     "curriculum_order" -> curriculumOrder,
+    "mixture_schedule" -> mixtureSchedule,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_shard" -> corpusShards,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1552,6 +1600,29 @@ object TextAnalysis extends QueryPack {
     // the split cuts are integer rank-vs-size compares and the shuffle
     // key is the same Lehmer mix every sample_det oracle inlines — no
     // float threshold anywhere, so the engines agree bitwise
+    // stride scheduling is all-integer (rk << src_idx, never a float
+    // division), so the engines produce one identical total order; the
+    // tiebreak (src_idx, rk) mirrors the Spark encoding exactly
+    "mixture_schedule" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+        |           AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |m AS (
+        |  SELECT d.doc_id, d.source, s.src_idx,
+        |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+        |           AS sk
+        |  FROM documents d JOIN s USING (source)),
+        |r AS (
+        |  SELECT doc_id, source, src_idx,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |              ORDER BY sk, doc_id) AS BIGINT) AS rk
+        |  FROM m)
+        |SELECT doc_id, source, rk,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rk << src_idx, src_idx, rk)
+        |            AS BIGINT) AS pos
+        |FROM r ORDER BY pos""".stripMargin,
     // phases are NTILE(4) over the whole corpus (DuckDB's NTILE and the
     // Spark closed form agree remainder-for-remainder); the order key is
     // the same Lehmer mix, so positions match bitwise

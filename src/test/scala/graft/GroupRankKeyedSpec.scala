@@ -160,6 +160,33 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(got.toSet === want)
   }
 
+  test("mixture_schedule: geometric source shares hold in EVERY prefix, " +
+    "not just in expectation") {
+    import graft.text.TextAnalysis
+    // equal-size constructed corpus so no source exhausts inside the
+    // tested prefixes; weights are 2^-idx → 8:4:2:1 over 4 sources
+    val docs = (0 until 1024).map(i =>
+      (i.toLong, s"s${i % 4}", "w " * (i % 7 + 1)))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+    val dir = java.nio.file.Files.createTempDirectory("mixsched").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sched = TextAnalysis.mixtureSchedule(spark, dir)
+      .select($"pos", $"source").as[(Long, String)].collect().sortBy(_._1)
+    // stride law: after any prefix, source i (stride 2^i) has emitted
+    // floor(V / 2^i) ± ties — so counts track prefix·w_i/15 within 2
+    for (prefix <- Seq(60, 150, 300, 420)) {
+      val counts = sched.take(prefix).groupBy(_._2).view.mapValues(_.length)
+      val w = Map("s0" -> 8, "s1" -> 4, "s2" -> 2, "s3" -> 1)
+      w.foreach { case (s, wi) =>
+        val ideal = prefix * wi / 15.0
+        val got = counts.getOrElse(s, 0)
+        assert(math.abs(got - ideal) <= 2.0,
+          s"prefix=$prefix source=$s got=$got ideal=$ideal")
+      }
+    }
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,
