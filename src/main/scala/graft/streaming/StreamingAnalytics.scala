@@ -532,6 +532,54 @@ object StreamingAnalytics {
     (open, closed.result())
   }
 
+  case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+  case class BudgetOut(source: String, doc_id: Long, n_tokens: Long,
+      cum_tokens: Long, admitted: Boolean)
+
+  /** Pure admission step, exposed for unit tests: fold the batch's
+    * docs (doc_id order — the only reproducible order inside a
+    * micro-batch) over the source's running admitted-token total. A
+    * document is admitted iff it fits WHOLE under the budget; rejected
+    * docs pass through flagged (audit/re-route), leaving the total
+    * untouched — a later smaller doc may still fit. */
+  def admitStep(already: Long, docs: Seq[BudgetDoc],
+      budget: Long): (Long, Seq[BudgetOut]) = {
+    var cum = already
+    val out = docs.sortBy(_.doc_id).map { d =>
+      val admit = cum + d.n_tokens <= budget
+      if (admit) cum += d.n_tokens
+      BudgetOut(d.source, d.doc_id, d.n_tokens, cum, admit)
+    }
+    (cum, out)
+  }
+
+  /** Streaming counterpart of the batch `token_budget` query:
+    * per-source token-budget ADMISSION on the ingest stream — "stop
+    * taking documents from a source once it has contributed its token
+    * quota", enforced while the data arrives instead of in a later
+    * batch pass. State is ONE long per source (the admitted-token
+    * total): the state axis is sources — bounded and tiny at any
+    * corpus scale — so no timeout is needed and the state store
+    * plateaus at #sources entries (the same boundedness argument
+    * measured for dedupKeyed in SCALE.md §r9). Admission order is
+    * arrival order across micro-batches (inherent to streaming
+    * admission; the batch twin is the deterministic replay), doc_id
+    * order within one. */
+  def tokenBudgetStream(docs: Dataset[BudgetDoc],
+      budgetTokens: Long): Dataset[BudgetOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          val (cum, out) = admitStep(state.getOption.getOrElse(0L),
+            rows.toSeq, budgetTokens)
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization with custom state. Event-time timeout
     * closes idle sessions once the watermark passes start+gap. */
   def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {

@@ -610,6 +610,55 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(closed2.isEmpty && open2.get.n === 3)
   }
 
+  test("token-budget admission: pure step admits whole docs under the " +
+    "budget, skips, then admits smaller later docs") {
+    import StreamingAnalytics.{BudgetDoc, admitStep}
+    val (cum, out) = admitStep(70L, Seq(
+      BudgetDoc("a", 10L, 40L), BudgetDoc("a", 11L, 20L)), budget = 100L)
+    assert(out.map(o => (o.doc_id, o.admitted, o.cum_tokens)) ===
+      Seq((10L, false, 70L), (11L, true, 90L)))
+    assert(cum === 90L)
+  }
+
+  test("streaming token-budget admission carries the per-source total " +
+    "across micro-batches (flatMapGroupsWithState, bounded state)") {
+    import StreamingAnalytics.{BudgetDoc, BudgetOut}
+    val in = tmpDir("tb-in"); val ckpt = tmpDir("tb-ckpt")
+    def doc(s: String, id: Long, t: Long) =
+      s"""{"source":"$s","doc_id":$id,"n_tokens":$t}"""
+    // batch 1: source a consumes 70 of its 100-token budget
+    Files.write(Paths.get(in, "b1.json"), String.join("\n",
+      doc("a", 1, 40), doc("a", 2, 30), doc("b", 3, 50)).getBytes)
+    // batch 2: a 40-token doc no longer fits a's budget, a 20-token one
+    // does; b continues under its own independent total
+    Files.write(Paths.get(in, "b2.json"), String.join("\n",
+      doc("a", 10, 40), doc("a", 11, 20), doc("b", 12, 60)).getBytes)
+
+    val parsed = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("source STRING, doc_id BIGINT, n_tokens BIGINT")
+      .json(in)
+      .as[BudgetDoc]
+    val q = StreamingAnalytics.tokenBudgetStream(parsed, budgetTokens = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("budget_out").as[BudgetOut].collect()
+      .map(o => o.doc_id -> ((o.admitted, o.cum_tokens))).toMap
+    assert(rows(1L) === ((true, 40L)))
+    assert(rows(2L) === ((true, 70L)))
+    assert(rows(3L) === ((true, 50L)))
+    // cross-batch state: a's 70 carried, so 40 rejected, 20 admitted
+    assert(rows(10L) === ((false, 70L)))
+    assert(rows(11L) === ((true, 90L)))
+    // b: 50 carried, 60 would overflow
+    assert(rows(12L) === ((false, 50L)))
+  }
+
   test("streaming sessionization emits closed sessions with custom state (flatMapGroupsWithState)") {
     val in = tmpDir("ss-in"); val ckpt = tmpDir("ss-ckpt")
     def ev(u: String, t: String) = s"""{"u":"$u","t":"$t"}"""
