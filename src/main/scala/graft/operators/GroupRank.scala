@@ -116,7 +116,16 @@ object GroupRank {
     * compared ascending.
     *
     * `totalOut` additionally emits the group size, as in
-    * [[withGroupRank]]. */
+    * [[withGroupRank]].
+    *
+    * Cost model vs the pinned form: no pin means each pass replays the
+    * input's LINEAGE (boundary sketch, counts, rank — three passes).
+    * For scan-shaped lineage that is strictly cheaper than one durable
+    * corpus write + two reads; for expensive lineage (tokenization,
+    * joins) producing a NARROW rank input, the caller should stage
+    * that narrow frame itself (cache/[[Materialize]]) — staging is a
+    * performance choice here, never a correctness requirement, which
+    * is exactly the property the pinned form lacks. */
   def withGroupRankBy(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       out: String = "rk", partitions: Int = 0,

@@ -211,10 +211,13 @@ object TextAnalysis extends QueryPack {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-    val ranked = graft.operators.GroupRank.withGroupRankBy(
-      docs, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"), "rk")
-    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    ranked.join(broadcast(cnt), "lang")
+    // the stratum size rides along as totalOut — a separate count pass
+    // would re-tokenize the corpus a fourth time (the keyed operator
+    // deliberately does not pin, so each pass replays lineage; callers
+    // with expensive lineage keep passes few or stage the narrow frame)
+    graft.operators.GroupRank.withGroupRankBy(
+        docs, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"),
+        "rk", totalOut = Some("n_lang"))
       .filter(col("rk") * 4 <= col("n_lang"))
       .select("lang", "doc_id", "n_tokens", "n_distinct", "ttr", "rk")
       .orderBy("lang", "rk")
