@@ -789,13 +789,15 @@ object TextAnalysis extends QueryPack {
       .toSeq
     import spark.implicits._
     val idxDf = idx.toDF("source", "src_idx")
-    val n = docs.count()
+    // tiebreak encoding needs any constant > max rank — 2^44 avoids a
+    // count() action and leaves 2^19 source indexes inside a long
+    val rankBound = 1L << 44
     val ranked = graft.operators.GroupRank.withGroupRankBy(
         docs, Seq("source"), col("sk"), primaryDesc = false,
         col("doc_id"), "rk")
       .join(broadcast(idxDf), "source")
       .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))
-      .withColumn("t", col("src_idx") * lit(n + 1) + col("rk"))
+      .withColumn("t", col("src_idx") * lit(rankBound) + col("rk"))
     graft.operators.AssignIds
       .withContiguousIdsBy(ranked, col("v"), col("t"))
       .select(col("doc_id"), col("source"), col("rk"),
