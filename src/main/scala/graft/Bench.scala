@@ -71,6 +71,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Second sentinel, I/O + shuffle shaped (r11): the compute sentinel
+    // above stayed flat (≈0.55 s) across the r11c→r11d window while
+    // every untouched query drifted ~18% — so whatever drifts lives in
+    // the parquet-scan/exchange path the range→hashagg probe never
+    // touches. This one reads a REAL table cold (cache cleared first),
+    // shuffles it, and aggregates — same pass placement, so a drifting
+    // host now shows up in whichever sentinel matches the drifting
+    // subsystem, and a verdict can attribute instead of infer.
+    def sentinelIO(): Double = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Tables.orders(spark, sfDir)
+        .repartition(32, col("o_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+             sum(col("o_totalprice")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Warmup: every query once at sf0.01 (JIT, codegen, classloading).
     // Spark's generated-code cache is keyed on source text, which doesn't
     // include the input path — so each warmup pass compiles exactly the
@@ -81,12 +102,14 @@ object Bench {
     // during warmup, not mid-measurement. A missing warmup dir degrades
     // to a cold-start measurement (failures are swallowed per query).
     val warmDir = "/root/testdata/sf0.01"
-    sentinel() // JIT-warm the sentinel's own codegen too
+    sentinel() // JIT-warm the sentinels' own codegen too
+    sentinelIO()
     SparkEntry.queries.values.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sentinelsIO = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -106,8 +129,10 @@ object Bench {
       val qs = rows.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
         .mkString("{", ",", "}")
       val s = sentinel()
+      val sio = sentinelIO()
       sentinels(s"pass$p") = s
-      val line = s"""{"pass":$p,"stamp":"$stamp","sentinel_sec":$s,"queries":$qs,"sf":"$sfDir"}"""
+      sentinelsIO(s"pass$p") = sio
+      val line = s"""{"pass":$p,"stamp":"$stamp","sentinel_sec":$s,"sentinel_io_sec":$sio,"queries":$qs,"sf":"$sfDir"}"""
       // target/ gets wiped by sbt clean / round turnover (r8 lost the
       // r8builder pass artifacts SCALE.md cites that way) — so every
       // artifact ALSO lands in the git-tracked bench_artifacts/, where
@@ -197,7 +222,9 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val sj = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","sentinel":$sj,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val sjio = sentinelsIO.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","sentinel":$sj,"sentinel_io":$sjio,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout can truncate the (long) per-query tail —
     // persist the complete line as a machine-readable artifact too, both
