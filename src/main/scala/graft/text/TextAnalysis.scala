@@ -785,6 +785,15 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"), mix.as("sk"))
     val srcs = docs.select("source").distinct()
       .orderBy("source").collect().map(_.getString(0))
+    // shift domain: with src_idx ≤ 19, both `rk << src_idx` and the
+    // tiebreak `src_idx·2^44 + rk` stay inside a long for any
+    // per-source rank < 2^44 (~17.6 T docs — beyond any corpus this
+    // engine addresses). Java's << wraps silently at 64, so an
+    // out-of-domain source count must fail loud, not misorder; a
+    // geometric 2^-i weight is ≤ 1e-6 past i = 19 anyway — more
+    // sources want a different weighting, not a longer tail.
+    require(srcs.length <= 20,
+      s"mixture_schedule supports at most 20 sources (got ${srcs.length})")
     val idx = srcs.zipWithIndex.map { case (s, i) => (s, i.toLong) }
       .toSeq
     import spark.implicits._

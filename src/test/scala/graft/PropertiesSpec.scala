@@ -256,4 +256,19 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("range_bucket: the binary search IS lower_bound — equals the " +
+    "strict-< linear count for any key and sorted distinct boundaries") {
+    import graft.functions.RangeBucketExpr.bucket
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-1e9, 1e9)).map(_.distinct.sorted.toArray)
+      // keys EQUAL to a boundary are the tie case the operators rely on:
+      // draw half the keys from the SAME array under test
+      k <- if (a.isEmpty) Gen.chooseNum(-2e9, 2e9)
+           else Gen.oneOf(Gen.chooseNum(-2e9, 2e9), Gen.oneOf(a.toSeq))
+    } yield (a, k)
+    check(Prop.forAll(gen) { case (a, k) =>
+      bucket(k, a) == a.count(_ < k)
+    })
+  }
 }
