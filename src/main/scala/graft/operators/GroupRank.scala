@@ -148,6 +148,26 @@ object GroupRank {
     keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
       partitions, value = Some(value), out, totalOut)
 
+  /** `parts − 1` quantile boundaries of `keyCol`, one distributed
+    * sketch pass, collected once (model-sized: doubles). The sketch's
+    * relative error must RESOLVE adjacent quantiles — requested probes
+    * are 1/parts apart, so a fixed error (the 0.02 default) would
+    * legally collapse everything past ~25 buckets into far fewer,
+    * re-creating multi-TB window partitions at the bytes-tuned 10⁴–10⁵
+    * part counts a large corpus wants. ε = 1/(4·parts) keeps each
+    * boundary within a quarter-gap of its target, so bucket sizes stay
+    * within ~1.5× of even; the Greenwald–Khanna sketch is
+    * O((1/ε)·log(εn)) per partition — at ε = 2.5·10⁻⁶ (parts = 10⁵)
+    * that is ~10⁶ tuples per task, bounded and distributed. Balance
+    * only affects parallelism, never ranks. */
+  private[graft] def boundarySketch(df: DataFrame, keyCol: String,
+      parts: Int): Seq[Double] =
+    if (parts <= 1) Seq.empty
+    else df.stat.approxQuantile(keyCol,
+      (1 until parts).map(_.toDouble / parts).toArray,
+      1.0 / (4.0 * parts))
+      .distinct.sorted.toSeq
+
   /** Shared core of the keyed paths: bucket → tiny counts aggregate →
     * broadcast offsets → within-bucket window. `value = None` ranks
     * (row_number + offset), `Some(v)` prefix-sums `v`. */
@@ -160,12 +180,7 @@ object GroupRank {
               else primary.cast("double")
     val keyed = df.withColumn("__k", key)
       .withColumn("__v", value.map(_.cast("long")).getOrElse(lit(1L)))
-    // parts−1 doubles to the driver, once; frozen into the plan below.
-    val bs: Seq[Double] =
-      if (parts <= 1) Seq.empty
-      else keyed.stat.approxQuantile("__k",
-        (1 until parts).map(_.toDouble / parts).toArray, 0.02)
-        .distinct.sorted.toSeq
+    val bs = boundarySketch(keyed, "__k", parts)
     val bucket = GraftPlanBridge.column(graft.functions.RangeBucketExpr(
       GraftPlanBridge.expr(col("__k")), bs))
     val bucketed = keyed.withColumn("__b", bucket)

@@ -60,16 +60,13 @@ object Materialize {
   private[graft] def materialize(df: DataFrame, durable: Boolean): DataFrame =
     if (!durable) df.localCheckpoint()
     else {
+      // one copy of the root-resolution/cleanup policy: the durable
+      // branch writes into a tempDir-allocated directory (fresh UUID —
+      // SaveMode.ErrorIfExists makes an accidental collision loud
+      // instead of silently merging frames)
       val spark = df.sparkSession
-      val root = spark.conf.getOption("spark.graft.materialize.dir")
-        .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
-      val dir = new Path(new Path(root, "graft-materialize"),
-        s"mat-${java.util.UUID.randomUUID()}")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // fresh UUID name: default SaveMode.ErrorIfExists makes an
-      // accidental collision loud instead of silently merging frames
+      val dir = new Path(tempDir(spark, "mat"), "frame")
       df.write.parquet(dir.toString)
-      fs.deleteOnExit(dir)
       spark.read.parquet(dir.toString)
     }
 }

@@ -437,7 +437,9 @@ object TextAnalysis extends QueryPack {
     * (the normalizer's sqrt(tok_total) cancels, so sqrt of the RAW
     * count is the right discretization — no division before the sqrt,
     * and the 10⁴ grid keeps the floor error ≤ 1 part in 2·10⁴ of the
-    * smallest source; overflows only past 9.2·10¹⁴ tokens per source).
+    * smallest source; the only overflowable step is the ·10⁴ grid
+    * itself, past 9.2·10¹⁴ tokens per source — the corrections use
+    * the division form, which cannot overflow at any BIGINT).
     * The seed-and-correct isqrt is EXACT for grid values ≤ 2⁵²
     * (PropertiesSpec pins it) — i.e. up to ~4.5·10¹¹ tokens per
     * source; past that a BIGINT no longer round-trips through DOUBLE
@@ -457,18 +459,24 @@ object TextAnalysis extends QueryPack {
     mixTemperatureOf(Tables.documents(spark, d))
 
   def mixTemperatureOf(documents: DataFrame): DataFrame = {
-    def isqrtCol(n: Column): Column = {
-      val s0 = floor(sqrt(n.cast("double"))).cast("long")
-      val down = when(s0 * s0 > n, s0 - lit(1L)).otherwise(s0)
-      when((down + lit(1L)) * (down + lit(1L)) <= n, down + lit(1L))
-        .otherwise(down)
-    }
+    // both correction steps in the overflow-safe DIVISION form
+    // (s > r div s instead of s*s > r — equivalent for positive
+    // integers): near the top of the BIGINT range the squared form's
+    // (s1+1)² exceeds 2⁶³−1, where DuckDB raises and non-ANSI Spark
+    // wraps — the exact divergence Similarity.isqrtSql already guards
+    // (ADVICE r10); the grid bound is now the BIGINT range itself
     val bySource = documents
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      .withColumn("w_fix", isqrtCol(col("n_tokens") * lit(10000L)))
+      .withColumn("r", col("n_tokens") * lit(10000L))
+      .withColumn("s0", floor(sqrt(col("r").cast("double"))).cast("long"))
+      .withColumn("s1",
+        expr("CASE WHEN s0 > 0 AND s0 > r div s0 THEN s0 - 1 ELSE s0 END"))
+      .withColumn("w_fix",
+        expr("CASE WHEN (s1 + 1) <= r div (s1 + 1) THEN s1 + 1 ELSE s1 END"))
+      .drop("r", "s0", "s1")
     val denom = bySource.agg(sum(col("w_fix")).as("d_fix"))
     bySource.crossJoin(broadcast(denom))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w_fix"),
@@ -746,10 +754,17 @@ object TextAnalysis extends QueryPack {
   def curriculumOrder(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), lit("all").as("source"), col("n_chars"))
+    // stage the NARROW (doc_id, phase, key) frame: the grouped-ids
+    // operator replays its input lineage several times (sketch,
+    // counts, rank, totals — its scaladoc'd cost model), and here that
+    // lineage is the whole quartile pipeline. A spill-safe cache is a
+    // performance choice only — the keyed paths are recompute-safe —
+    // and Bench/Verify clear the cache between queries.
     val phased = graft.queries.Extended.quartileBinsOf(docs, 4)
       .select(col("doc_id"), col("quartile").as("phase"))
       .withColumn("shuffle_key",
         graft.functions.DetMix.lehmerMix(col("doc_id")))
+      .persist()
     graft.operators.AssignIds.withContiguousIdsGrouped(
         phased, Seq("phase"), col("shuffle_key"), col("doc_id"))
       .select(col("doc_id"), col("phase"), col("new_id").as("pos"))
@@ -775,10 +790,12 @@ object TextAnalysis extends QueryPack {
     * both the keyed bucket machinery ([[graft.operators.GroupRank
     * .withGroupRankBy]], [[graft.operators.AssignIds
     * .withContiguousIdsBy]]) — two corpus shuffles, a #sources-sized
-    * broadcast, no pins, no single-task window. The tiebreak encoding
-    * `src_idx·(N+1)+rk` and the shifted virtual time stay inside a
-    * long for any corpus this engine addresses (N < 2⁴⁵ at 16
-    * sources). */
+    * broadcast, no pins, no single-task window. Domain: ≤ 20 sources
+    * (src_idx ≤ 19 keeps `rk << src_idx` inside a long for per-source
+    * ranks < 2⁴⁴ — enforced loud, since Java's `<<` wraps silently at
+    * 64); the ids tiebreak is the exact struct (v, src_idx, rk), so
+    * the double rounding of the bucketing key can never reorder (it
+    * is monotone — equal doubles fall to the exact long). */
   def mixtureSchedule(spark: SparkSession, d: String): DataFrame = {
     val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     val docs = Tables.documents(spark, d)
@@ -798,17 +815,23 @@ object TextAnalysis extends QueryPack {
       .toSeq
     import spark.implicits._
     val idxDf = idx.toDF("source", "src_idx")
-    // tiebreak encoding needs any constant > max rank — 2^44 avoids a
-    // count() action and leaves 2^19 source indexes inside a long
-    val rankBound = 1L << 44
+    // staged for the same reason as curriculum_order: the ids pass
+    // replays this (narrow) frame's lineage — one keyed rank plus a
+    // broadcast join — three more times unstaged
     val ranked = graft.operators.GroupRank.withGroupRankBy(
         docs, Seq("source"), col("sk"), primaryDesc = false,
         col("doc_id"), "rk")
       .join(broadcast(idxDf), "source")
       .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))
-      .withColumn("t", col("src_idx") * lit(rankBound) + col("rk"))
+      .persist()
+    // the keyed-ids primary is cast to DOUBLE for bucketing, which is
+    // lossy past 2^53 — rounding is MONOTONE, so distinct virtual
+    // times can only COLLIDE there, never reorder, and the struct
+    // tiebreak restores the exact order: v's exact long first, then
+    // (src_idx, rk). No silent misorder at any in-domain rank.
     graft.operators.AssignIds
-      .withContiguousIdsBy(ranked, col("v"), col("t"))
+      .withContiguousIdsBy(ranked, col("v"),
+        struct(col("v"), col("src_idx"), col("rk")))
       .select(col("doc_id"), col("source"), col("rk"),
         col("new_id").as("pos"))
       .orderBy("pos")
@@ -1964,9 +1987,9 @@ object TextAnalysis extends QueryPack {
         |g AS (SELECT *, n_tokens * 10000 AS r,
         |             CAST(FLOOR(SQRT(CAST(n_tokens * 10000 AS DOUBLE))) AS BIGINT) AS s0
         |      FROM t),
-        |c AS (SELECT *, CASE WHEN s0 * s0 > r THEN s0 - 1 ELSE s0 END AS s1 FROM g),
+        |c AS (SELECT *, CASE WHEN s0 > 0 AND s0 > r // s0 THEN s0 - 1 ELSE s0 END AS s1 FROM g),
         |w AS (SELECT source, n_docs, n_tokens,
-        |             CASE WHEN (s1 + 1) * (s1 + 1) <= r THEN s1 + 1 ELSE s1 END AS w_fix
+        |             CASE WHEN (s1 + 1) <= r // (s1 + 1) THEN s1 + 1 ELSE s1 END AS w_fix
         |      FROM c),
         |d AS (SELECT CAST(SUM(w_fix) AS BIGINT) AS d_fix FROM w)
         |SELECT source, n_docs, n_tokens, w_fix,

@@ -25,7 +25,10 @@ import graft.Tables
   * unionByName — at ×4096 a union plan carries 4096 scan branches and
   * the planner, not the data, becomes the cost. Same rows either way.
   *
-  * `sbt "runMain graft.tools.ScaleR11 [dedup|ann|all]"`, mults via
+  * `sbt "runMain graft.tools.ScaleR11 [dedup|ann|all|mrl]"` — `all`
+  * covers the quantizer pair; the MRL rerank sweep (its own geometry
+  * grid, SCALE.md §r11 "Matryoshka prefix rerank") runs only under the
+  * explicit `mrl` mode. Unknown modes fail loud. Mults via
   * SCALE_R11_MULTS. Results land in SCALE.md §round-11.
   */
 object ScaleR11 {
@@ -41,6 +44,8 @@ object ScaleR11 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val which = args.headOption.getOrElse("all")
+    require(Set("dedup", "ann", "all", "mrl")(which),
+      s"unknown mode '$which' — expected dedup|ann|all|mrl")
     val mults = sys.env.get("SCALE_R11_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(256, 1024, 4096))

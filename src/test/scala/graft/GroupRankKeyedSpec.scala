@@ -187,6 +187,36 @@ class GroupRankKeyedSpec extends SparkSpec {
     }
   }
 
+  test("boundary sketch resolves the requested bucket count: adjacent " +
+    "quantiles must not collapse once parts outruns a fixed error") {
+    val df = spark.range(0, 100000).toDF("id")
+      .withColumn("__k", $"id".cast("double"))
+    // 200 parts on 100k distinct uniform values: a fixed 0.02 error
+    // could legally return ~25 distinct boundaries; the scaled error
+    // must keep nearly all 199
+    val bs = GroupRank.boundarySketch(df, "__k", 200)
+    assert(bs.size >= 180, s"sketch collapsed to ${bs.size} boundaries")
+    assert(bs == bs.distinct.sorted)
+  }
+
+  test("primary keys past 2^53: double rounding collides but the exact " +
+    "struct tiebreak restores the long order (no silent misorder)") {
+    // 2^53 and 2^53+1 round to the SAME double; +2 is distinct again.
+    // An exact-long window is the reference; the keyed path must match
+    // it when the tiebreak refines by the exact long.
+    val base = (1L << 53)
+    val df = Seq(
+      (1L, base + 1), (2L, base), (3L, base + 2), (4L, 7L), (5L, base - 1))
+      .toDF("id", "v")
+    val got = AssignIds.withContiguousIdsBy(df, $"v",
+        struct($"v", $"id"), partitions = 3)
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("new_id",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,

@@ -36,8 +36,12 @@ class MaterializeSpec extends SparkSpec {
       val mats = Option(root.listFiles()).getOrElse(Array.empty)
       assert(mats.exists(_.getName.startsWith("mat-")),
         s"expected a mat-* dir under $root")
-      assert(mats.exists(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .exists(_.getName.endsWith(".parquet"))))
+      // the durable branch allocates through tempDir and writes the
+      // frame one level down (mat-*/frame/part-*.parquet)
+      def hasParquet(f: java.io.File): Boolean =
+        Option(f.listFiles()).getOrElse(Array.empty).exists(c =>
+          c.getName.endsWith(".parquet") || hasParquet(c))
+      assert(mats.exists(hasParquet))
     } finally spark.conf.unset("spark.graft.materialize.dir")
   }
 

@@ -17,12 +17,13 @@ class PropertiesSpec extends AnyFunSuite {
 
   test("mix_temperature isqrt: double-seed + one CASE step each way is " +
     "exact for grid values <= 2^52") {
-    // the EXACT scalar mirror of mixTemperatureOf's isqrtCol (and of
-    // the oracle SQL's s0/s1/CASE chain)
+    // the EXACT scalar mirror of mixTemperatureOf's isqrt chain (and of
+    // the oracle SQL's s0/s1/CASE steps) — division form, overflow-safe
+    // at any BIGINT (s > n div s ⟺ s² > n for positive integers)
     def alg(n: Long): Long = {
       val s0 = math.floor(math.sqrt(n.toDouble)).toLong
-      val down = if (s0 * s0 > n) s0 - 1 else s0
-      if ((down + 1) * (down + 1) <= n) down + 1 else down
+      val down = if (s0 > 0 && s0 > n / s0) s0 - 1 else s0
+      if ((down + 1) <= n / (down + 1)) down + 1 else down
     }
     // ground truth via BigInt bisection-free Newton
     def isqrt(n: Long): Long = {
