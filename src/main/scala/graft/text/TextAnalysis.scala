@@ -642,6 +642,35 @@ object TextAnalysis extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** Sequence-PACKING efficiency report — the quality side of
+    * [[docPacking]]'s contiguous fill: packing wastes almost no pad
+    * (only the final partial bin per source), but every document that
+    * STRADDLES a bin boundary gets split across two training
+    * sequences — the cross-document-attention / truncation cost a
+    * packing recipe actually trades against (cf. "best-fit" packers,
+    * which buy fewer splits with bin fragmentation). Per source:
+    * docs, tokens, bins used (= ⌈tokens/B⌉ — contiguous fill is
+    * pad-optimal by construction), straddle count (start bin ≠ end
+    * bin), and the integer parts-per-million straddle rate. All
+    * integer math (`div`, no doubles), so the engines agree bitwise;
+    * one window + one map-side-combinable aggregate — model-sized
+    * output. */
+  def packEfficiency(spark: SparkSession, d: String): DataFrame = {
+    val B = 512
+    docPacking(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(when(expr(s"tokens_before div $B") =!=
+          expr(s"(tokens_before + n_tokens - 1) div $B"), lit(1L))
+          .otherwise(lit(0L))).as("straddles"))
+      .withColumn("n_packs", expr(s"(tokens + ${B - 1}) div $B"))
+      .withColumn("straddle_ppm", expr("straddles * 1000000L div n_docs"))
+      .select("source", "n_docs", "tokens", "n_packs", "straddles",
+        "straddle_ppm")
+      .orderBy("source")
+  }
+
   /** Deterministic DATA MIXING to a per-source token budget — the
     * mixture-weights stage of a pretraining pipeline (balance
     * over-represented sources down to a target share): per source,
@@ -1450,6 +1479,7 @@ object TextAnalysis extends QueryPack {
       dsirResampleOf(Tables.documents(s, d))),
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
+    "pack_efficiency" -> packEfficiency,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "mix_temperature" -> mixTemperature,
     "split_stratified" -> splitStratified,
@@ -1951,6 +1981,26 @@ object TextAnalysis extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // 512 AS pack_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // all-integer straddle math (start bin <> end bin) over the same
+    // per-source contiguous-fill cumsum the doc_packing oracle uses
+    "pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tb
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |         CAST(SUM(CASE WHEN tb // 512 <> (tb + n_tokens - 1) // 512
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS straddles
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, tokens, (tokens + 511) // 512 AS n_packs,
+        |       straddles, straddles * 1000000 // n_docs AS straddle_ppm
+        |FROM agg ORDER BY source""".stripMargin,
     // ROW_NUMBER over the inlined Lehmer order per source — the window
     // twin of the bounded-heap TopKPerKey plan
     "source_quota" ->

@@ -197,4 +197,29 @@ class NewOpsR11Spec extends SparkSpec {
       assert(w >= lo - 1e-4 && w <= hi + 1e-4, s"$src w=$w raw=$raw")
     }
   }
+
+  test("pack_efficiency: straddle count and bin count match a local " +
+    "contiguous-fill replay at sf0.001") {
+    val B = 512
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.split(" ", -1).length.toLong))
+    val got = TextAnalysis.packEfficiency(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.foreach { case (src, toks) =>
+      val cum = toks.scanLeft(0L)(_ + _)
+      val straddles = toks.indices.count(i =>
+        cum(i) / B != (cum(i) + toks(i) - 1) / B)
+      val total = toks.sum
+      val (_, nDocs, tokens, nPacks, gs, ppm) = got(src)
+      assert(nDocs === toks.length.toLong)
+      assert(tokens === total)
+      assert(nPacks === (total + B - 1) / B)
+      assert(gs === straddles.toLong, s"$src straddles")
+      assert(ppm === straddles.toLong * 1000000L / toks.length)
+    }
+  }
 }
