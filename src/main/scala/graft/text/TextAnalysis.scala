@@ -629,9 +629,14 @@ object TextAnalysis extends QueryPack {
     * This is the contiguous-fill packing a pretraining loader uses to
     * batch documents into context windows; partitioned by `source` so
     * the window parallelizes by group instead of one global sort. */
+  /** One packing bin size, interpolated into BOTH Scala paths and both
+    * DuckDB oracles below — a single edit point, so the engine and its
+    * oracles cannot drift apart. */
+  private[graft] val PackBin = 512
+
   def docPacking(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = 512
+    val B = PackBin
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, d)
@@ -645,10 +650,13 @@ object TextAnalysis extends QueryPack {
   /** Sequence-PACKING efficiency report — the quality side of
     * [[docPacking]]'s contiguous fill: packing wastes almost no pad
     * (only the final partial bin per source), but every document that
-    * STRADDLES a bin boundary gets split across two training
-    * sequences — the cross-document-attention / truncation cost a
-    * packing recipe actually trades against (cf. "best-fit" packers,
-    * which buy fewer splits with bin fragmentation). Per source:
+    * STRADDLES a bin boundary gets split across training sequences —
+    * the cross-document-attention / truncation cost a packing recipe
+    * actually trades against (cf. "best-fit" packers, which buy fewer
+    * splits with bin fragmentation). The count is of straddling
+    * DOCUMENTS (start bin ≠ end bin), not of boundary crossings — a
+    * doc longer than B tallies once, so the ppm reads "fraction of
+    * docs split at least once". Per source:
     * docs, tokens, bins used (= ⌈tokens/B⌉ — contiguous fill is
     * pad-optimal by construction), straddle count (start bin ≠ end
     * bin), and the integer parts-per-million straddle rate. All
@@ -656,7 +664,7 @@ object TextAnalysis extends QueryPack {
     * one window + one map-side-combinable aggregate — model-sized
     * output. */
   def packEfficiency(spark: SparkSession, d: String): DataFrame = {
-    val B = 512
+    val B = PackBin
     docPacking(spark, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1970,7 +1978,7 @@ object TextAnalysis extends QueryPack {
         |    AS n_chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "doc_packing" ->
-      """SELECT source, doc_id,
+      s"""SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(SUM(len(string_split(text, ' ')))
         |    OVER (PARTITION BY source ORDER BY doc_id
@@ -1979,12 +1987,12 @@ object TextAnalysis extends QueryPack {
         |  CAST(coalesce(SUM(len(string_split(text, ' ')))
         |    OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) // 512 AS pack_id
+        |    AS BIGINT) // $PackBin AS pack_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
     // all-integer straddle math (start bin <> end bin) over the same
     // per-source contiguous-fill cumsum the doc_packing oracle uses
     "pack_efficiency" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(coalesce(SUM(len(string_split(text, ' ')))
@@ -1995,10 +2003,11 @@ object TextAnalysis extends QueryPack {
         |agg AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
-        |         CAST(SUM(CASE WHEN tb // 512 <> (tb + n_tokens - 1) // 512
+        |         CAST(SUM(CASE WHEN tb // $PackBin <> (tb + n_tokens - 1) // $PackBin
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS straddles
         |  FROM t GROUP BY source)
-        |SELECT source, n_docs, tokens, (tokens + 511) // 512 AS n_packs,
+        |SELECT source, n_docs, tokens,
+        |       (tokens + ${PackBin - 1}) // $PackBin AS n_packs,
         |       straddles, straddles * 1000000 // n_docs AS straddle_ppm
         |FROM agg ORDER BY source""".stripMargin,
     // ROW_NUMBER over the inlined Lehmer order per source — the window
