@@ -84,7 +84,10 @@ object AssignIds {
     * within-group keyed ranks plus a broadcast running offset over the
     * per-group totals (a #groups-sized frame from a map-side-combined
     * count — the group axis is exactly the one that is huge per value
-    * and tiny in cardinality at 100 TB). */
+    * and tiny in cardinality at 100 TB). The totals aggregate is one
+    * extra map-side-combined pass over `df`'s lineage on top of the
+    * keyed core's three — callers with expensive lineage stage `df`
+    * first (the registered users pass bare scans or staged frames). */
   def withContiguousIdsGrouped(df: DataFrame, groupCols: Seq[String],
       primary: Column, tieBreak: Column, primaryDesc: Boolean = false,
       partitions: Int = 0): DataFrame = {
@@ -109,8 +112,14 @@ object AssignIds {
           org.apache.spark.sql.types.LongType, nullable = false))
     val offsets = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(offs: _*)), schema)
-    ranked.join(broadcast(offsets), groupCols)
+    // null-safe group join, for the same reason as the keyed core: a
+    // NULL group must keep its rows (and its offset), not vanish
+    val renamed = offsets
+      .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
+    val cond = groupCols.map(c => col(c) <=> col(s"__og_$c"))
+    ranked.join(broadcast(renamed), cond.reduce(_ && _))
       .withColumn("new_id", col("__grk") + col("__goff"))
       .drop("__grk", "__goff")
+      .drop(groupCols.map(c => s"__og_$c"): _*)
   }
 }

@@ -77,10 +77,18 @@ object GroupRank {
       .drop("__n")
     val wLocal = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols: _*)
+    // null-safe on the group columns: a NULL group is a ranked window
+    // partition, not a row the inner equi-join silently drops
+    val renamedOff = offsets
+      .withColumnRenamed("__pid", "__opid")
+      .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
+    val joinCond = (col("__pid") === col("__opid")) +: groupCols.map(c =>
+      col(c) <=> col(s"__og_$c"))
     ranged
-      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(broadcast(renamedOff), joinCond.reduce(_ && _))
       .withColumn(out, row_number().over(wLocal).cast("long") + col("__off"))
-      .drop("__pid", "__off")
+      .drop("__pid", "__opid", "__off")
+      .drop(groupCols.map(c => s"__og_$c"): _*)
   }
 
   /** KEYED variant — same semantics as [[withGroupRank]] for orders of
@@ -170,14 +178,32 @@ object GroupRank {
 
   /** Shared core of the keyed paths: bucket → tiny counts aggregate →
     * broadcast offsets → within-bucket window. `value = None` ranks
-    * (row_number + offset), `Some(v)` prefix-sums `v`. */
+    * (row_number + offset), `Some(v)` prefix-sums `v` (cast to long —
+    * fractional values would truncate, so integral values are the
+    * contract).
+    *
+    * Exactness and contract enforcement (r11 self-review):
+    *  - the DOUBLE-cast key is used only for BUCKETING (the cast is
+    *    monotone, so a bucket boundary can never invert an exact
+    *    order); the window itself orders by the ORIGINAL primary
+    *    expression, so integer primaries past 2⁵³ rank exactly;
+    *  - a NULL or NaN primary raises (`raise_error`) instead of
+    *    silently vanishing (null joins) or landing in bucket 0 with a
+    *    colliding rank (NaN compares false against every boundary but
+    *    sorts greatest);
+    *  - the offsets join is NULL-SAFE on the group columns (`<=>`),
+    *    matching window PARTITION BY semantics where a NULL group is a
+    *    partition, not a dropped row. */
   private def keyedPrefix(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       partitions: Int, value: Option[Column], out: String,
       totalOut: Option[String]): DataFrame = {
     val parts = AssignIds.sizedPartitions(df, partitions)
-    val key = if (primaryDesc) negate(primary.cast("double"))
-              else primary.cast("double")
+    val raw = primary.cast("double")
+    val signed = if (primaryDesc) negate(raw) else raw
+    val key = when(signed.isNull || isnan(signed),
+      raise_error(lit("keyed GroupRank/AssignIds primary must be " +
+        "non-null and finite")).cast("double")).otherwise(signed)
     val keyed = df.withColumn("__k", key)
       .withColumn("__v", value.map(_.cast("long")).getOrElse(lit(1L)))
     val bs = boundarySketch(keyed, "__k", parts)
@@ -215,15 +241,33 @@ object GroupRank {
           .toSeq.toDF("__b", "__off")
         totalOut.fold(base)(t => base.withColumn(t, lit(total)))
       }
+    // the EXACT primary orders the window; __k only placed the bucket
+    val ord = if (primaryDesc) primary.desc else primary.asc
     val wLocal = Window
       .partitionBy(col("__b") +: groupCols.map(col): _*)
-      .orderBy(col("__k"), tieBreak)
+      .orderBy(ord, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = value.map(_ => sum(col("__v")).over(wLocal))
       .getOrElse(row_number().over(wLocal).cast("long"))
+    // null-safe join back (a NULL group is a ranked partition, not a
+    // dropped row); offsets columns renamed so the condition can name
+    // both sides. The frame is buckets × groups rows — broadcast only
+    // while that bound is provably small (the hint is dropped past
+    // 8192 parts with groups present; AQE still broadcasts at runtime
+    // if the actual frame fits, so extreme parts × groups degrades to
+    // a shuffle join instead of a driver OOM).
+    val renamed = offsets
+      .withColumnRenamed("__b", "__ob")
+      .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
+    val offFrame =
+      if (groupCols.isEmpty || parts <= 8192) broadcast(renamed)
+      else renamed
+    val cond = (col("__b") === col("__ob")) +: groupCols.map(c =>
+      col(c) <=> col(s"__og_$c"))
     bucketed
-      .join(broadcast(offsets), "__b" +: groupCols)
+      .join(offFrame, cond.reduce(_ && _))
       .withColumn(out, local + col("__off"))
-      .drop("__k", "__v", "__b", "__off")
+      .drop("__k", "__v", "__b", "__ob", "__off")
+      .drop(groupCols.map(c => s"__og_$c"): _*)
   }
 }

@@ -211,10 +211,13 @@ object TextAnalysis extends QueryPack {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-    // the stratum size rides along as totalOut — a separate count pass
-    // would re-tokenize the corpus a fourth time (the keyed operator
-    // deliberately does not pin, so each pass replays lineage; callers
-    // with expensive lineage keep passes few or stage the narrow frame)
+      // staged: the keyed operator replays lineage per pass and this
+      // lineage is full tokenization — the exact 'expensive lineage →
+      // stage the narrow frame' case its cost model prescribes (the
+      // cache is spill-safe, correctness never depends on it, and
+      // Bench/Verify clear it between queries). The stratum size rides
+      // along as totalOut — a separate count pass would tokenize again.
+      .persist()
     graft.operators.GroupRank.withGroupRankBy(
         docs, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"),
         "rk", totalOut = Some("n_lang"))
@@ -750,9 +753,12 @@ object TextAnalysis extends QueryPack {
     * [[sourceQuota]] (hard DOCUMENT ceiling): a hard TOKEN ceiling at
     * document granularity, the form a pretraining recipe actually
     * states ("at most X tokens from each source"). Documents are taken
-    * in the seedless Lehmer shuffle order (an unbiased fixed
-    * permutation — taking them in doc_id or length order would bias
-    * the kept set) until the source's cumulative whitespace-token
+    * in the seedless Lehmer shuffle order (a fixed pseudo-random order
+    * — taking them in doc_id or length order would bias the kept set;
+    * the key space is 2³¹−1, so past ~2.1 G docs per source keys carry
+    * ~n/2³¹ ties each, broken doc_id-ascending — a small residual
+    * order bias at extreme scale, same determinism) until the
+    * source's cumulative whitespace-token
     * count reaches 60% of its total; the cut is integer-exact
     * (`5·cum ≤ 3·tot`), so both engines agree bit-for-bit.
     *
@@ -861,11 +867,11 @@ object TextAnalysis extends QueryPack {
       .join(broadcast(idxDf), "source")
       .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))
       .persist()
-    // the keyed-ids primary is cast to DOUBLE for bucketing, which is
-    // lossy past 2^53 — rounding is MONOTONE, so distinct virtual
-    // times can only COLLIDE there, never reorder, and the struct
-    // tiebreak restores the exact order: v's exact long first, then
-    // (src_idx, rk). No silent misorder at any in-domain rank.
+    // the struct tiebreak (v exact, then src_idx, rk) makes the order
+    // self-describing even though the keyed core now also orders by
+    // the exact primary; the rank half of the shift domain (rk < 2^44)
+    // is not separately guarded — it needs a count — and is 17.6 T
+    // docs PER SOURCE past any corpus this engine addresses.
     graft.operators.AssignIds
       .withContiguousIdsBy(ranked, col("v"),
         struct(col("v"), col("src_idx"), col("rk")))
@@ -879,8 +885,10 @@ object TextAnalysis extends QueryPack {
     * pipeline. Bernoulli splits (`sample_stratified`'s shape) only hold
     * proportions in expectation; an eval set wants them exact per
     * language: here each stratum is ranked by the seedless Lehmer
-    * shuffle key (a fixed pseudo-random permutation of the id space —
-    * reproducible on any engine/partitioning, `sample_det`'s hash) and
+    * shuffle key (a fixed pseudo-random order of the id space —
+    * reproducible on any engine/partitioning, `sample_det`'s hash; its
+    * 2³¹−1 key space means ties past ~2.1 G docs/stratum, broken
+    * doc_id-ascending) and
     * cut by integer rank-vs-size compares — `rk·10 ≤ n·8` → train,
     * `rk·10 ≤ n·9` → val, else test — so every language lands exactly
     * ⌊0.8·n⌋ / ⌊0.9·n⌋−⌊0.8·n⌋ / the rest, no float thresholds to
@@ -911,9 +919,10 @@ object TextAnalysis extends QueryPack {
     * training-order stage: every epoch-0 data loader needs the corpus
     * in a pseudo-random but bit-reproducible order, and `ORDER BY
     * rand()` is neither. The shuffle key is the same seedless two-step
-    * Lehmer mix as `sample_det`/[[corpusMixOf]] (a fixed permutation of
-    * the id space — no RNG state, identical on any engine or
-    * partitioning), and the dense position comes from
+    * Lehmer mix as `sample_det`/[[corpusMixOf]] (a fixed pseudo-random
+    * order — no RNG state, identical on any engine or partitioning;
+    * keys live mod 2³¹−1, so past ~2.1 G docs tie runs of ~n/2³¹ fall
+    * to doc_id order), and the dense position comes from
     * [[graft.operators.AssignIds.withContiguousIdsBy]] — frozen-
     * boundary value buckets + broadcast offsets + within-bucket rank,
     * so the global row-numbering never collapses to a single-partition

@@ -199,6 +199,53 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(bs == bs.distinct.sorted)
   }
 
+  test("NULL group columns are ranked partitions, not dropped rows — " +
+    "window PARTITION BY semantics survive the offsets join") {
+    val df = Seq((1L, "a", 3.0), (2L, null, 1.0), (3L, "a", 2.0),
+      (4L, null, 5.0), (5L, "b", 4.0)).toDF("id", "g", "score")
+    val got = GroupRank.withGroupRankBy(df, Seq("g"), $"score", false,
+        $"id", "rk", partitions = 3)
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"score", $"id")).cast("long"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(got === want) // both NULL-group rows present and ranked 1, 2
+    assert(got.size === 5)
+    val grouped = AssignIds.withContiguousIdsGrouped(df, Seq("g"),
+        $"score", $"id")
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    assert(grouped.size === 5, "grouped ids must keep NULL-group rows")
+  }
+
+  test("NULL or NaN primary fails loud instead of silently misranking") {
+    val withNull = Seq((1L, "a", Some(1.0)), (2L, "a", None))
+      .toDF("id", "g", "score")
+    intercept[Exception] {
+      GroupRank.withGroupRankBy(withNull, Seq("g"), $"score", false,
+        $"id", "rk").collect()
+    }
+    val withNaN = Seq((1L, "a", 1.0), (2L, "a", Double.NaN))
+      .toDF("id", "g", "score")
+    intercept[Exception] {
+      GroupRank.withGroupRankBy(withNaN, Seq("g"), $"score", false,
+        $"id", "rk").collect()
+    }
+  }
+
+  test("primary longs past 2^53 rank EXACTLY with a plain tiebreak: the " +
+    "window orders by the original primary, the double only buckets") {
+    val base = (1L << 53)
+    val df = Seq(
+      (1L, base + 1), (2L, base), (3L, base + 2), (4L, 7L), (5L, base - 1))
+      .toDF("id", "v")
+    val got = AssignIds.withContiguousIdsBy(df, $"v", $"id", partitions = 3)
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("new_id",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"new_id").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("primary keys past 2^53: double rounding collides but the exact " +
     "struct tiebreak restores the long order (no silent misorder)") {
     // 2^53 and 2^53+1 round to the SAME double; +2 is distinct again.
