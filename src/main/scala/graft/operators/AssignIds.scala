@@ -90,9 +90,10 @@ object AssignIds {
     * first (the registered users pass bare scans or staged frames). */
   def withContiguousIdsGrouped(df: DataFrame, groupCols: Seq[String],
       primary: Column, tieBreak: Column, primaryDesc: Boolean = false,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, groupBound: Long = 0L): DataFrame = {
     val ranked = GroupRank.withGroupRankBy(df, groupCols, primary,
-      primaryDesc, tieBreak, out = "__grk", partitions = partitions)
+      primaryDesc, tieBreak, out = "__grk", partitions = partitions,
+      groupBound = groupBound)
     // group totals in group order, scan-left on the driver: #groups
     // rows of model-sized state (an empty-key window here would plan a
     // SinglePartition exchange). Ordered by SPARK's comparator (the

@@ -133,13 +133,24 @@ object GroupRank {
     * joins) producing a NARROW rank input, the caller should stage
     * that narrow frame itself (cache/[[Materialize]]) — staging is a
     * performance choice here, never a correctness requirement, which
-    * is exactly the property the pinned form lacks. */
+    * is exactly the property the pinned form lacks.
+    *
+    * `groupBound`: the caller's promise of an upper bound on the group
+    * cardinality (0 = unknown). The offsets frame is `buckets × groups`
+    * rows; it is broadcast-HINTED (bypassing
+    * `autoBroadcastJoinThreshold`) only while that product is provably
+    * small — `parts × groupBound ≤ 2²⁰` rows. With no bound and groups
+    * present the hint is dropped and AQE decides at runtime (ADVICE
+    * r11: a generic high-cardinality group column must not be able to
+    * force an unbounded driver broadcast). Registered callers pass the
+    * enum-sized bound of their stratum axis (sources, languages,
+    * phases). */
   def withGroupRankBy(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       out: String = "rk", partitions: Int = 0,
-      totalOut: Option[String] = None): DataFrame =
+      totalOut: Option[String] = None, groupBound: Long = 0L): DataFrame =
     keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
-      partitions, value = None, out, totalOut)
+      partitions, value = None, out, totalOut, groupBound)
 
   /** Distributed per-group RUNNING SUM of `value` in `(primary,
     * tiebreak)` order — `sum(value) OVER (PARTITION BY group ORDER BY
@@ -152,9 +163,9 @@ object GroupRank {
   def withRunningSumBy(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       value: Column, out: String = "cum", partitions: Int = 0,
-      totalOut: Option[String] = None): DataFrame =
+      totalOut: Option[String] = None, groupBound: Long = 0L): DataFrame =
     keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
-      partitions, value = Some(value), out, totalOut)
+      partitions, value = Some(value), out, totalOut, groupBound)
 
   /** `parts − 1` quantile boundaries of `keyCol`, one distributed
     * sketch pass, collected once (model-sized: doubles). The sketch's
@@ -187,21 +198,23 @@ object GroupRank {
     *    monotone, so a bucket boundary can never invert an exact
     *    order); the window itself orders by the ORIGINAL primary
     *    expression, so integer primaries past 2⁵³ rank exactly;
-    *  - a NULL or NaN primary raises (`raise_error`) instead of
-    *    silently vanishing (null joins) or landing in bucket 0 with a
-    *    colliding rank (NaN compares false against every boundary but
-    *    sorts greatest);
+    *  - a NULL, NaN, or infinite primary raises (`raise_error`)
+    *    instead of silently vanishing (null joins), landing in bucket
+    *    0 with a colliding rank (NaN compares false against every
+    *    boundary but sorts greatest), or silently bucketing to an
+    *    extreme (±∞ from an upstream double division — ADVICE r11);
     *  - the offsets join is NULL-SAFE on the group columns (`<=>`),
     *    matching window PARTITION BY semantics where a NULL group is a
     *    partition, not a dropped row. */
   private def keyedPrefix(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       partitions: Int, value: Option[Column], out: String,
-      totalOut: Option[String]): DataFrame = {
+      totalOut: Option[String], groupBound: Long = 0L): DataFrame = {
     val parts = AssignIds.sizedPartitions(df, partitions)
     val raw = primary.cast("double")
     val signed = if (primaryDesc) negate(raw) else raw
-    val key = when(signed.isNull || isnan(signed),
+    val key = when(signed.isNull || isnan(signed) ||
+        abs(signed) === lit(Double.PositiveInfinity),
       raise_error(lit("keyed GroupRank/AssignIds primary must be " +
         "non-null and finite")).cast("double")).otherwise(signed)
     val keyed = df.withColumn("__k", key)
@@ -251,16 +264,20 @@ object GroupRank {
       .getOrElse(row_number().over(wLocal).cast("long"))
     // null-safe join back (a NULL group is a ranked partition, not a
     // dropped row); offsets columns renamed so the condition can name
-    // both sides. The frame is buckets × groups rows — broadcast only
-    // while that bound is provably small (the hint is dropped past
-    // 8192 parts with groups present; AQE still broadcasts at runtime
-    // if the actual frame fits, so extreme parts × groups degrades to
-    // a shuffle join instead of a driver OOM).
+    // both sides. The frame is buckets × groups rows — broadcast-
+    // HINTED only while that product is provably small: no groups
+    // (parts rows exactly), or the caller promised a group-cardinality
+    // bound and parts × bound ≤ 2²⁰ rows (≲ tens of MB). Otherwise the
+    // hint is dropped — AQE still broadcasts at runtime if the actual
+    // frame fits, so unknown parts × groups degrades to a shuffle join
+    // instead of a forced driver OOM (ADVICE r11).
     val renamed = offsets
       .withColumnRenamed("__b", "__ob")
       .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
     val offFrame =
-      if (groupCols.isEmpty || parts <= 8192) broadcast(renamed)
+      if (groupCols.isEmpty ||
+          (groupBound > 0 && parts.toLong * groupBound <= (1L << 20)))
+        broadcast(renamed)
       else renamed
     val cond = (col("__b") === col("__ob")) +: groupCols.map(c =>
       col(c) <=> col(s"__og_$c"))

@@ -1371,7 +1371,7 @@ object Extended extends QueryPack {
     // the zero-size ELSE division unevaluated when tot < k
     graft.operators.GroupRank.withGroupRankBy(docs, Seq("source"),
         col("n_chars"), primaryDesc = false, col("doc_id"), "__rank",
-        totalOut = Some("__tot"))
+        totalOut = Some("__tot"), groupBound = 64)
       .withColumn("quartile", expr(
         s"""CASE WHEN __rank <= (__tot % $k) * (__tot DIV $k + 1)
            |     THEN (__rank - 1) DIV (__tot DIV $k + 1) + 1

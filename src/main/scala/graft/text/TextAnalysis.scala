@@ -211,19 +211,21 @@ object TextAnalysis extends QueryPack {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-      // staged: the keyed operator replays lineage per pass and this
-      // lineage is full tokenization — the exact 'expensive lineage →
-      // stage the narrow frame' case its cost model prescribes (the
-      // cache is spill-safe, correctness never depends on it, and
-      // Bench/Verify clear it between queries). The stratum size rides
-      // along as totalOut — a separate count pass would tokenize again.
-      .persist()
-    graft.operators.GroupRank.withGroupRankBy(
-        docs, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"),
-        "rk", totalOut = Some("n_lang"))
+    // staged: the keyed operator replays lineage per pass and this
+    // lineage is full tokenization — the exact 'expensive lineage →
+    // stage the narrow frame' case its cost model prescribes (the
+    // cache is spill-safe, correctness never depends on it, and it
+    // self-releases after the caller's terminal action — ADVICE r11).
+    // The stratum size rides along as totalOut — a separate count pass
+    // would tokenize again.
+    val staged = graft.operators.Staged.stage(docs)
+    val out = graft.operators.GroupRank.withGroupRankBy(
+        staged, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"),
+        "rk", totalOut = Some("n_lang"), groupBound = 64)
       .filter(col("rk") * 4 <= col("n_lang"))
       .select("lang", "doc_id", "n_tokens", "n_distinct", "ttr", "rk")
       .orderBy("lang", "rk")
+    graft.operators.Staged.releaseAfter(out, staged)
   }
 
   /** Repetition ratio — the duplicated-n-gram degeneracy signal a
@@ -630,21 +632,38 @@ object TextAnalysis extends QueryPack {
   /** Sequence packing — assign documents (in doc_id order, per source
     * group) to fixed-budget token bins: pack_id = ⌊tokens-before / B⌋.
     * This is the contiguous-fill packing a pretraining loader uses to
-    * batch documents into context windows; partitioned by `source` so
-    * the window parallelizes by group instead of one global sort. */
+    * batch documents into context windows. The per-source prefix sum is
+    * [[graft.operators.GroupRank.withRunningSumBy]] (value-deterministic
+    * buckets + broadcast offsets), NOT `Window.partitionBy(source)` —
+    * the grouped window pulls each source's entire corpus through one
+    * task, and sources are exactly the axis that is huge per value and
+    * tiny in cardinality at 100 TB (VERDICT r11 #1). */
   /** One packing bin size, interpolated into BOTH Scala paths and both
     * DuckDB oracles below — a single edit point, so the engine and its
     * oracles cannot drift apart. */
   private[graft] val PackBin = 512
 
-  def docPacking(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def docPacking(spark: SparkSession, d: String): DataFrame =
+    docPackingOf(Tables.documents(spark, d))
+
+  /** Same over any (doc_id, source, text) frame — the shape the scale
+    * sweep amplifies. */
+  private[graft] def docPackingOf(documents: DataFrame): DataFrame = {
     val B = PackBin
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, d)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // the exclusive prefix ("tokens before me, in doc_id order, within
+    // my source") is the keyed distributed running sum MINUS the row's
+    // own contribution — bit-identical to the window form's
+    // rowsBetween(unboundedPreceding, -1), with bucket-sized tasks
+    // instead of one task per source (VERDICT r11 #1: a source is
+    // "CommonCrawl", not a shard — the per-source window serializes
+    // the whole corpus through ~5 tasks at 100 TB)
+    val docs = documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.GroupRank.withRunningSumBy(
+        docs, Seq("source"), col("doc_id"), primaryDesc = false,
+        col("doc_id"), col("n_tokens"), "__cum", groupBound = 64)
+      .withColumn("tokens_before", col("__cum") - col("n_tokens"))
       .withColumn("pack_id", expr(s"tokens_before div $B"))
       .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
       .orderBy("source", "doc_id")
@@ -664,7 +683,8 @@ object TextAnalysis extends QueryPack {
     * pad-optimal by construction), straddle count (start bin ≠ end
     * bin), and the integer parts-per-million straddle rate. All
     * integer math (`div`, no doubles), so the engines agree bitwise;
-    * one window + one map-side-combinable aggregate — model-sized
+    * one keyed prefix sum ([[docPacking]]'s — never a per-source
+    * window) + one map-side-combinable aggregate — model-sized
     * output. */
   def packEfficiency(spark: SparkSession, d: String): DataFrame = {
     val B = PackBin
@@ -777,7 +797,7 @@ object TextAnalysis extends QueryPack {
     graft.operators.GroupRank.withRunningSumBy(
         docs, Seq("source"), col("shuffle_key"), primaryDesc = false,
         col("doc_id"), col("n_tokens"), "cum_tokens",
-        totalOut = Some("tot_tokens"))
+        totalOut = Some("tot_tokens"), groupBound = 64)
       .filter(col("cum_tokens") * 5 <= col("tot_tokens") * 3)
       .select("source", "doc_id", "n_tokens", "cum_tokens", "tot_tokens")
       .orderBy("source", "cum_tokens", "doc_id")
@@ -802,16 +822,18 @@ object TextAnalysis extends QueryPack {
     // counts, rank, totals — its scaladoc'd cost model), and here that
     // lineage is the whole quartile pipeline. A spill-safe cache is a
     // performance choice only — the keyed paths are recompute-safe —
-    // and Bench/Verify clear the cache between queries.
-    val phased = graft.queries.Extended.quartileBinsOf(docs, 4)
-      .select(col("doc_id"), col("quartile").as("phase"))
-      .withColumn("shuffle_key",
-        graft.functions.DetMix.lehmerMix(col("doc_id")))
-      .persist()
-    graft.operators.AssignIds.withContiguousIdsGrouped(
-        phased, Seq("phase"), col("shuffle_key"), col("doc_id"))
+    // and it self-releases after the terminal action (ADVICE r11).
+    val phased = graft.operators.Staged.stage(
+      graft.queries.Extended.quartileBinsOf(docs, 4)
+        .select(col("doc_id"), col("quartile").as("phase"))
+        .withColumn("shuffle_key",
+          graft.functions.DetMix.lehmerMix(col("doc_id"))))
+    val out = graft.operators.AssignIds.withContiguousIdsGrouped(
+        phased, Seq("phase"), col("shuffle_key"), col("doc_id"),
+        groupBound = 8)
       .select(col("doc_id"), col("phase"), col("new_id").as("pos"))
       .orderBy("pos")
+    graft.operators.Staged.releaseAfter(out, phased)
   }
 
   /** Stride-scheduled MIXTURE INTERLEAVE — the training-ORDER
@@ -860,24 +882,26 @@ object TextAnalysis extends QueryPack {
     val idxDf = idx.toDF("source", "src_idx")
     // staged for the same reason as curriculum_order: the ids pass
     // replays this (narrow) frame's lineage — one keyed rank plus a
-    // broadcast join — three more times unstaged
-    val ranked = graft.operators.GroupRank.withGroupRankBy(
-        docs, Seq("source"), col("sk"), primaryDesc = false,
-        col("doc_id"), "rk")
-      .join(broadcast(idxDf), "source")
-      .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))
-      .persist()
+    // broadcast join — three more times unstaged; self-releases after
+    // the terminal action (ADVICE r11)
+    val ranked = graft.operators.Staged.stage(
+      graft.operators.GroupRank.withGroupRankBy(
+          docs, Seq("source"), col("sk"), primaryDesc = false,
+          col("doc_id"), "rk", groupBound = 20)
+        .join(broadcast(idxDf), "source")
+        .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))")))
     // the struct tiebreak (v exact, then src_idx, rk) makes the order
     // self-describing even though the keyed core now also orders by
     // the exact primary; the rank half of the shift domain (rk < 2^44)
     // is not separately guarded — it needs a count — and is 17.6 T
     // docs PER SOURCE past any corpus this engine addresses.
-    graft.operators.AssignIds
+    val out = graft.operators.AssignIds
       .withContiguousIdsBy(ranked, col("v"),
         struct(col("v"), col("src_idx"), col("rk")))
       .select(col("doc_id"), col("source"), col("rk"),
         col("new_id").as("pos"))
       .orderBy("pos")
+    graft.operators.Staged.releaseAfter(out, ranked)
   }
 
   /** Deterministic STRATIFIED train/val/test split with EXACT
@@ -907,7 +931,7 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("lang"), mix.as("shuffle_key"))
     graft.operators.GroupRank.withGroupRankBy(
         docs, Seq("lang"), col("shuffle_key"), primaryDesc = false,
-        col("doc_id"), "rk", totalOut = Some("n_lang"))
+        col("doc_id"), "rk", totalOut = Some("n_lang"), groupBound = 64)
       .select(col("lang"), col("doc_id"), col("rk"), col("n_lang"),
         when(col("rk") * 10 <= col("n_lang") * 8, lit("train"))
           .when(col("rk") * 10 <= col("n_lang") * 9, lit("val"))
@@ -1287,15 +1311,19 @@ object TextAnalysis extends QueryPack {
     * downstream (sketches, verify joins, components, chunk explode) runs
     * over the filtered sliver only — order the stages cheapest-first and
     * each stage shrinks the next one's input. The per-source packing
-    * window parallelizes by source group. */
+    * prefix sum is [[graft.operators.GroupRank.withRunningSumBy]]
+    * (value-deterministic buckets + broadcast offsets), not a
+    * one-task-per-source window (VERDICT r11 #1); the chunk frame is
+    * [[graft.operators.Staged]]-cached because the keyed operator
+    * replays its lineage per pass and here that lineage is the whole
+    * gate→dedup→explode pipeline. */
   def corpusBuild(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val W = 50; val S = 40; val B = 512
     val good = qualityGateOf(Tables.documents(spark, d))
       .select("doc_id", "text", "source")
     val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
       .join(good.select("doc_id", "source"), "doc_id")
-    val chunks = kept
+    val chunks = graft.operators.Staged.stage(kept
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("source"),
@@ -1306,15 +1334,19 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"),
         col("c.idx").cast("long").as("chunk_idx"),
         col("c.chunk").as("chunk_text"))
-      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")).cast("long"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    chunks
-      .withColumn("tokens_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")).cast("long")))
+    // exclusive prefix in (doc_id, chunk_idx) order within each source:
+    // the keyed running sum minus the row's own value — bit-identical
+    // to the window form, bucket-sized tasks instead of one per source
+    val out = graft.operators.GroupRank.withRunningSumBy(
+        chunks, Seq("source"), col("doc_id"), primaryDesc = false,
+        col("chunk_idx"), col("n_chunk_tokens"), "__cum", groupBound = 64)
+      .withColumn("tokens_before", col("__cum") - col("n_chunk_tokens"))
       .withColumn("pack_id", expr(s"tokens_before div $B"))
       .select("source", "doc_id", "chunk_idx", "chunk_text",
         "n_chunk_tokens", "tokens_before", "pack_id")
       .orderBy("source", "doc_id", "chunk_idx")
+    graft.operators.Staged.releaseAfter(out, chunks)
   }
 
   /** Class-conditional unigram classifier — the log-free, smoothing-free

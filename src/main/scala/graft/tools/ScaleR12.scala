@@ -112,14 +112,22 @@ object ScaleR12 {
   private def amplified(spark: SparkSession, d: String,
       mult: Int): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the shift must clear the base id range or copies collide and the
+    // keyed-vs-pinned doc_id join silently explodes (ADVICE r11)
+    val maxId = Tables.documents(spark, d)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    require(maxId < IdShift,
+      s"amplification shift $IdShift must exceed max doc_id $maxId")
     // text rides along: a curation pass ranks full document frames,
     // and the payload is exactly what the pinned path's durable write
     // re-materializes (and the keyed path never touches)
     Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
-      .select((col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+      .select((col("doc_id") + col("copy") * lit(IdShift)).as("doc_id"),
         col("source"), col("n_chars"), col("text"))
       .repartition(parts)
   }
+
+  private val IdShift = 10000000L
 }

@@ -105,8 +105,11 @@ class GroupRankKeyedSpec extends SparkSpec {
     // a LocalTableScan, which hides the bucket expression from the plan
     val df = Tables.documents(spark, sf0001)
       .select($"doc_id", $"source", $"n_chars")
+    // groupBound: the registered-caller shape — with a promised enum
+    // bound the offsets frame is hint-broadcast; without one the hint
+    // is dropped and AQE decides (asserted separately below)
     val ranked = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-      false, $"doc_id", "rk", partitions = 5)
+      false, $"doc_id", "rk", partitions = 5, groupBound = 8)
     val p = ranked.queryExecution.executedPlan.toString
     assert(!p.contains("Scan ExistingRDD"),
       s"keyed path must not localCheckpoint:\n$p")
@@ -230,6 +233,39 @@ class GroupRankKeyedSpec extends SparkSpec {
       GroupRank.withGroupRankBy(withNaN, Seq("g"), $"score", false,
         $"id", "rk").collect()
     }
+    // ±∞ (an upstream double division) must raise like NaN does, not
+    // silently bucket to an extreme (ADVICE r11: the documented
+    // contract is "non-null and FINITE")
+    for (inf <- Seq(Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val withInf = Seq((1L, "a", 1.0), (2L, "a", inf))
+        .toDF("id", "g", "score")
+      intercept[Exception] {
+        GroupRank.withGroupRankBy(withInf, Seq("g"), $"score", false,
+          $"id", "rk").collect()
+      }
+    }
+  }
+
+  test("no group-count bound => no broadcast HINT on the offsets join " +
+    "(a generic high-cardinality group axis must not be able to force " +
+    "an unbounded driver broadcast; AQE may still broadcast at runtime)") {
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    val unhinted = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+      false, $"doc_id", "rk", partitions = 5)
+    // the logical plan must carry no ResolvedHint/UnresolvedHint on the
+    // offsets side — the initial physical plan then has no forced
+    // BroadcastExchange (AQE's runtime conversion is allowed and good)
+    val lp = unhinted.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint") && !lp.contains("broadcast"),
+      s"offsets join must not be hint-forced without a bound:\n$lp")
+    // and correctness is unchanged on the unhinted path
+    val want = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+        false, $"doc_id", "rk", partitions = 5, groupBound = 8)
+      .select($"doc_id", $"rk").as[(Long, Long)].collect().toMap
+    val got = unhinted.select($"doc_id", $"rk")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
   }
 
   test("primary longs past 2^53 rank EXACTLY with a plain tiebreak: the " +

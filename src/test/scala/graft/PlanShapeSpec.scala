@@ -286,6 +286,27 @@ class PlanShapeSpec extends SparkSpec {
       s"batch-vs-history candidates must be a band-key equi-join:\n$p")
   }
 
+  test("packing family: no corpus-sized per-source window — the prefix " +
+    "sum is the keyed bucket form (VERDICT r11 #1)") {
+    // the collapse shape is a Window PARTITIONED BY exactly the source
+    // column and ORDERED BY the corpus key (doc_id / chunk_idx): one
+    // task per source, ~5 tasks for 100 TB. The keyed form's windows
+    // are partitioned by (__b, source) — bucket-sized — and its
+    // offsets window (partition [source], order [__b]) runs over the
+    // model-sized counts frame, which is fine and expected.
+    val collapsed = """\], \[source#\d+\], \[(doc_id|chunk_idx)#""".r
+    for ((name, q) <- Seq(
+        "doc_packing" -> text.TextAnalysis.docPacking(spark, sf0001),
+        "pack_efficiency" -> text.TextAnalysis.packEfficiency(spark, sf0001),
+        "corpus_build" -> text.TextAnalysis.corpusBuild(spark, sf0001))) {
+      val p = planOf(q)
+      assert(collapsed.findFirstIn(p).isEmpty,
+        s"$name still runs a per-source corpus window:\n$p")
+      assert(p.contains("range_bucket"),
+        s"$name must place rows by the frozen-boundary binary search:\n$p")
+    }
+  }
+
   test("corpus_build and dedup_minhash never fall back to all-pairs joins") {
     for (q <- Seq(text.TextAnalysis.corpusBuild(spark, sf0001),
                   dedup.Dedup.minhashLsh(spark, sf0001))) {

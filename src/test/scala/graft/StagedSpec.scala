@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.Staged
+
+/** [[graft.operators.Staged]] — the self-releasing cache scope that
+  * keyed-operator callers stage expensive lineage with (ADVICE r11: a
+  * long-lived session must not accumulate cached corpus-sized frames
+  * waiting for somebody to call clearCache). */
+class StagedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventually(timeoutMs: Long = 20000L)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("stage() is a spill-safe persist; releaseAfter unpersists once " +
+    "the terminal action on the RESULT completes") {
+    val staged = Staged.stage(
+      (1 to 100).toDF("x").withColumn("y", col("x") * 2))
+    val result = Staged.releaseAfter(
+      staged.groupBy(col("x") % 10).agg(sum("y").as("s")), staged)
+    assert(staged.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    assert(result.count() === 10L)
+    // listener events arrive on the bus thread — poll, don't assume
+    assert(eventually()(staged.storageLevel === StorageLevel.NONE),
+      "cache must release after the terminal action")
+  }
+
+  test("interior actions on OTHER plans consume the cache without " +
+    "releasing it — only the result plan triggers release") {
+    val staged = Staged.stage(
+      (1 to 50).toDF("a").withColumn("b", col("a") + 1))
+    val result = Staged.releaseAfter(staged.filter(col("b") > 25), staged)
+    // an interior pass (the keyed operators' counts collect): a plan
+    // that scans the staged frame but does not contain the result
+    assert(staged.agg(sum("b")).collect()(0).getLong(0) === 1325L)
+    Thread.sleep(300) // give a wrong release time to happen
+    assert(staged.storageLevel !== StorageLevel.NONE,
+      "an interior action must not release the stage")
+    assert(result.count() === 26L)
+    assert(eventually()(staged.storageLevel === StorageLevel.NONE))
+  }
+
+  test("failure of the terminal action also releases") {
+    val staged = Staged.stage((1 to 10).toDF("x"))
+    val result = Staged.releaseAfter(
+      staged.select(assert_true(col("x") < 5).as("a"), col("x")), staged)
+    intercept[Exception] { result.collect() }
+    assert(eventually()(staged.storageLevel === StorageLevel.NONE),
+      "failed terminal action must still release")
+  }
+}
