@@ -175,17 +175,39 @@ object GroupRank {
     * re-creating multi-TB window partitions at the bytes-tuned 10⁴–10⁵
     * part counts a large corpus wants. ε = 1/(4·parts) keeps each
     * boundary within a quarter-gap of its target, so bucket sizes stay
-    * within ~1.5× of even; the Greenwald–Khanna sketch is
-    * O((1/ε)·log(εn)) per partition — at ε = 2.5·10⁻⁶ (parts = 10⁵)
-    * that is ~10⁶ tuples per task, bounded and distributed. Balance
-    * only affects parallelism, never ranks. */
+    * within ~1.5× of even. Balance only affects parallelism, never
+    * ranks — which is also why past [[SketchDirectParts]] buckets the
+    * sketch runs over a seeded SAMPLE capped at [[SketchSampleCap]]
+    * rows: the Greenwald–Khanna insert/compress cost grows with 1/ε,
+    * and the r12 keyedparts octave measured the uncapped sketch at
+    * 15.9 s over 20 M rows at parts = 1024 vs ~2 s sampled. The
+    * sampling error adds ~√(parts/sample) relative bucket-size noise
+    * (≥ 2⁵ expected samples per bucket up to parts = 2¹⁶) on top of
+    * the quarter-gap bound — parallelism skew, never a rank. The
+    * boundaries are collected once and frozen into the plan, so
+    * placement stays recompute-deterministic regardless of how the
+    * sample would re-draw. */
+  private[graft] val SketchDirectParts = 256
+  private[graft] val SketchSampleCap = 1L << 21
+
   private[graft] def boundarySketch(df: DataFrame, keyCol: String,
       parts: Int): Seq[Double] =
     if (parts <= 1) Seq.empty
-    else df.stat.approxQuantile(keyCol,
-      (1 until parts).map(_.toDouble / parts).toArray,
-      1.0 / (4.0 * parts))
-      .distinct.sorted.toSeq
+    else {
+      val src =
+        if (parts <= SketchDirectParts) df // small ε is cheap; no extra job
+        else {
+          val n = df.count()
+          if (n > SketchSampleCap)
+            df.sample(withReplacement = false,
+              SketchSampleCap.toDouble / n, seed = 42L)
+          else df
+        }
+      src.stat.approxQuantile(keyCol,
+        (1 until parts).map(_.toDouble / parts).toArray,
+        1.0 / (4.0 * parts))
+        .distinct.sorted.toSeq
+    }
 
   /** Shared core of the keyed paths: bucket → tiny counts aggregate →
     * broadcast offsets → within-bucket window. `value = None` ranks

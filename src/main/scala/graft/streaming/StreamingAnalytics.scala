@@ -565,6 +565,56 @@ object StreamingAnalytics {
     * arrival order across micro-batches (inherent to streaming
     * admission; the batch twin is the deterministic replay), doc_id
     * order within one. */
+  /** One admission budget, interpolated into BOTH the registered
+    * streaming query below and its DuckDB oracle
+    * ([[graft.text.TextAnalysis.oracles]]) — a single edit point. */
+  private[graft] val AdmissionBudget = 1300L
+
+  /** REGISTERED stream-equivalence row for [[tokenBudgetStream]]
+    * (VERDICT r11 #6): feed the scale-factor documents through a
+    * MemoryStream in five doc_id-contiguous micro-batches, run the
+    * per-source admission with one long of state per source, and
+    * return the admitted/rejected ledger. The DuckDB oracle recomputes
+    * the SAME greedy fold (admit iff the doc fits WHOLE under
+    * [[AdmissionBudget]]; rejected docs leave the total untouched) as
+    * a recursive CTE in doc_id order — so the row turns red if the
+    * streaming state ever drops, double-counts, or re-orders a
+    * source's total across batches. The driver-held feed is the
+    * MemoryStream HARNESS, not the operator: in production the same
+    * [[tokenBudgetStream]] hangs off the ingest source
+    * ([[StreamingPipeline]]), and its state is #sources longs at any
+    * corpus size. Arrival order is doc_id order here because the batch
+    * twin must be SQL-expressible; streaming admission in general is
+    * arrival-order (scaladoc above). */
+  def tokenBudgetAdmission(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = graft.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[BudgetDoc].collect().sortBy(_.doc_id)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BudgetDoc]
+    val name = "token_budget_admission_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = tokenBudgetStream(stream.toDS(), AdmissionBudget)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      // five doc_id-contiguous micro-batches: the per-source totals
+      // must carry ACROSS batch boundaries for the hash to match
+      feed.grouped(math.max(1, (feed.length + 4) / 5)).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"),
+        col("admitted").cast("long").as("admitted"))
+      .orderBy("source", "doc_id")
+  }
+
   def tokenBudgetStream(docs: Dataset[BudgetDoc],
       budgetTokens: Long): Dataset[BudgetOut] = {
     val spark = docs.sparkSession

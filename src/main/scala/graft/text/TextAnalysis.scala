@@ -657,16 +657,22 @@ object TextAnalysis extends QueryPack {
     // instead of one task per source (VERDICT r11 #1: a source is
     // "CommonCrawl", not a shard — the per-source window serializes
     // the whole corpus through ~5 tasks at 100 TB)
-    val docs = documents
+    // stage the NARROW tokenized frame: the keyed operator replays its
+    // input lineage per pass (sketch, counts, rank) and tokenization is
+    // the expensive part — unstaged, the ×4096 packing octave measured
+    // the 3× replay at 20 s vs the window's 6 s; staged, the replays
+    // read ~24 B/row from cache (self-releasing, spill-safe)
+    val docs = graft.operators.Staged.stage(documents
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    graft.operators.GroupRank.withRunningSumBy(
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+    val out = graft.operators.GroupRank.withRunningSumBy(
         docs, Seq("source"), col("doc_id"), primaryDesc = false,
         col("doc_id"), col("n_tokens"), "__cum", groupBound = 64)
       .withColumn("tokens_before", col("__cum") - col("n_tokens"))
       .withColumn("pack_id", expr(s"tokens_before div $B"))
       .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
       .orderBy("source", "doc_id")
+    graft.operators.Staged.releaseAfter(out, docs)
   }
 
   /** Sequence-PACKING efficiency report — the quality side of
@@ -790,17 +796,21 @@ object TextAnalysis extends QueryPack {
     * full-window sum (`totalOut`). One corpus shuffle total. */
   def tokenBudget(spark: SparkSession, d: String): DataFrame = {
     val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
-    val docs = Tables.documents(spark, d)
+    // staged like docPacking: the counts + rank passes would otherwise
+    // re-tokenize the corpus (the ×4096 packing octave measured that
+    // replay at 3×); the staged frame is ~32 B/row and self-releases
+    val docs = graft.operators.Staged.stage(Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        mix.as("shuffle_key"))
-    graft.operators.GroupRank.withRunningSumBy(
+        mix.as("shuffle_key")))
+    val out = graft.operators.GroupRank.withRunningSumBy(
         docs, Seq("source"), col("shuffle_key"), primaryDesc = false,
         col("doc_id"), col("n_tokens"), "cum_tokens",
         totalOut = Some("tot_tokens"), groupBound = 64)
       .filter(col("cum_tokens") * 5 <= col("tot_tokens") * 3)
       .select("source", "doc_id", "n_tokens", "cum_tokens", "tot_tokens")
       .orderBy("source", "cum_tokens", "doc_id")
+    graft.operators.Staged.releaseAfter(out, docs)
   }
 
   /** Length-CURRICULUM training order — phase docs by global length
@@ -1510,6 +1520,8 @@ object TextAnalysis extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "corpus_build" -> corpusBuild,
+    "token_budget_admission" ->
+      graft.streaming.StreamingAnalytics.tokenBudgetAdmission _,
     "text_lang_confusion" -> langConfusion,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
@@ -1773,6 +1785,36 @@ object TextAnalysis extends QueryPack {
         |SELECT source, doc_id, n_tokens, cum_tokens, tot_tokens
         |FROM r WHERE cum_tokens * 5 <= tot_tokens * 3
         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // the streaming admission's greedy fold (admit iff the doc fits
+    // WHOLE; rejected docs leave the total untouched) recomputed as a
+    // recursive CTE in doc_id order — the stream feeds batches in
+    // doc_id order precisely so this batch twin is SQL-expressible
+    "token_budget_admission" -> {
+      val b = graft.streaming.StreamingAnalytics.AdmissionBudget
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |              ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM documents),
+         |adm AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |         CASE WHEN n_tokens <= $b THEN n_tokens
+         |              ELSE CAST(0 AS BIGINT) END AS cum_tokens,
+         |         CASE WHEN n_tokens <= $b THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS admitted
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         |         CASE WHEN a.cum_tokens + d.n_tokens <= $b
+         |              THEN a.cum_tokens + d.n_tokens
+         |              ELSE a.cum_tokens END,
+         |         CASE WHEN a.cum_tokens + d.n_tokens <= $b
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |  FROM adm a JOIN t d ON d.source = a.source AND d.rn = a.rn + 1)
+         |SELECT source, doc_id, n_tokens, cum_tokens, admitted
+         |FROM adm ORDER BY source, doc_id""".stripMargin
+    },
     "split_stratified" ->
       """WITH m AS (
         |  SELECT doc_id, lang,

@@ -137,7 +137,7 @@ object ScaleR13 {
     // warmup (JIT + codegen) outside the measured octaves
     graft.text.TextAnalysis.docPackingOf(amplifiedDocs(spark, d, 1))
       .agg(sum(col("pack_id"))).collect()
-    for (mult <- mults(Seq(64, 256, 1024, 4096))) {
+    for (mult <- mults(Seq(64, 256, 1024, 4096, 16384))) {
       val parts = bytesPolicy(spark, mult * 5000L, 1200L)
       val docs = amplifiedDocs(spark, d, mult)
       docs.persist() // both sides read the same input; charge neither
@@ -225,6 +225,9 @@ object ScaleR13 {
       // 1/(4·parts) must RESOLVE the 1/parts-spaced probes — distinct
       // boundary count far above the 98-part regime r11 measured
       val keyed = docs.withColumn("__k", col("n_chars").cast("double"))
+      // the key's own cardinality bounds the distinct boundary count —
+      // print it so "505 of 1023" reads as value-limited, not collapse
+      val kDistinct = docs.select("n_chars").distinct().count()
       val (bs, tSketch) = timed(
         GroupRank.boundarySketch(keyed, "__k", requested))
       val (keyedRes, tKeyed) = timed(GroupRank.withGroupRankBy(
@@ -240,6 +243,7 @@ object ScaleR13 {
         .filter(col("rk") =!= col("rk2")).count()
       println(f"[scale-r13-keyedparts] mult=$mult%5d rows=$n%9d " +
         f"req_parts=$requested%4d boundaries=${bs.size}%4d " +
+        f"key_distinct=$kDistinct%5d " +
         f"sketch_s=$tSketch%6.2f keyed_s=${tKeyed + tKeyedRun}%7.2f " +
         f"pinned_s=${tPinned + tPinnedRun}%7.2f mismatches=$mismatches")
       require(mismatches == 0L, "keyed and pinned ranks must agree")
@@ -250,10 +254,20 @@ object ScaleR13 {
   // ------------------------------------------------------- shingle --
 
   private def shingle(spark: SparkSession, d: String): Unit = {
-    for (mult <- mults(Seq(16, 64, 256))) {
+    for (mult <- mults(Seq(4, 16, 64))) {
       val parts = bytesPolicy(spark, mult * 5000L, 1200L)
+      // copies must NOT be near-duplicates of each other (identical
+      // text would make every copy pair a jaccard-1.0 candidate —
+      // quadratic pairs, nothing like real corpus growth; the first
+      // run of this sweep filled the disk that way). Suffix every
+      // TOKEN with the copy index: all shingles differ across copies,
+      // within-copy dup structure is preserved, pairs grow linearly.
       val docs = amplifiedDocs(spark, d, mult)
-        .select(col("doc_id"), col("text")).persist()
+        .withColumn("copy", expr("cast(doc_id div 10000000 as string)"))
+        .select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, col("copy"))), " ").as("text"))
+        .persist()
       val n = docs.count()
       val (pairs, tLsh) = timed(
         graft.dedup.Dedup.minhashLshOf(docs).count())
