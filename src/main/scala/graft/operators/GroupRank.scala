@@ -297,10 +297,30 @@ object GroupRank {
       .withColumnRenamed("__b", "__ob")
       .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
     val offFrame =
-      if (groupCols.isEmpty ||
-          (groupBound > 0 && parts.toLong * groupBound <= (1L << 20)))
-        broadcast(renamed)
-      else renamed
+      if (groupCols.isEmpty) broadcast(renamed)
+      else if (groupBound > 0 && parts.toLong * groupBound <= (1L << 20)) {
+        // the promise is VALIDATED in the plan, not trusted: the
+        // broadcast frame is (bucket, group)-pair rows, and the safety
+        // invariant is `rows ≤ parts × groupBound`. Checked per
+        // BUCKET — a window partitioned by __ob over the model-sized
+        // offsets frame (never a SinglePartition exchange): a bucket's
+        // row count is the number of groups present in it, so if the
+        // promise holds every bucket is ≤ groupBound, and by
+        // pigeonhole any frame exceeding the cap has a bucket above
+        // it. A dirty free-text group axis therefore fails loud in the
+        // broadcast build instead of force-materializing an unbounded
+        // frame on the driver (the window also reuses the computed
+        // counts, where a count+join guard would re-run the
+        // corpus-scanning counts pass).
+        val wB = Window.partitionBy(col("__ob"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        broadcast(renamed.withColumn("__ob",
+          when(count(lit(1)).over(wB) > groupBound,
+            raise_error(lit("keyed GroupRank/AssignIds: a bucket holds " +
+              s"more than groupBound=$groupBound groups — the caller's " +
+              "group-cardinality promise is violated")).cast("int"))
+            .otherwise(col("__ob"))))
+      } else renamed
     val cond = (col("__b") === col("__ob")) +: groupCols.map(c =>
       col(c) <=> col(s"__og_$c"))
     bucketed

@@ -676,7 +676,7 @@ object Extended extends QueryPack {
   def assignIds(spark: SparkSession, d: String): DataFrame =
     graft.operators.AssignIds
       .withContiguousIdsGrouped(Tables.documents(spark, d),
-        Seq("source"), col("doc_id"), col("doc_id"))
+        Seq("source"), col("doc_id"), col("doc_id"), groupBound = 64)
       .select(col("doc_id"), col("source"), col("new_id"))
       .orderBy("new_id")
 

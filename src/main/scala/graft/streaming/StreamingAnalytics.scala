@@ -600,15 +600,27 @@ object StreamingAnalytics {
     val q = tokenBudgetStream(stream.toDS(), AdmissionBudget)
       .writeStream.outputMode("append").format("memory").queryName(name)
       .start()
-    try {
-      // five doc_id-contiguous micro-batches: the per-source totals
-      // must carry ACROSS batch boundaries for the hash to match
-      feed.grouped(math.max(1, (feed.length + 4) / 5)).foreach { chunk =>
-        stream.addData(chunk.toSeq)
-        q.processAllAvailable()
+    // drain the ledger out of the memory sink, then DROP the sink's
+    // temp view before returning: the sink table holds the full ledger
+    // on the driver and clearCache() does not drop temp views, so a
+    // session calling this repeatedly (Bench's passes) would otherwise
+    // accumulate one ledger copy per invocation. The ledger is
+    // driver-sized by the same argument as the feed (this is the
+    // MemoryStream harness); the returned frame is a LocalRelation.
+    val ledger =
+      try {
+        // five doc_id-contiguous micro-batches: the per-source totals
+        // must carry ACROSS batch boundaries for the hash to match
+        feed.grouped(math.max(1, (feed.length + 4) / 5)).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[BudgetOut].collect()
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
       }
-    } finally q.stop()
-    spark.table(name)
+    spark.createDataset(ledger.toSeq).toDF()
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("cum_tokens"),
         col("admitted").cast("long").as("admitted"))

@@ -218,14 +218,14 @@ object TextAnalysis extends QueryPack {
     // self-releases after the caller's terminal action — ADVICE r11).
     // The stratum size rides along as totalOut — a separate count pass
     // would tokenize again.
-    val staged = graft.operators.Staged.stage(docs)
-    val out = graft.operators.GroupRank.withGroupRankBy(
-        staged, Seq("lang"), col("ttr"), primaryDesc = true, col("doc_id"),
-        "rk", totalOut = Some("n_lang"), groupBound = 64)
-      .filter(col("rk") * 4 <= col("n_lang"))
-      .select("lang", "doc_id", "n_tokens", "n_distinct", "ttr", "rk")
-      .orderBy("lang", "rk")
-    graft.operators.Staged.releaseAfter(out, staged)
+    graft.operators.Staged.scoped(docs) { staged =>
+      graft.operators.GroupRank.withGroupRankBy(
+          staged, Seq("lang"), col("ttr"), primaryDesc = true,
+          col("doc_id"), "rk", totalOut = Some("n_lang"), groupBound = 64)
+        .filter(col("rk") * 4 <= col("n_lang"))
+        .select("lang", "doc_id", "n_tokens", "n_distinct", "ttr", "rk")
+        .orderBy("lang", "rk")
+    }
   }
 
   /** Repetition ratio — the duplicated-n-gram degeneracy signal a
@@ -662,17 +662,17 @@ object TextAnalysis extends QueryPack {
     // the expensive part — unstaged, the ×4096 packing octave measured
     // the 3× replay at 20 s vs the window's 6 s; staged, the replays
     // read ~24 B/row from cache (self-releasing, spill-safe)
-    val docs = graft.operators.Staged.stage(documents
+    graft.operators.Staged.scoped(documents
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")))
-    val out = graft.operators.GroupRank.withRunningSumBy(
-        docs, Seq("source"), col("doc_id"), primaryDesc = false,
-        col("doc_id"), col("n_tokens"), "__cum", groupBound = 64)
-      .withColumn("tokens_before", col("__cum") - col("n_tokens"))
-      .withColumn("pack_id", expr(s"tokens_before div $B"))
-      .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
-      .orderBy("source", "doc_id")
-    graft.operators.Staged.releaseAfter(out, docs)
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))) { docs =>
+      graft.operators.GroupRank.withRunningSumBy(
+          docs, Seq("source"), col("doc_id"), primaryDesc = false,
+          col("doc_id"), col("n_tokens"), "__cum", groupBound = 64)
+        .withColumn("tokens_before", col("__cum") - col("n_tokens"))
+        .withColumn("pack_id", expr(s"tokens_before div $B"))
+        .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
+        .orderBy("source", "doc_id")
+    }
   }
 
   /** Sequence-PACKING efficiency report — the quality side of
@@ -799,18 +799,18 @@ object TextAnalysis extends QueryPack {
     // staged like docPacking: the counts + rank passes would otherwise
     // re-tokenize the corpus (the ×4096 packing octave measured that
     // replay at 3×); the staged frame is ~32 B/row and self-releases
-    val docs = graft.operators.Staged.stage(Tables.documents(spark, d)
+    graft.operators.Staged.scoped(Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        mix.as("shuffle_key")))
-    val out = graft.operators.GroupRank.withRunningSumBy(
-        docs, Seq("source"), col("shuffle_key"), primaryDesc = false,
-        col("doc_id"), col("n_tokens"), "cum_tokens",
-        totalOut = Some("tot_tokens"), groupBound = 64)
-      .filter(col("cum_tokens") * 5 <= col("tot_tokens") * 3)
-      .select("source", "doc_id", "n_tokens", "cum_tokens", "tot_tokens")
-      .orderBy("source", "cum_tokens", "doc_id")
-    graft.operators.Staged.releaseAfter(out, docs)
+        mix.as("shuffle_key"))) { docs =>
+      graft.operators.GroupRank.withRunningSumBy(
+          docs, Seq("source"), col("shuffle_key"), primaryDesc = false,
+          col("doc_id"), col("n_tokens"), "cum_tokens",
+          totalOut = Some("tot_tokens"), groupBound = 64)
+        .filter(col("cum_tokens") * 5 <= col("tot_tokens") * 3)
+        .select("source", "doc_id", "n_tokens", "cum_tokens", "tot_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    }
   }
 
   /** Length-CURRICULUM training order — phase docs by global length
@@ -833,17 +833,17 @@ object TextAnalysis extends QueryPack {
     // lineage is the whole quartile pipeline. A spill-safe cache is a
     // performance choice only — the keyed paths are recompute-safe —
     // and it self-releases after the terminal action (ADVICE r11).
-    val phased = graft.operators.Staged.stage(
+    graft.operators.Staged.scoped(
       graft.queries.Extended.quartileBinsOf(docs, 4)
         .select(col("doc_id"), col("quartile").as("phase"))
         .withColumn("shuffle_key",
-          graft.functions.DetMix.lehmerMix(col("doc_id"))))
-    val out = graft.operators.AssignIds.withContiguousIdsGrouped(
-        phased, Seq("phase"), col("shuffle_key"), col("doc_id"),
-        groupBound = 8)
-      .select(col("doc_id"), col("phase"), col("new_id").as("pos"))
-      .orderBy("pos")
-    graft.operators.Staged.releaseAfter(out, phased)
+          graft.functions.DetMix.lehmerMix(col("doc_id")))) { phased =>
+      graft.operators.AssignIds.withContiguousIdsGrouped(
+          phased, Seq("phase"), col("shuffle_key"), col("doc_id"),
+          groupBound = 8)
+        .select(col("doc_id"), col("phase"), col("new_id").as("pos"))
+        .orderBy("pos")
+    }
   }
 
   /** Stride-scheduled MIXTURE INTERLEAVE — the training-ORDER
@@ -894,24 +894,26 @@ object TextAnalysis extends QueryPack {
     // replays this (narrow) frame's lineage — one keyed rank plus a
     // broadcast join — three more times unstaged; self-releases after
     // the terminal action (ADVICE r11)
-    val ranked = graft.operators.Staged.stage(
+    graft.operators.Staged.scoped(
       graft.operators.GroupRank.withGroupRankBy(
           docs, Seq("source"), col("sk"), primaryDesc = false,
           col("doc_id"), "rk", groupBound = 20)
         .join(broadcast(idxDf), "source")
-        .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))")))
-    // the struct tiebreak (v exact, then src_idx, rk) makes the order
-    // self-describing even though the keyed core now also orders by
-    // the exact primary; the rank half of the shift domain (rk < 2^44)
-    // is not separately guarded — it needs a count — and is 17.6 T
-    // docs PER SOURCE past any corpus this engine addresses.
-    val out = graft.operators.AssignIds
-      .withContiguousIdsBy(ranked, col("v"),
-        struct(col("v"), col("src_idx"), col("rk")))
-      .select(col("doc_id"), col("source"), col("rk"),
-        col("new_id").as("pos"))
-      .orderBy("pos")
-    graft.operators.Staged.releaseAfter(out, ranked)
+        .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))) {
+      ranked =>
+        // the struct tiebreak (v exact, then src_idx, rk) makes the
+        // order self-describing even though the keyed core now also
+        // orders by the exact primary; the rank half of the shift
+        // domain (rk < 2^44) is not separately guarded — it needs a
+        // count — and is 17.6 T docs PER SOURCE past any corpus this
+        // engine addresses.
+        graft.operators.AssignIds
+          .withContiguousIdsBy(ranked, col("v"),
+            struct(col("v"), col("src_idx"), col("rk")))
+          .select(col("doc_id"), col("source"), col("rk"),
+            col("new_id").as("pos"))
+          .orderBy("pos")
+    }
   }
 
   /** Deterministic STRATIFIED train/val/test split with EXACT
@@ -1333,7 +1335,7 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "text", "source")
     val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
       .join(good.select("doc_id", "source"), "doc_id")
-    val chunks = graft.operators.Staged.stage(kept
+    graft.operators.Staged.scoped(kept
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("source"),
@@ -1344,19 +1346,21 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"),
         col("c.idx").cast("long").as("chunk_idx"),
         col("c.chunk").as("chunk_text"))
-      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")).cast("long")))
-    // exclusive prefix in (doc_id, chunk_idx) order within each source:
-    // the keyed running sum minus the row's own value — bit-identical
-    // to the window form, bucket-sized tasks instead of one per source
-    val out = graft.operators.GroupRank.withRunningSumBy(
-        chunks, Seq("source"), col("doc_id"), primaryDesc = false,
-        col("chunk_idx"), col("n_chunk_tokens"), "__cum", groupBound = 64)
-      .withColumn("tokens_before", col("__cum") - col("n_chunk_tokens"))
-      .withColumn("pack_id", expr(s"tokens_before div $B"))
-      .select("source", "doc_id", "chunk_idx", "chunk_text",
-        "n_chunk_tokens", "tokens_before", "pack_id")
-      .orderBy("source", "doc_id", "chunk_idx")
-    graft.operators.Staged.releaseAfter(out, chunks)
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))) { chunks =>
+      // exclusive prefix in (doc_id, chunk_idx) order within each
+      // source: the keyed running sum minus the row's own value —
+      // bit-identical to the window form, bucket-sized tasks instead
+      // of one per source
+      graft.operators.GroupRank.withRunningSumBy(
+          chunks, Seq("source"), col("doc_id"), primaryDesc = false,
+          col("chunk_idx"), col("n_chunk_tokens"), "__cum", groupBound = 64)
+        .withColumn("tokens_before", col("__cum") - col("n_chunk_tokens"))
+        .withColumn("pack_id", expr(s"tokens_before div $B"))
+        .select("source", "doc_id", "chunk_idx", "chunk_text",
+          "n_chunk_tokens", "tokens_before", "pack_id")
+        .orderBy("source", "doc_id", "chunk_idx")
+    }
   }
 
   /** Class-conditional unigram classifier — the log-free, smoothing-free

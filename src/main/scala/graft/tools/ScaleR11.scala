@@ -79,15 +79,13 @@ object ScaleR11 {
     graft.functions.VectorFunctions.register(spark)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // shift must clear the base id range or copies collide (ADVICE r11)
-    val shift = 10000000L
     val maxId = Tables.embeddings(spark, d)
       .agg(max(col("vec_id"))).collect()(0).getLong(0)
-    require(maxId < shift,
-      s"amplification shift $shift must exceed max vec_id $maxId")
+    Amplify.assertClears(maxId, "vec_id")
     Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
-      .select((col("vec_id") + col("copy") * lit(shift)).as("vec_id"),
+      .select((col("vec_id") + col("copy") * lit(Amplify.IdShift)).as("vec_id"),
         col("v"))
       .repartition(parts, col("vec_id"))
   }

@@ -47,7 +47,8 @@ object ScaleR12 {
     val baseRows = Tables.documents(spark, d).count()
     // JIT/codegen warmup outside the measured octaves
     GroupRank.withGroupRankBy(amplified(spark, d, 1), Seq("source"),
-      col("n_chars"), primaryDesc = false, col("doc_id"), "rk")
+      col("n_chars"), primaryDesc = false, col("doc_id"), "rk",
+      groupBound = 64)
       .agg(sum(col("rk"))).collect()
     GroupRank.withGroupRank(amplified(spark, d, 1), Seq("source"),
       Seq(col("n_chars"), col("doc_id")), "rk")
@@ -70,7 +71,7 @@ object ScaleR12 {
 
       val (keyed, tKeyed) = timed(GroupRank.withGroupRankBy(
         docs, Seq("source"), col("n_chars"), primaryDesc = false,
-        col("doc_id"), "rk"))
+        col("doc_id"), "rk", groupBound = 64))
       val (_, tKeyedRun) = timed(keyed.agg(sum(col("rk"))).collect())
 
       val mismatches = keyed.select(col("doc_id"), col("rk"))
@@ -116,18 +117,16 @@ object ScaleR12 {
     // keyed-vs-pinned doc_id join silently explodes (ADVICE r11)
     val maxId = Tables.documents(spark, d)
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
-    require(maxId < IdShift,
-      s"amplification shift $IdShift must exceed max doc_id $maxId")
+    Amplify.assertClears(maxId, "doc_id")
     // text rides along: a curation pass ranks full document frames,
     // and the payload is exactly what the pinned path's durable write
     // re-materializes (and the keyed path never touches)
     Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
-      .select((col("doc_id") + col("copy") * lit(IdShift)).as("doc_id"),
+      .select((col("doc_id") + col("copy") * lit(Amplify.IdShift)).as("doc_id"),
         col("source"), col("n_chars"), col("text"))
       .repartition(parts)
   }
 
-  private val IdShift = 10000000L
 }

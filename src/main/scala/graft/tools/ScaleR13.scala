@@ -76,16 +76,14 @@ object ScaleR13 {
     * ScaleR11/R12 shape), shift asserted past the base id range. */
   private def amplifiedDocs(spark: SparkSession, d: String,
       mult: Int): DataFrame = {
-    val shift = 10000000L
     val maxId = Tables.documents(spark, d)
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
-    require(maxId < shift,
-      s"amplification shift $shift must exceed max doc_id $maxId")
+    Amplify.assertClears(maxId, "doc_id")
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("text"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
-      .select((col("doc_id") + col("copy") * lit(shift)).as("doc_id"),
+      .select((col("doc_id") + col("copy") * lit(Amplify.IdShift)).as("doc_id"),
         col("source"), col("text"))
       .repartition(parts)
   }
@@ -93,18 +91,16 @@ object ScaleR13 {
   private def amplifiedVecs(spark: SparkSession, d: String,
       mult: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val shift = 10000000L
     val maxId = Tables.embeddings(spark, d)
       .agg(max(col("vec_id"))).collect()(0).getLong(0)
-    require(maxId < shift,
-      s"amplification shift $shift must exceed max vec_id $maxId")
+    Amplify.assertClears(maxId, "vec_id")
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
       // perturb copies by a deterministic epsilon so cosines are
       // tie-free across copies (the ScaleR11 mrl trick)
-      .select((col("vec_id") + col("copy") * lit(shift)).as("vec_id"),
+      .select((col("vec_id") + col("copy") * lit(Amplify.IdShift)).as("vec_id"),
         transform(col("v"), x =>
           x + (col("copy") % 97).cast("double") / lit(1e7)).as("v"))
       .repartition(parts, col("vec_id"))
@@ -200,12 +196,16 @@ object ScaleR13 {
       val tWin2 = run(windowForm)
       val tHeap2 = run(heapForm)
       val (tWin, tHeap) = (math.min(tWin1, tWin2), math.min(tHeap1, tHeap2))
-      val same = heapForm.select("query_id", "neighbor_id")
-        .exceptAll(windowForm.select("query_id", "neighbor_id")).count()
+      // SYMMETRIC equality: one-directional exceptAll only proves a
+      // subset, so a heap that silently under-filled would still pass
+      val hSide = heapForm.select("query_id", "neighbor_id")
+      val wSide = windowForm.select("query_id", "neighbor_id")
+      val diff = hSide.exceptAll(wSide).count() +
+        wSide.exceptAll(hSide).count()
       println(f"[scale-r13-topk] mult=$mult%4d rows=$n%9d parts=$parts%4d " +
         f"window_s=$tWin%6.2f heap_s=$tHeap%6.2f " +
-        f"heap_minus_window_s=${tHeap - tWin}%6.2f mismatches=$same")
-      require(same == 0L, "heap and window top-k must agree")
+        f"heap_minus_window_s=${tHeap - tWin}%6.2f mismatches=$diff")
+      require(diff == 0L, "heap and window top-k must agree")
       all.unpersist()
     }
   }
@@ -233,11 +233,18 @@ object ScaleR13 {
       val (keyedRes, tKeyed) = timed(GroupRank.withGroupRankBy(
         docs, Seq("source"), col("n_chars"), primaryDesc = false,
         col("doc_id"), "rk", partitions = requested, groupBound = 64))
-      val (_, tKeyedRun) = timed(keyedRes.agg(sum(col("rk"))).collect())
+      val (keyedAgg, tKeyedRun) = timed(
+        keyedRes.agg(count(lit(1)), sum(col("rk"))).collect()(0))
       val (pinned, tPinned) = timed(GroupRank.withGroupRank(
         docs, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk",
         partitions = requested))
-      val (_, tPinnedRun) = timed(pinned.agg(sum(col("rk"))).collect())
+      val (pinnedAgg, tPinnedRun) = timed(
+        pinned.agg(count(lit(1)), sum(col("rk"))).collect()(0))
+      // an inner join alone is subset-blind (dropped rows would read as
+      // 0 mismatches): assert cardinality + rank-mass equality too
+      require(keyedAgg.getLong(0) == pinnedAgg.getLong(0) &&
+        keyedAgg.getLong(1) == pinnedAgg.getLong(1),
+        s"keyed/pinned count or rank mass differ at mult=$mult")
       val mismatches = keyedRes.select(col("doc_id"), col("rk"))
         .join(pinned.select(col("doc_id"), col("rk").as("rk2")), "doc_id")
         .filter(col("rk") =!= col("rk2")).count()
@@ -260,13 +267,17 @@ object ScaleR13 {
       // text would make every copy pair a jaccard-1.0 candidate —
       // quadratic pairs, nothing like real corpus growth; the first
       // run of this sweep filled the disk that way). Suffix every
-      // TOKEN with the copy index: all shingles differ across copies,
-      // within-copy dup structure is preserved, pairs grow linearly.
+      // TOKEN with a separator + the copy index: all shingles differ
+      // across copies, within-copy dup structure is preserved, pairs
+      // grow linearly. The \u0001 separator makes the suffix
+      // prefix-free — bare concat is not ("x1"+copy 0 = "x"+copy 10),
+      // and digit-final tokens would fabricate cross-copy matches.
       val docs = amplifiedDocs(spark, d, mult)
-        .withColumn("copy", expr("cast(doc_id div 10000000 as string)"))
+        .withColumn("copy",
+          expr(s"cast(doc_id div ${Amplify.IdShift} as string)"))
         .select(col("doc_id"),
           array_join(transform(split(col("text"), " "),
-            t => concat(t, col("copy"))), " ").as("text"))
+            t => concat(t, lit("\u0001"), col("copy"))), " ").as("text"))
         .persist()
       val n = docs.count()
       val (pairs, tLsh) = timed(

@@ -109,7 +109,7 @@ class GroupRankKeyedSpec extends SparkSpec {
     // bound the offsets frame is hint-broadcast; without one the hint
     // is dropped and AQE decides (asserted separately below)
     val ranked = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-      false, $"doc_id", "rk", partitions = 5, groupBound = 8)
+      false, $"doc_id", "rk", partitions = 5, groupBound = 32)
     val p = ranked.queryExecution.executedPlan.toString
     assert(!p.contains("Scan ExistingRDD"),
       s"keyed path must not localCheckpoint:\n$p")
@@ -246,6 +246,20 @@ class GroupRankKeyedSpec extends SparkSpec {
     }
   }
 
+  test("a violated groupBound promise fails LOUD in the broadcast " +
+    "build, never a silent oversized driver broadcast") {
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    // 20 sources in the data; promise 4 — the per-bucket guard must
+    // raise during execution
+    val lied = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+      false, $"doc_id", "rk", partitions = 5, groupBound = 4)
+    val e = intercept[Exception] { lied.count() }
+    assert(e.getMessage.contains("groupBound") ||
+      Option(e.getCause).exists(_.getMessage.contains("groupBound")),
+      s"expected the groupBound guard, got: $e")
+  }
+
   test("no group-count bound => no broadcast HINT on the offsets join " +
     "(a generic high-cardinality group axis must not be able to force " +
     "an unbounded driver broadcast; AQE may still broadcast at runtime)") {
@@ -261,7 +275,7 @@ class GroupRankKeyedSpec extends SparkSpec {
       s"offsets join must not be hint-forced without a bound:\n$lp")
     // and correctness is unchanged on the unhinted path
     val want = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-        false, $"doc_id", "rk", partitions = 5, groupBound = 8)
+        false, $"doc_id", "rk", partitions = 5, groupBound = 32)
       .select($"doc_id", $"rk").as[(Long, Long)].collect().toMap
     val got = unhinted.select($"doc_id", $"rk")
       .as[(Long, Long)].collect().toMap

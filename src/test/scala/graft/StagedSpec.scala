@@ -53,4 +53,31 @@ class StagedSpec extends SparkSpec {
     assert(eventually()(staged.storageLevel === StorageLevel.NONE),
       "failed terminal action must still release")
   }
+
+  test("scoped releases the stage when query CONSTRUCTION throws — the " +
+    "keyed operators run eager passes before releaseAfter can arm") {
+    var captured: org.apache.spark.sql.DataFrame = null
+    intercept[RuntimeException] {
+      Staged.scoped((1 to 10).toDF("x")) { staged =>
+        captured = staged
+        staged.count() // materialize the cache like an eager sketch
+        throw new RuntimeException("contract violation in eager pass")
+      }
+    }
+    assert(captured.storageLevel === StorageLevel.NONE,
+      "construction failure must release synchronously")
+  }
+
+  test("abandoned plans release after the activity TTL: a staged query " +
+    "that is never executed cannot cache-leak a working session") {
+    val staged = Staged.stage((1 to 20).toDF("x"))
+    staged.count() // materialize (as the operators' eager passes do)
+    Staged.releaseAfter(staged.filter(col("x") > 5), staged)
+    assert(staged.storageLevel !== StorageLevel.NONE)
+    // the result is never acted on; other session work churns past it
+    val other = (1 to 3).toDF("y")
+    for (_ <- 0 until Staged.AbandonAfterEvents + 2) other.count()
+    assert(eventually()(staged.storageLevel === StorageLevel.NONE),
+      "unconsumed stage must release after the activity TTL")
+  }
 }
