@@ -1379,7 +1379,10 @@ object Extended extends QueryPack {
            |          + (__rank - (__tot % $k) * (__tot DIV $k + 1) - 1)
            |            DIV (__tot DIV $k) + 1
            |END""".stripMargin))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("quartile"))
+      // keep whatever extra columns the caller carried (pack_by_length
+      // rides n_tokens through); for the standard (doc_id, source,
+      // n_chars) input this is the same schema as before
+      .drop("__rank", "__tot")
   }
 
   /** Entity resolution over customer records — the record-linkage

@@ -675,6 +675,42 @@ object TextAnalysis extends QueryPack {
     }
   }
 
+  /** Length-BUCKETED sequence packing — the pad-waste-reducing loader
+    * recipe: bucket documents into per-source LENGTH QUARTILES first
+    * (the NTILE closed form of [[graft.queries.Extended
+    * .quartileBinsOf]]), then contiguous-fill each (source, quartile)
+    * stratum into [[PackBin]]-token bins. Batching similar-length
+    * documents together is the standard defence against padding waste
+    * when sequences are padded to the batch max (cf. bucketed batching
+    * in production loaders); the bins then inherit the quartile's
+    * length homogeneity. This is also the one registered query whose
+    * keyed prefix runs over a MULTI-COLUMN group axis
+    * (`(source, quartile)` — 20 × 4 = 80 strata), pinning the
+    * groupCols-plural path under the driver's hash gate. Scale shape:
+    * two keyed passes (quartile ranks, then the running sum), both
+    * bucket-sized tasks, no per-stratum window; the narrow
+    * (doc_id, source, quartile, n_tokens) frame is staged because the
+    * second pass's group column is itself the first pass's output. */
+  def packByLength(spark: SparkSession, d: String): DataFrame = {
+    val B = PackBin
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Staged.scoped(
+      graft.queries.Extended.quartileBinsOf(docs, 4)
+        .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
+      graft.operators.GroupRank.withRunningSumBy(
+          binned, Seq("source", "quartile"), col("doc_id"),
+          primaryDesc = false, col("doc_id"), col("n_tokens"), "__cum",
+          groupBound = 256)
+        .withColumn("tokens_before", col("__cum") - col("n_tokens"))
+        .withColumn("pack_id", expr(s"tokens_before div $B"))
+        .select("source", "quartile", "doc_id", "n_tokens",
+          "tokens_before", "pack_id")
+        .orderBy("source", "quartile", "doc_id")
+    }
+  }
+
   /** Sequence-PACKING efficiency report — the quality side of
     * [[docPacking]]'s contiguous fill: packing wastes almost no pad
     * (only the final partial bin per source), but every document that
@@ -1544,6 +1580,7 @@ object TextAnalysis extends QueryPack {
       dsirResampleOf(Tables.documents(s, d))),
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
+    "pack_by_length" -> packByLength,
     "pack_efficiency" -> packEfficiency,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "mix_temperature" -> mixTemperature,
@@ -2076,6 +2113,27 @@ object TextAnalysis extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // $PackBin AS pack_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // NTILE(4) per source (DuckDB's NTILE = the same leading-buckets
+    // closed form quartileBinsOf computes), then the per-(source,
+    // quartile) exclusive cumsum — the multi-column group twin of the
+    // doc_packing oracle
+    "pack_by_length" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(NTILE(4) OVER (PARTITION BY source
+        |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        |  FROM documents)
+        |SELECT source, quartile, doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens)
+        |    OVER (PARTITION BY source, quartile ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS tokens_before,
+        |  CAST(coalesce(SUM(n_tokens)
+        |    OVER (PARTITION BY source, quartile ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) // $PackBin AS pack_id
+        |FROM q ORDER BY source, quartile, doc_id""".stripMargin,
     // all-integer straddle math (start bin <> end bin) over the same
     // per-source contiguous-fill cumsum the doc_packing oracle uses
     "pack_efficiency" ->

@@ -71,6 +71,28 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(gotTot === wantTot)
   }
 
+  test("MULTI-COLUMN group axis: rank and running sum match the window " +
+    "forms when PARTITION BY carries two columns") {
+    val df = (1 to 120).map { i =>
+      (s"g${i % 4}", (i % 3).toLong, i.toLong, (i * 31 % 23).toDouble,
+        (i % 7 + 1).toLong)
+    }.toDF("g", "h", "id", "score", "tok")
+    val wr = Window.partitionBy($"g", $"h").orderBy($"score", $"id")
+    val wantRk = df.withColumn("rk", row_number().over(wr).cast("long"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    val gotRk = GroupRank.withGroupRankBy(df, Seq("g", "h"), $"score",
+        false, $"id", "rk", partitions = 5, groupBound = 16)
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(gotRk === wantRk)
+    val ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantCum = df.withColumn("cum", sum($"tok").over(ws))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val gotCum = GroupRank.withRunningSumBy(df, Seq("g", "h"), $"score",
+        false, $"id", $"tok", "cum", partitions = 5, groupBound = 16)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(gotCum === wantCum)
+  }
+
   test("withContiguousIdsBy = global row_number; grouped variant = " +
     "(group asc, primary, tie) total order") {
     val df = mk(60)
