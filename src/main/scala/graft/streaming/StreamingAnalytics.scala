@@ -617,8 +617,11 @@ object StreamingAnalytics {
         }
         spark.table(name).as[BudgetOut].collect()
       } finally {
-        q.stop()
+        // drop BEFORE stop: stop() can throw (stopTimeout, fatal
+        // stream error), and the view drop must not be skippable or
+        // the ledger leak this drain exists to close reopens
         spark.catalog.dropTempView(name)
+        q.stop()
       }
     spark.createDataset(ledger.toSeq).toDF()
       .select(col("source"), col("doc_id"), col("n_tokens"),

@@ -643,33 +643,43 @@ object TextAnalysis extends QueryPack {
     * oracles cannot drift apart. */
   private[graft] val PackBin = 512
 
+  /** Shared contiguous-fill tail of the packing family: the exclusive
+    * per-group prefix of `value` in (primary, tieBreak) order (keyed
+    * running sum − the row's own value — bit-identical to the window
+    * form's `rowsBetween(unboundedPreceding, -1)`) plus the
+    * ⌊prefix / PackBin⌋ bin id. ONE body, so the fill semantics cannot
+    * drift between `doc_packing` / `pack_by_length` / `corpus_build`
+    * and the DuckDB oracle shape they all share. */
+  private def contiguousFill(df: DataFrame, groupCols: Seq[String],
+      primary: Column, tieBreak: Column, value: Column,
+      groupBound: Long): DataFrame =
+    graft.operators.GroupRank.withRunningSumBy(
+        df, groupCols, primary, primaryDesc = false, tieBreak, value,
+        "__cum", groupBound = groupBound)
+      .withColumn("tokens_before", col("__cum") - value)
+      .withColumn("pack_id", expr(s"tokens_before div $PackBin"))
+
   def docPacking(spark: SparkSession, d: String): DataFrame =
     docPackingOf(Tables.documents(spark, d))
 
   /** Same over any (doc_id, source, text) frame — the shape the scale
     * sweep amplifies. */
   private[graft] def docPackingOf(documents: DataFrame): DataFrame = {
-    val B = PackBin
     // the exclusive prefix ("tokens before me, in doc_id order, within
-    // my source") is the keyed distributed running sum MINUS the row's
-    // own contribution — bit-identical to the window form's
-    // rowsBetween(unboundedPreceding, -1), with bucket-sized tasks
-    // instead of one task per source (VERDICT r11 #1: a source is
-    // "CommonCrawl", not a shard — the per-source window serializes
-    // the whole corpus through ~5 tasks at 100 TB)
-    // stage the NARROW tokenized frame: the keyed operator replays its
-    // input lineage per pass (sketch, counts, rank) and tokenization is
-    // the expensive part — unstaged, the ×4096 packing octave measured
-    // the 3× replay at 20 s vs the window's 6 s; staged, the replays
-    // read ~24 B/row from cache (self-releasing, spill-safe)
+    // my source") runs with bucket-sized tasks instead of one task per
+    // source (VERDICT r11 #1: a source is "CommonCrawl", not a shard —
+    // the per-source window serializes the whole corpus through ~5
+    // tasks at 100 TB). Stage the NARROW tokenized frame: the keyed
+    // operator replays its input lineage per pass (sketch, counts,
+    // rank) and tokenization is the expensive part — unstaged, the
+    // ×4096 packing octave measured the 3× replay at 20 s vs the
+    // window's 6 s; staged, the replays read ~24 B/row from cache
+    // (self-releasing, spill-safe)
     graft.operators.Staged.scoped(documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))) { docs =>
-      graft.operators.GroupRank.withRunningSumBy(
-          docs, Seq("source"), col("doc_id"), primaryDesc = false,
-          col("doc_id"), col("n_tokens"), "__cum", groupBound = 64)
-        .withColumn("tokens_before", col("__cum") - col("n_tokens"))
-        .withColumn("pack_id", expr(s"tokens_before div $B"))
+      contiguousFill(docs, Seq("source"), col("doc_id"), col("doc_id"),
+          col("n_tokens"), groupBound = 64)
         .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
         .orderBy("source", "doc_id")
     }
@@ -692,19 +702,14 @@ object TextAnalysis extends QueryPack {
     * (doc_id, source, quartile, n_tokens) frame is staged because the
     * second pass's group column is itself the first pass's output. */
   def packByLength(spark: SparkSession, d: String): DataFrame = {
-    val B = PackBin
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     graft.operators.Staged.scoped(
       graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
-      graft.operators.GroupRank.withRunningSumBy(
-          binned, Seq("source", "quartile"), col("doc_id"),
-          primaryDesc = false, col("doc_id"), col("n_tokens"), "__cum",
-          groupBound = 256)
-        .withColumn("tokens_before", col("__cum") - col("n_tokens"))
-        .withColumn("pack_id", expr(s"tokens_before div $B"))
+      contiguousFill(binned, Seq("source", "quartile"), col("doc_id"),
+          col("doc_id"), col("n_tokens"), groupBound = 256)
         .select("source", "quartile", "doc_id", "n_tokens",
           "tokens_before", "pack_id")
         .orderBy("source", "quartile", "doc_id")
@@ -933,6 +938,9 @@ object TextAnalysis extends QueryPack {
     graft.operators.Staged.scoped(
       graft.operators.GroupRank.withGroupRankBy(
           docs, Seq("source"), col("sk"), primaryDesc = false,
+          // groupBound 20 is exact, not headroom-free: the require
+          // above already rejected any corpus with >20 sources before
+          // this plan is built, so the in-plan guard cannot out-fail it
           col("doc_id"), "rk", groupBound = 20)
         .join(broadcast(idxDf), "source")
         .withColumn("v", expr("shiftleft(rk, cast(src_idx as int))"))) {
@@ -1366,7 +1374,7 @@ object TextAnalysis extends QueryPack {
     * replays its lineage per pass and here that lineage is the whole
     * gate→dedup→explode pipeline. */
   def corpusBuild(spark: SparkSession, d: String): DataFrame = {
-    val W = 50; val S = 40; val B = 512
+    val W = 50; val S = 40
     val good = qualityGateOf(Tables.documents(spark, d))
       .select("doc_id", "text", "source")
     val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
@@ -1385,14 +1393,10 @@ object TextAnalysis extends QueryPack {
       .withColumn("n_chunk_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))) { chunks =>
       // exclusive prefix in (doc_id, chunk_idx) order within each
-      // source: the keyed running sum minus the row's own value —
-      // bit-identical to the window form, bucket-sized tasks instead
-      // of one per source
-      graft.operators.GroupRank.withRunningSumBy(
-          chunks, Seq("source"), col("doc_id"), primaryDesc = false,
-          col("chunk_idx"), col("n_chunk_tokens"), "__cum", groupBound = 64)
-        .withColumn("tokens_before", col("__cum") - col("n_chunk_tokens"))
-        .withColumn("pack_id", expr(s"tokens_before div $B"))
+      // source — the shared contiguousFill tail, bucket-sized tasks
+      // instead of one per source
+      contiguousFill(chunks, Seq("source"), col("doc_id"),
+          col("chunk_idx"), col("n_chunk_tokens"), groupBound = 64)
         .select("source", "doc_id", "chunk_idx", "chunk_text",
           "n_chunk_tokens", "tokens_before", "pack_id")
         .orderBy("source", "doc_id", "chunk_idx")

@@ -196,12 +196,14 @@ object ScaleR13 {
       val tWin2 = run(windowForm)
       val tHeap2 = run(heapForm)
       val (tWin, tHeap) = (math.min(tWin1, tWin2), math.min(tHeap1, tHeap2))
-      // SYMMETRIC equality: one-directional exceptAll only proves a
-      // subset, so a heap that silently under-filled would still pass
+      // multiset equality without a second exceptAll shuffle: equal
+      // cardinality + one-directional difference = 0 ⟹ H = W (the
+      // under-filled-heap case the subset check alone would miss is
+      // caught by the count compare)
       val hSide = heapForm.select("query_id", "neighbor_id")
       val wSide = windowForm.select("query_id", "neighbor_id")
-      val diff = hSide.exceptAll(wSide).count() +
-        wSide.exceptAll(hSide).count()
+      val diff = math.abs(hSide.count() - wSide.count()) +
+        hSide.exceptAll(wSide).count()
       println(f"[scale-r13-topk] mult=$mult%4d rows=$n%9d parts=$parts%4d " +
         f"window_s=$tWin%6.2f heap_s=$tHeap%6.2f " +
         f"heap_minus_window_s=${tHeap - tWin}%6.2f mismatches=$diff")
