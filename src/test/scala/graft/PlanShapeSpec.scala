@@ -294,9 +294,15 @@ class PlanShapeSpec extends SparkSpec {
     // are partitioned by (__b, source) — bucket-sized — and its
     // offsets window (partition [source], order [__b]) runs over the
     // model-sized counts frame, which is fine and expected.
-    val collapsed = """\], \[source#\d+\], \[(doc_id|chunk_idx)#""".r
+    // also catches pack_by_length's 2-column stratum axis: a window
+    // partitioned by exactly (source) or (source, quartile) with a
+    // corpus-key order is the collapse; the keyed form always leads
+    // with the __b bucket column
+    val collapsed =
+      """\], \[source#\d+(, quartile#\d+L?)?\], \[(doc_id|chunk_idx)#""".r
     for ((name, q) <- Seq(
         "doc_packing" -> text.TextAnalysis.docPacking(spark, sf0001),
+        "pack_by_length" -> text.TextAnalysis.packByLength(spark, sf0001),
         "pack_efficiency" -> text.TextAnalysis.packEfficiency(spark, sf0001),
         "corpus_build" -> text.TextAnalysis.corpusBuild(spark, sf0001))) {
       val p = planOf(q)
