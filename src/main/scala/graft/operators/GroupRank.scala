@@ -197,7 +197,18 @@ object GroupRank {
       val src =
         if (parts <= SketchDirectParts) df // small ε is cheap; no extra job
         else {
-          val n = df.count()
+          // sizing the sample needs a row count, but an eager df.count()
+          // here is a full extra lineage replay at plan-CONSTRUCTION
+          // time (ADVICE r12) — on an unstaged expensive input that is
+          // a fourth corpus pass. Prefer the optimizer's row-count stat
+          // (exact for local/materialized-cache relations, free to
+          // read); only when the plan carries none fall back to a
+          // column-pruned count over the key alone — Catalyst prunes
+          // every other projection out of that job, so tokenization /
+          // wide decodes upstream of the key never execute for it.
+          val n = df.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.longValue)
+            .getOrElse(df.select(keyCol).count())
           if (n > SketchSampleCap)
             df.sample(withReplacement = false,
               SketchSampleCap.toDouble / n, seed = 42L)
@@ -298,7 +309,12 @@ object GroupRank {
       .withColumnsRenamed(groupCols.map(c => c -> s"__og_$c").toMap)
     val offFrame =
       if (groupCols.isEmpty) broadcast(renamed)
-      else if (groupBound > 0 && parts.toLong * groupBound <= (1L << 20)) {
+      // division, not multiplication: `parts × groupBound` overflows a
+      // Long for a large caller bound (parts=2, bound=2⁶² → negative
+      // product passing the ≤ test), which would hint-force the join
+      // with a per-bucket guard that can never trip — re-opening the
+      // unbounded driver-broadcast path this gate closes (ADVICE r12)
+      else if (groupBound > 0 && groupBound <= (1L << 20) / parts) {
         // the promise is VALIDATED in the plan, not trusted: the
         // broadcast frame is (bucket, group)-pair rows, and the safety
         // invariant is `rows ≤ parts × groupBound`. Checked per

@@ -586,13 +586,28 @@ object StreamingAnalytics {
     * corpus size. Arrival order is doc_id order here because the batch
     * twin must be SQL-expressible; streaming admission in general is
     * arrival-order (scaladoc above). */
+  /** Hard ceiling on the MemoryStream HARNESS feed (and thus the
+    * ledger) this registered row collects onto the driver. The collect
+    * is inherent to the harness, not the operator — but the row sits
+    * in the standard registry, so a registry-wide sweep over an
+    * amplified corpus must fail LOUD here instead of silently driving
+    * the driver to OOM (ADVICE r12). 2²⁰ docs ≈ tens of MB of
+    * (source, id, tokens) triples — far above every verify/bench scale
+    * factor, far below driver memory. */
+  private[graft] val AdmissionHarnessMaxRows = 1L << 20
+
   def tokenBudgetAdmission(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val feed = graft.Tables.documents(spark, d)
+    val src = graft.Tables.documents(spark, d)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .as[BudgetDoc].collect().sortBy(_.doc_id)
+    val n = src.count() // column-pruned; cheap next to the harness run
+    require(n <= AdmissionHarnessMaxRows,
+      s"token_budget_admission is a driver-held MemoryStream harness " +
+        s"($n rows > cap $AdmissionHarnessMaxRows); run the streaming " +
+        "operator tokenBudgetStream off a real source at this scale")
+    val feed = src.as[BudgetDoc].collect().sortBy(_.doc_id)
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BudgetDoc]
     val name = "token_budget_admission_" +

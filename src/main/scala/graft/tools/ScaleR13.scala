@@ -106,6 +106,16 @@ object ScaleR13 {
       .repartition(parts, col("vec_id"))
   }
 
+  /** Base-table row count for the bytes policy — counted ONCE per
+    * mode from the actual SPARK_GRAFT_SF_DIR instead of a hardcoded
+    * sf0.1 constant, so the sweep's parts column states the real
+    * policy at any scale factor (ADVICE r12). */
+  private def baseDocRows(spark: SparkSession, d: String): Long =
+    Tables.documents(spark, d).count()
+
+  private def baseVecRows(spark: SparkSession, d: String): Long =
+    Tables.embeddings(spark, d).count()
+
   private def bytesPolicy(spark: SparkSession, rows: Long,
       bytesPerRow: Long): Int = {
     val parts = graft.GraftSession.shufflePartitionsForBytes(
@@ -133,8 +143,9 @@ object ScaleR13 {
     // warmup (JIT + codegen) outside the measured octaves
     graft.text.TextAnalysis.docPackingOf(amplifiedDocs(spark, d, 1))
       .agg(sum(col("pack_id"))).collect()
+    val baseRows = baseDocRows(spark, d)
     for (mult <- mults(Seq(64, 256, 1024, 4096, 16384))) {
-      val parts = bytesPolicy(spark, mult * 5000L, 1200L)
+      val parts = bytesPolicy(spark, mult * baseRows, 1200L)
       val docs = amplifiedDocs(spark, d, mult)
       docs.persist() // both sides read the same input; charge neither
       val n = docs.count()
@@ -167,8 +178,9 @@ object ScaleR13 {
 
   private def topk(spark: SparkSession, d: String): Unit = {
     graft.functions.VectorFunctions.register(spark)
+    val baseRows = baseVecRows(spark, d)
     for (mult <- mults(Seq(1, 8, 64))) {
-      val parts = bytesPolicy(spark, mult * 2000L, 64 * 8L)
+      val parts = bytesPolicy(spark, mult * baseRows, 64 * 8L)
       val all = amplifiedVecs(spark, d, mult).persist()
       val n = all.count()
       val q = all.filter(col("vec_id") < 10)
@@ -215,9 +227,10 @@ object ScaleR13 {
   // ---------------------------------------------------- keyedparts --
 
   private def keyedParts(spark: SparkSession, d: String): Unit = {
+    val baseRows = baseDocRows(spark, d)
     for (mult <- mults(Seq(1024, 4096))) {
       val requested = 1024
-      bytesPolicy(spark, mult * 5000L, 1200L)
+      bytesPolicy(spark, mult * baseRows, 1200L)
       val docs = amplifiedDocs(spark, d, mult)
         .withColumn("n_chars", length(col("text")))
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -263,8 +276,9 @@ object ScaleR13 {
   // ------------------------------------------------------- shingle --
 
   private def shingle(spark: SparkSession, d: String): Unit = {
+    val baseRows = baseDocRows(spark, d)
     for (mult <- mults(Seq(4, 16, 64))) {
-      val parts = bytesPolicy(spark, mult * 5000L, 1200L)
+      val parts = bytesPolicy(spark, mult * baseRows, 1200L)
       // copies must NOT be near-duplicates of each other (identical
       // text would make every copy pair a jaccard-1.0 candidate —
       // quadratic pairs, nothing like real corpus growth; the first

@@ -304,6 +304,27 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("an overflow-sized groupBound cannot trick the gate into a forced " +
+    "broadcast: the parts × bound budget is checked by division, so a " +
+    "negative product can never read as under-budget (ADVICE r12)") {
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    // parts=2 × (2^62 − 1) overflows Long to −2 ≤ 2^20 — the pre-fix
+    // gate passed and hint-forced the join with an untrippable guard
+    val huge = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+      false, $"doc_id", "rk", partitions = 2,
+      groupBound = Long.MaxValue / 2)
+    val lp = huge.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint") && !lp.contains("broadcast"),
+      s"an over-budget bound must drop the hint, not overflow past it:\n$lp")
+    // and the unhinted plan still ranks correctly
+    val want = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
+        false, $"doc_id", "rk", partitions = 2, groupBound = 32)
+      .select($"doc_id", $"rk").as[(Long, Long)].collect().toMap
+    val got = huge.select($"doc_id", $"rk").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("primary longs past 2^53 rank EXACTLY with a plain tiebreak: the " +
     "window orders by the original primary, the double only buckets") {
     val base = (1L << 53)

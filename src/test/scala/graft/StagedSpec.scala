@@ -80,4 +80,23 @@ class StagedSpec extends SparkSpec {
     assert(eventually()(staged.storageLevel === StorageLevel.NONE),
       "unconsumed stage must release after the activity TTL")
   }
+
+  test("MaxArmed evict-oldest: arming past the cap releases the oldest " +
+    "scope even on a session that never EXECUTES anything (the event " +
+    "TTL never ticks on an idle session — ADVICE r12)") {
+    val oldest = Staged.stage((1 to 10).toDF("x"))
+    oldest.count() // materialize (as the operators' eager passes do)
+    Staged.releaseAfter(oldest.filter(col("x") > 1), oldest)
+    assert(oldest.storageLevel !== StorageLevel.NONE)
+    // build-only churn: plans armed but never executed; 2× the cap so
+    // the oldest scope is guaranteed out of the bounded queue window
+    for (i <- 0 until Staged.MaxArmed * 2) {
+      val s = Staged.stage((1 to 3).toDF("c"))
+      Staged.releaseAfter(s.filter(col("c") > i % 3), s)
+    }
+    // eviction is synchronous on the arming call — no listener event
+    // (and hence no eventually()) involved
+    assert(oldest.storageLevel === StorageLevel.NONE,
+      "the cap must evict the oldest armed scope")
+  }
 }
