@@ -716,6 +716,129 @@ object TextAnalysis extends QueryPack {
     }
   }
 
+  /** Chunk width (documents) of the best-fit packer. Best-fit state is
+    * the open-bin load list — inherently sequential — so the scale
+    * answer is BLOCK best-fit: keyed-rank each stratum in length-desc
+    * order, split it into rank-contiguous chunks of this many docs,
+    * and fold each chunk independently (bins never span chunks).
+    * Interpolated into BOTH the Scala fold and the DuckDB oracle. */
+  private[graft] val BestFitChunk = 256
+
+  /** Best-fit-DECREASING packer over the same (source, quartile)
+    * strata as [[packByLength]] — the other side of the trade
+    * [[packEfficiency]] measures: contiguous fill is pad-optimal
+    * (⌈tokens/B⌉ bins per stratum) but SPLITS every document that
+    * straddles a bin boundary across training sequences; best-fit
+    * places each document WHOLE into the fullest open bin it fits
+    * (ties → lowest bin id), paying bin fragmentation to buy zero
+    * splits. Only documents longer than [[PackBin]] still overflow —
+    * each gets a singleton bin. Decreasing length order is the classic
+    * BFD quality heuristic (big rocks first).
+    *
+    * Scale shape: the fold is sequential BY NATURE, so the plan blocks
+    * it instead of serializing a stratum through one task — one keyed
+    * rank per stratum (bucket-sized tasks, never a per-stratum
+    * window), then rank-contiguous chunks of [[BestFitChunk]] docs,
+    * each folded independently inside one aggregate row: state and
+    * sort are bounded at the chunk width, parallelism is #chunks
+    * (corpus-proportional), and pack ids are chunk-local
+    * (chunk · C + bin), so chunks need no cross-coordination. The fold
+    * itself is a Catalyst `aggregate` HOF over the collected chunk —
+    * expression-evaluated, no UDF, no Encoder round-trip. */
+  def packBestFit(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    packBestFitOf(
+      graft.queries.Extended.quartileBinsOf(docs, 4)
+        .select("doc_id", "source", "quartile", "n_tokens"),
+      BestFitChunk)
+  }
+
+  /** Same over any (doc_id, source, quartile, n_tokens) frame with an
+    * explicit chunk width — exposed so the spec can pin the best-fit
+    * choice rule, cross-chunk numbering, and partitioning invariance
+    * on constructed corpora. */
+  private[graft] def packBestFitOf(binned: DataFrame,
+      chunkDocs: Int): DataFrame = {
+    val B = PackBin
+    // the tightest feasible bin = max load still accepting the doc;
+    // ties resolve to the LOWEST bin id via array_position's
+    // first-occurrence semantics (DuckDB's list_position matches)
+    val bestLoad = s"array_max(filter(acc.loads, l -> l + d.n_tokens <= $B))"
+    graft.operators.Staged.scoped(binned) { staged =>
+      graft.operators.GroupRank.withGroupRankBy(staged,
+          Seq("source", "quartile"), col("n_tokens"), primaryDesc = true,
+          col("doc_id"), "rk", groupBound = 256)
+        .withColumn("chunk", expr(s"(rk - 1) div $chunkDocs"))
+        .groupBy("source", "quartile", "chunk")
+        // ≤ chunkDocs structs per row — the fold's bounded working set
+        .agg(array_sort(collect_list(struct(col("rk"), col("doc_id"),
+          col("n_tokens")))).as("docs"))
+        .withColumn("bins", expr(
+          s"""aggregate(docs,
+             |  named_struct(
+             |    'loads', cast(array() as array<bigint>),
+             |    'bins',  cast(array() as array<bigint>)),
+             |  (acc, d) -> named_struct(
+             |    'loads', case when $bestLoad is null
+             |      then concat(acc.loads, array(d.n_tokens))
+             |      else transform(acc.loads, (l, i) ->
+             |        if(i = cast(array_position(acc.loads, $bestLoad) as int) - 1,
+             |           l + d.n_tokens, l)) end,
+             |    'bins', concat(acc.bins, array(case when $bestLoad is null
+             |      then cast(size(acc.loads) as bigint)
+             |      else array_position(acc.loads, $bestLoad) - 1 end))),
+             |  acc -> acc.bins)""".stripMargin))
+        .select(col("source"), col("quartile"), col("chunk"),
+          explode(arrays_zip(col("docs"), col("bins"))).as("z"))
+        .select(col("source"), col("quartile"),
+          col("z.docs.doc_id").as("doc_id"),
+          col("z.docs.n_tokens").as("n_tokens"),
+          (col("chunk") * chunkDocs + col("z.bins")).as("pack_id"))
+        .orderBy("source", "quartile", "doc_id")
+    }
+  }
+
+  /** Contiguous-fill vs best-fit as ONE hash-checked A/B row per
+    * source — the registered form of the trade the two packers make:
+    * [[packByLength]]'s fill is pad-optimal but splits straddling
+    * docs; [[packBestFit]] splits nothing (only over-[[PackBin]] docs
+    * overflow) but opens extra bins. Columns: contiguous packs
+    * (Σ per-stratum ⌈tokens/B⌉) and straddle count vs best-fit packs
+    * (distinct bins opened) and oversize count, plus the all-integer
+    * bins ratio in ppm (10⁶ = same bin count; above = the
+    * fragmentation best-fit paid). Two keyed passes + model-sized
+    * aggregates — no new corpus shape beyond its two inputs. */
+  def packTradeoff(spark: SparkSession, d: String): DataFrame = {
+    val B = PackBin
+    val contig = packByLength(spark, d)
+      .groupBy("source", "quartile")
+      .agg(count(lit(1)).as("q_docs"),
+        sum(col("n_tokens")).as("q_tokens"),
+        sum(when(expr(s"tokens_before div $B") =!=
+          expr(s"(tokens_before + n_tokens - 1) div $B"), lit(1L))
+          .otherwise(lit(0L))).as("q_straddles"))
+      .groupBy("source")
+      .agg(sum(col("q_docs")).as("n_docs"),
+        sum(col("q_tokens")).as("tokens"),
+        sum(expr(s"(q_tokens + ${B - 1}) div $B")).as("packs_contig"),
+        sum(col("q_straddles")).as("straddles_contig"))
+    val bf = packBestFit(spark, d)
+      .groupBy("source")
+      .agg(countDistinct(col("quartile"), col("pack_id"))
+          .as("packs_bestfit"),
+        sum(when(col("n_tokens") > B, lit(1L)).otherwise(lit(0L)))
+          .as("oversize_bestfit"))
+    contig.join(bf, "source")
+      .withColumn("bins_ratio_ppm",
+        expr("packs_bestfit * 1000000L div packs_contig"))
+      .select("source", "n_docs", "tokens", "packs_contig",
+        "straddles_contig", "packs_bestfit", "oversize_bestfit",
+        "bins_ratio_ppm")
+      .orderBy("source")
+  }
+
   /** Sequence-PACKING efficiency report — the quality side of
     * [[docPacking]]'s contiguous fill: packing wastes almost no pad
     * (only the final partial bin per source), but every document that
@@ -1585,7 +1708,9 @@ object TextAnalysis extends QueryPack {
     "doc_chunks" -> docChunks,
     "doc_packing" -> docPacking,
     "pack_by_length" -> packByLength,
+    "pack_best_fit" -> packBestFit,
     "pack_efficiency" -> packEfficiency,
+    "pack_tradeoff" -> packTradeoff,
     "corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "mix_temperature" -> mixTemperature,
     "split_stratified" -> splitStratified,
@@ -2138,6 +2263,131 @@ object TextAnalysis extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // $PackBin AS pack_id
         |FROM q ORDER BY source, quartile, doc_id""".stripMargin,
+    // the SAME block-BFD greedy fold, recomputed as a recursive CTE
+    // over list state: per (source, quartile, chunk), docs advance in
+    // rank order (length desc, doc_id), each choosing the max feasible
+    // load (ties → first position) or opening a new bin — the
+    // token_budget_admission recursive-fold template extended from a
+    // one-long state to a bin-load list. Constants are the shared
+    // PackBin / BestFitChunk fields, so the engines cannot drift.
+    "pack_best_fit" -> {
+      val B = PackBin; val C = BestFitChunk
+      val best = s"list_max(list_filter(f.loads, l -> l + d.n_tokens <= $B))"
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(NTILE(4) OVER (PARTITION BY source
+         |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, quartile
+         |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+         |  FROM q),
+         |c AS (
+         |  SELECT *, (rk - 1) // $C AS chunk,
+         |         rk - ((rk - 1) // $C) * $C AS crn
+         |  FROM r),
+         |fit AS (
+         |  SELECT source, quartile, chunk, doc_id, n_tokens, crn,
+         |         CAST(0 AS BIGINT) AS bin, [n_tokens] AS loads
+         |  FROM c WHERE crn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.quartile, d.chunk, d.doc_id, d.n_tokens, d.crn,
+         |    CASE WHEN $best IS NULL
+         |         THEN CAST(len(f.loads) AS BIGINT)
+         |         ELSE CAST(list_position(f.loads, $best) - 1 AS BIGINT)
+         |    END,
+         |    CASE WHEN $best IS NULL
+         |         THEN list_append(f.loads, d.n_tokens)
+         |         ELSE list_transform(generate_series(1, len(f.loads)),
+         |                i -> CASE WHEN i = list_position(f.loads, $best)
+         |                     THEN f.loads[i] + d.n_tokens
+         |                     ELSE f.loads[i] END)
+         |    END
+         |  FROM fit f JOIN c d
+         |    ON d.source = f.source AND d.quartile = f.quartile
+         |   AND d.chunk = f.chunk AND d.crn = f.crn + 1)
+         |SELECT source, quartile, doc_id, n_tokens,
+         |       chunk * $C + bin AS pack_id
+         |FROM fit ORDER BY source, quartile, doc_id""".stripMargin
+    },
+    // both packers' bin economics per source, over the same NTILE
+    // strata: contiguous packs/straddles from the stratum cumsum,
+    // best-fit packs from the recursive fold's distinct bins
+    "pack_tradeoff" -> {
+      val B = PackBin; val C = BestFitChunk
+      val best = s"list_max(list_filter(f.loads, l -> l + d.n_tokens <= $B))"
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(NTILE(4) OVER (PARTITION BY source
+         |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+         |  FROM documents),
+         |fillq AS (
+         |  SELECT source, quartile, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens)
+         |      OVER (PARTITION BY source, quartile ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tb
+         |  FROM q),
+         |strat AS (
+         |  SELECT source, quartile, COUNT(*) AS q_docs,
+         |         SUM(n_tokens) AS q_tokens,
+         |         SUM(CASE WHEN tb // $B <> (tb + n_tokens - 1) // $B
+         |                  THEN 1 ELSE 0 END) AS q_straddles
+         |  FROM fillq GROUP BY source, quartile),
+         |contig AS (
+         |  SELECT source, CAST(SUM(q_docs) AS BIGINT) AS n_docs,
+         |         CAST(SUM(q_tokens) AS BIGINT) AS tokens,
+         |         CAST(SUM((q_tokens + ${B - 1}) // $B) AS BIGINT)
+         |           AS packs_contig,
+         |         CAST(SUM(q_straddles) AS BIGINT) AS straddles_contig
+         |  FROM strat GROUP BY source),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, quartile
+         |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+         |  FROM q),
+         |c AS (
+         |  SELECT *, (rk - 1) // $C AS chunk,
+         |         rk - ((rk - 1) // $C) * $C AS crn
+         |  FROM r),
+         |fit AS (
+         |  SELECT source, quartile, chunk, doc_id, n_tokens, crn,
+         |         CAST(0 AS BIGINT) AS bin, [n_tokens] AS loads
+         |  FROM c WHERE crn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.quartile, d.chunk, d.doc_id, d.n_tokens, d.crn,
+         |    CASE WHEN $best IS NULL
+         |         THEN CAST(len(f.loads) AS BIGINT)
+         |         ELSE CAST(list_position(f.loads, $best) - 1 AS BIGINT)
+         |    END,
+         |    CASE WHEN $best IS NULL
+         |         THEN list_append(f.loads, d.n_tokens)
+         |         ELSE list_transform(generate_series(1, len(f.loads)),
+         |                i -> CASE WHEN i = list_position(f.loads, $best)
+         |                     THEN f.loads[i] + d.n_tokens
+         |                     ELSE f.loads[i] END)
+         |    END
+         |  FROM fit f JOIN c d
+         |    ON d.source = f.source AND d.quartile = f.quartile
+         |   AND d.chunk = f.chunk AND d.crn = f.crn + 1),
+         |bins AS (
+         |  SELECT DISTINCT source, quartile, chunk * $C + bin AS pack_id
+         |  FROM fit),
+         |bf AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS packs_bestfit
+         |  FROM bins GROUP BY source),
+         |ovs AS (
+         |  SELECT source,
+         |         CAST(SUM(CASE WHEN n_tokens > $B THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS oversize_bestfit
+         |  FROM q GROUP BY source)
+         |SELECT source, n_docs, tokens, packs_contig, straddles_contig,
+         |       packs_bestfit, oversize_bestfit,
+         |       packs_bestfit * 1000000 // packs_contig AS bins_ratio_ppm
+         |FROM contig JOIN bf USING (source) JOIN ovs USING (source)
+         |ORDER BY source""".stripMargin
+    },
     // all-integer straddle math (start bin <> end bin) over the same
     // per-source contiguous-fill cumsum the doc_packing oracle uses
     "pack_efficiency" ->

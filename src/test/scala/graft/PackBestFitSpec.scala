@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** [[graft.text.TextAnalysis.packBestFit]] — the block
+  * best-fit-decreasing packer. The sf0.01 hash gate exercises the fold
+  * against DuckDB's recursive-CTE twin on real strata; these tests pin
+  * the CHOICE RULE itself (tightest-feasible-bin, ties → lowest id,
+  * oversize → singleton), the cross-chunk id arithmetic the small
+  * scale factors never reach, and partitioning invariance. */
+class PackBestFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def binned(rows: (Long, String, Long, Long)*) =
+    rows.toDF("doc_id", "source", "quartile", "n_tokens")
+
+  private def packs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+
+  test("best-fit-decreasing choice rule: tightest feasible bin wins, " +
+    "ties go to the lowest bin id, fit-to-exactly-B is feasible") {
+    // one stratum, B = 512, sizes 400/200/100/100/12 in decreasing
+    // order: 400→bin0; 200 doesn't fit bin0 (600)→bin1; first 100 fits
+    // both (500, 300) — the TIGHTER 400 wins→bin0; second 100 no
+    // longer fits bin0 (600)→bin1; 12 fits bin0 EXACTLY (500+12=512,
+    // ≤ is feasible) and bin1 — tighter bin0 wins
+    val got = packs(TextAnalysis.packBestFitOf(binned(
+      (1L, "a", 1L, 400L), (2L, "a", 1L, 200L), (3L, "a", 1L, 100L),
+      (4L, "a", 1L, 100L), (5L, "a", 1L, 12L)), chunkDocs = 256))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("equal loads tie-break to the FIRST (lowest) bin id, matching " +
+    "DuckDB list_position's first-occurrence semantics") {
+    // 300,300 open bins [300,300]; 200 fits both at equal load → bin0
+    val got = packs(TextAnalysis.packBestFitOf(binned(
+      (1L, "a", 1L, 300L), (2L, "a", 1L, 300L), (3L, "a", 1L, 200L),
+      (4L, "a", 1L, 200L), (5L, "a", 1L, 100L)), chunkDocs = 256))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("an over-PackBin document gets a singleton bin that never " +
+    "accepts another doc — best-fit splits NOTHING, it overflows") {
+    val got = packs(TextAnalysis.packBestFitOf(binned(
+      (1L, "a", 1L, 600L), (2L, "a", 1L, 500L), (3L, "a", 1L, 100L)),
+      chunkDocs = 256))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("strata fold independently; equal-length ties order by doc_id") {
+    val got = packs(TextAnalysis.packBestFitOf(binned(
+      // quartile 1: 300+212 fit exactly; quartile 2 is separate bins
+      (1L, "a", 1L, 300L), (2L, "a", 1L, 212L),
+      (3L, "a", 2L, 400L), (4L, "a", 2L, 400L)), chunkDocs = 256))
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("cross-chunk numbering: bins never span chunks; pack_id = " +
+    "chunk · C + local bin (rank-contiguous chunks of C docs)") {
+    // C = 2 over 5 docs (desc ranks 1..5): chunk0 = {300,300} → bins
+    // 0,1; chunk1 = {200,200} → one shared bin → pack 1·2+0 = 2;
+    // chunk2 = {100} → pack 2·2+0 = 4
+    val got = packs(TextAnalysis.packBestFitOf(binned(
+      (1L, "a", 1L, 300L), (2L, "a", 1L, 300L), (3L, "a", 1L, 200L),
+      (4L, "a", 1L, 200L), (5L, "a", 1L, 100L)), chunkDocs = 2))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 4L))
+  }
+
+  test("partitioning invariance + bin-capacity invariant on real data") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val b = graft.queries.Extended.quartileBinsOf(docs, 4)
+      .select("doc_id", "source", "quartile", "n_tokens")
+    val one = packs(TextAnalysis.packBestFitOf(b.repartition(1), 8))
+    val many = packs(TextAnalysis.packBestFitOf(b.repartition(7), 8))
+    assert(one === many, "placement must not depend on partitioning")
+    // every doc placed exactly once, and no bin over capacity (all
+    // sf0.001 docs are far under PackBin, so no singleton exemption)
+    val loads = TextAnalysis.packBestFitOf(b, 8)
+      .groupBy("source", "quartile", "pack_id")
+      .agg(sum("n_tokens").as("load"))
+    assert(loads.filter(col("load") > TextAnalysis.PackBin).count() === 0L)
+    assert(one.size.toLong === docs.count())
+  }
+}

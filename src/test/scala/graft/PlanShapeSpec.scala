@@ -300,10 +300,15 @@ class PlanShapeSpec extends SparkSpec {
     // with the __b bucket column
     val collapsed =
       """\], \[source#\d+(, quartile#\d+L?)?\], \[(doc_id|chunk_idx)#""".r
+    // pack_best_fit/pack_tradeoff: the BFD fold itself is a bounded
+    // chunk aggregate (no window at all); the law checks its keyed
+    // RANK never degrades to a per-stratum window either
     for ((name, q) <- Seq(
         "doc_packing" -> text.TextAnalysis.docPacking(spark, sf0001),
         "pack_by_length" -> text.TextAnalysis.packByLength(spark, sf0001),
+        "pack_best_fit" -> text.TextAnalysis.packBestFit(spark, sf0001),
         "pack_efficiency" -> text.TextAnalysis.packEfficiency(spark, sf0001),
+        "pack_tradeoff" -> text.TextAnalysis.packTradeoff(spark, sf0001),
         "corpus_build" -> text.TextAnalysis.corpusBuild(spark, sf0001))) {
       val p = planOf(q)
       assert(collapsed.findFirstIn(p).isEmpty,
