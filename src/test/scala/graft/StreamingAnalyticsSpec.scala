@@ -620,6 +620,56 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(cum === 90L)
   }
 
+  test("PROPERTY: admission is batch-boundary-invariant — ANY split of " +
+    "the doc_id-ordered feed into micro-batches (sources arbitrarily " +
+    "interleaved) yields the identical ledger as one single batch") {
+    // the registered harness feeds five contiguous batches; this pins
+    // the operator's actual cross-batch claim: state carry makes WHERE
+    // the micro-batch boundaries fall irrelevant. The fold below is
+    // exactly tokenBudgetStream's per-trigger body (per source group,
+    // admitStep over the carried long) — the pure kernel, so ScalaCheck
+    // can drive hundreds of splits without a streaming query each.
+    import StreamingAnalytics.{BudgetDoc, BudgetOut, admitStep}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def fold(batches: Seq[Seq[BudgetDoc]], budget: Long): Seq[BudgetOut] = {
+      val state = scala.collection.mutable.Map.empty[String, Long]
+      batches.flatMap(_.groupBy(_.source).toSeq.sortBy(_._1).flatMap {
+        case (s, docs) =>
+          val (cum, out) = admitStep(state.getOrElse(s, 0L), docs, budget)
+          state(s) = cum
+          out
+      })
+    }
+    def ledger(out: Seq[BudgetOut]) =
+      out.map(o => o.doc_id -> ((o.source, o.n_tokens, o.cum_tokens,
+        o.admitted))).toMap
+    val genCase = for {
+      n <- Gen.choose(0, 60)
+      sources <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+      tokens <- Gen.listOfN(n, Gen.choose(0L, 150L))
+      cuts <- Gen.listOf(Gen.choose(1, math.max(1, n)))
+    } yield {
+      val docs = sources.zip(tokens).zipWithIndex.map {
+        case ((s, t), i) => BudgetDoc(s, i.toLong, t)
+      }
+      // cut the doc_id-ordered feed at arbitrary positions — every
+      // batch is a contiguous slice, sources interleave freely
+      val bounds = (cuts.distinct.sorted :+ n).distinct
+      val batches = bounds.foldLeft((Seq.empty[Seq[BudgetDoc]], 0)) {
+        case ((acc, from), to) => (acc :+ docs.slice(from, to), to)
+      }._1
+      (docs, batches)
+    }
+    val prop = Prop.forAll(genCase) { case (docs, batches) =>
+      val split = ledger(fold(batches, budget = 100L))
+      val whole = ledger(fold(Seq(docs), budget = 100L))
+      split == whole && split.size == docs.size
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("streaming token-budget admission carries the per-source total " +
     "across micro-batches (flatMapGroupsWithState, bounded state)") {
     import StreamingAnalytics.{BudgetDoc, BudgetOut}
