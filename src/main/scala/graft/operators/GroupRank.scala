@@ -201,11 +201,17 @@ object GroupRank {
           // here is a full extra lineage replay at plan-CONSTRUCTION
           // time (ADVICE r12) — on an unstaged expensive input that is
           // a fourth corpus pass. Prefer the optimizer's row-count stat
-          // (exact for local/materialized-cache relations, free to
-          // read); only when the plan carries none fall back to a
-          // column-pruned count over the key alone — Catalyst prunes
-          // every other projection out of that job, so tokenization /
-          // wide decodes upstream of the key never execute for it.
+          // when the plan carries one (free to read; exact for local /
+          // materialized-cache relations, an ESTIMATE elsewhere — e.g.
+          // a limit's stat is the limit value even when fewer rows
+          // exist). A mis-estimate only mis-sizes the SAMPLE: too high
+          // → fewer samples → noisier boundaries (parallelism skew),
+          // too low → sketch over more rows than the cap (slower) —
+          // never a rank, since boundaries only place buckets. Only
+          // when the plan carries no stat fall back to a column-pruned
+          // count over the key alone — Catalyst prunes every other
+          // projection out of that job, so tokenization / wide decodes
+          // upstream of the key never execute for it.
           val n = df.queryExecution.optimizedPlan.stats.rowCount
             .map(_.longValue)
             .getOrElse(df.select(keyCol).count())

@@ -69,6 +69,10 @@ object Staged {
     private val unrelated = new java.util.concurrent.atomic.AtomicInteger
     def release(): Unit =
       if (released.compareAndSet(false, true)) {
+        // leave the cap queue too — a released scope must not occupy
+        // an eviction slot, or 8 completed scopes would evict the one
+        // still-live scope long before its 64-event TTL
+        armed.remove(this)
         frames.foreach(_.unpersist(blocking = false))
         spark.listenerManager.unregister(this)
       }
@@ -124,13 +128,16 @@ object Staged {
     spark.listenerManager.register(listener)
     armed.add(listener)
     // evict-oldest keeps armed listeners (and their caches) bounded
-    // even on a session that never executes anything. Already-released
-    // listeners linger in the queue until polled here (their release()
-    // is an idempotent no-op), so the queue itself is also bounded at
-    // MaxArmed + 1 entries after every arm.
+    // even on a session that never executes anything; released scopes
+    // remove themselves from the queue, so only LIVE scopes occupy cap
+    // slots. Eviction is best-effort cleanup of someone ELSE's scope —
+    // a failing unpersist there (e.g. its session was stopped) must
+    // not break this caller's construction.
     while (armed.size > MaxArmed) {
       val oldest = armed.poll()
-      if (oldest != null) oldest.release()
+      if (oldest != null)
+        try oldest.release()
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     result
   }

@@ -570,6 +570,16 @@ object StreamingAnalytics {
     * ([[graft.text.TextAnalysis.oracles]]) — a single edit point. */
   private[graft] val AdmissionBudget = 1300L
 
+  /** Hard ceiling on the MemoryStream HARNESS feed (and thus the
+    * ledger) this registered row collects onto the driver. The collect
+    * is inherent to the harness, not the operator — but the row sits
+    * in the standard registry, so a registry-wide sweep over an
+    * amplified corpus must fail LOUD here instead of silently driving
+    * the driver to OOM (ADVICE r12). 2²⁰ docs ≈ tens of MB of
+    * (source, id, tokens) triples — far above every verify/bench scale
+    * factor, far below driver memory. */
+  private[graft] val AdmissionHarnessMaxRows = 1L << 20
+
   /** REGISTERED stream-equivalence row for [[tokenBudgetStream]]
     * (VERDICT r11 #6): feed the scale-factor documents through a
     * MemoryStream in five doc_id-contiguous micro-batches, run the
@@ -586,16 +596,6 @@ object StreamingAnalytics {
     * corpus size. Arrival order is doc_id order here because the batch
     * twin must be SQL-expressible; streaming admission in general is
     * arrival-order (scaladoc above). */
-  /** Hard ceiling on the MemoryStream HARNESS feed (and thus the
-    * ledger) this registered row collects onto the driver. The collect
-    * is inherent to the harness, not the operator — but the row sits
-    * in the standard registry, so a registry-wide sweep over an
-    * amplified corpus must fail LOUD here instead of silently driving
-    * the driver to OOM (ADVICE r12). 2²⁰ docs ≈ tens of MB of
-    * (source, id, tokens) triples — far above every verify/bench scale
-    * factor, far below driver memory. */
-  private[graft] val AdmissionHarnessMaxRows = 1L << 20
-
   def tokenBudgetAdmission(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -650,7 +650,7 @@ object TextAnalysis extends QueryPack {
     * ⌊prefix / PackBin⌋ bin id. ONE body, so the fill semantics cannot
     * drift between `doc_packing` / `pack_by_length` / `corpus_build`
     * and the DuckDB oracle shape they all share. */
-  private def contiguousFill(df: DataFrame, groupCols: Seq[String],
+  private[graft] def contiguousFill(df: DataFrame, groupCols: Seq[String],
       primary: Column, tieBreak: Column, value: Column,
       groupBound: Long): DataFrame =
     graft.operators.GroupRank.withRunningSumBy(
@@ -760,44 +760,49 @@ object TextAnalysis extends QueryPack {
     * choice rule, cross-chunk numbering, and partitioning invariance
     * on constructed corpora. */
   private[graft] def packBestFitOf(binned: DataFrame,
+      chunkDocs: Int): DataFrame =
+    graft.operators.Staged.scoped(binned)(packBestFitCore(_, chunkDocs))
+
+  /** The rank + blocked fold itself, over an already-staged binned
+    * frame — split out so [[packTradeoff]] can share ONE staged
+    * stratum frame between both packers. */
+  private def packBestFitCore(staged: DataFrame,
       chunkDocs: Int): DataFrame = {
     val B = PackBin
     // the tightest feasible bin = max load still accepting the doc;
     // ties resolve to the LOWEST bin id via array_position's
     // first-occurrence semantics (DuckDB's list_position matches)
     val bestLoad = s"array_max(filter(acc.loads, l -> l + d.n_tokens <= $B))"
-    graft.operators.Staged.scoped(binned) { staged =>
-      graft.operators.GroupRank.withGroupRankBy(staged,
-          Seq("source", "quartile"), col("n_tokens"), primaryDesc = true,
-          col("doc_id"), "rk", groupBound = 256)
-        .withColumn("chunk", expr(s"(rk - 1) div $chunkDocs"))
-        .groupBy("source", "quartile", "chunk")
-        // ≤ chunkDocs structs per row — the fold's bounded working set
-        .agg(array_sort(collect_list(struct(col("rk"), col("doc_id"),
-          col("n_tokens")))).as("docs"))
-        .withColumn("bins", expr(
-          s"""aggregate(docs,
-             |  named_struct(
-             |    'loads', cast(array() as array<bigint>),
-             |    'bins',  cast(array() as array<bigint>)),
-             |  (acc, d) -> named_struct(
-             |    'loads', case when $bestLoad is null
-             |      then concat(acc.loads, array(d.n_tokens))
-             |      else transform(acc.loads, (l, i) ->
-             |        if(i = cast(array_position(acc.loads, $bestLoad) as int) - 1,
-             |           l + d.n_tokens, l)) end,
-             |    'bins', concat(acc.bins, array(case when $bestLoad is null
-             |      then cast(size(acc.loads) as bigint)
-             |      else array_position(acc.loads, $bestLoad) - 1 end))),
-             |  acc -> acc.bins)""".stripMargin))
-        .select(col("source"), col("quartile"), col("chunk"),
-          explode(arrays_zip(col("docs"), col("bins"))).as("z"))
-        .select(col("source"), col("quartile"),
-          col("z.docs.doc_id").as("doc_id"),
-          col("z.docs.n_tokens").as("n_tokens"),
-          (col("chunk") * chunkDocs + col("z.bins")).as("pack_id"))
-        .orderBy("source", "quartile", "doc_id")
-    }
+    graft.operators.GroupRank.withGroupRankBy(staged,
+        Seq("source", "quartile"), col("n_tokens"), primaryDesc = true,
+        col("doc_id"), "rk", groupBound = 256)
+      .withColumn("chunk", expr(s"(rk - 1) div $chunkDocs"))
+      .groupBy("source", "quartile", "chunk")
+      // ≤ chunkDocs structs per row — the fold's bounded working set
+      .agg(array_sort(collect_list(struct(col("rk"), col("doc_id"),
+        col("n_tokens")))).as("docs"))
+      .withColumn("bins", expr(
+        s"""aggregate(docs,
+           |  named_struct(
+           |    'loads', cast(array() as array<bigint>),
+           |    'bins',  cast(array() as array<bigint>)),
+           |  (acc, d) -> named_struct(
+           |    'loads', case when $bestLoad is null
+           |      then concat(acc.loads, array(d.n_tokens))
+           |      else transform(acc.loads, (l, i) ->
+           |        if(i = cast(array_position(acc.loads, $bestLoad) as int) - 1,
+           |           l + d.n_tokens, l)) end,
+           |    'bins', concat(acc.bins, array(case when $bestLoad is null
+           |      then cast(size(acc.loads) as bigint)
+           |      else array_position(acc.loads, $bestLoad) - 1 end))),
+           |  acc -> acc.bins)""".stripMargin))
+      .select(col("source"), col("quartile"), col("chunk"),
+        explode(arrays_zip(col("docs"), col("bins"))).as("z"))
+      .select(col("source"), col("quartile"),
+        col("z.docs.doc_id").as("doc_id"),
+        col("z.docs.n_tokens").as("n_tokens"),
+        (col("chunk") * chunkDocs + col("z.bins")).as("pack_id"))
+      .orderBy("source", "quartile", "doc_id")
   }
 
   /** Contiguous-fill vs best-fit as ONE hash-checked A/B row per
@@ -812,31 +817,42 @@ object TextAnalysis extends QueryPack {
     * aggregates — no new corpus shape beyond its two inputs. */
   def packTradeoff(spark: SparkSession, d: String): DataFrame = {
     val B = PackBin
-    val contig = packByLength(spark, d)
-      .groupBy("source", "quartile")
-      .agg(count(lit(1)).as("q_docs"),
-        sum(col("n_tokens")).as("q_tokens"),
-        sum(when(expr(s"tokens_before div $B") =!=
-          expr(s"(tokens_before + n_tokens - 1) div $B"), lit(1L))
-          .otherwise(lit(0L))).as("q_straddles"))
-      .groupBy("source")
-      .agg(sum(col("q_docs")).as("n_docs"),
-        sum(col("q_tokens")).as("tokens"),
-        sum(expr(s"(q_tokens + ${B - 1}) div $B")).as("packs_contig"),
-        sum(col("q_straddles")).as("straddles_contig"))
-    val bf = packBestFit(spark, d)
-      .groupBy("source")
-      .agg(countDistinct(col("quartile"), col("pack_id"))
-          .as("packs_bestfit"),
-        sum(when(col("n_tokens") > B, lit(1L)).otherwise(lit(0L)))
-          .as("oversize_bestfit"))
-    contig.join(bf, "source")
-      .withColumn("bins_ratio_ppm",
-        expr("packs_bestfit * 1000000L div packs_contig"))
-      .select("source", "n_docs", "tokens", "packs_contig",
-        "straddles_contig", "packs_bestfit", "oversize_bestfit",
-        "bins_ratio_ppm")
-      .orderBy("source")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // bin ONCE and share the staged stratum frame between both
+    // packers — calling packByLength + packBestFit separately would
+    // pay the tokenization and the quartile keyed rank twice
+    graft.operators.Staged.scoped(
+      graft.queries.Extended.quartileBinsOf(docs, 4)
+        .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
+      val contig = contiguousFill(binned, Seq("source", "quartile"),
+          col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 256)
+        .groupBy("source", "quartile")
+        .agg(count(lit(1)).as("q_docs"),
+          sum(col("n_tokens")).as("q_tokens"),
+          sum(when(expr(s"tokens_before div $B") =!=
+            expr(s"(tokens_before + n_tokens - 1) div $B"), lit(1L))
+            .otherwise(lit(0L))).as("q_straddles"))
+        .groupBy("source")
+        .agg(sum(col("q_docs")).as("n_docs"),
+          sum(col("q_tokens")).as("tokens"),
+          sum(expr(s"(q_tokens + ${B - 1}) div $B")).as("packs_contig"),
+          sum(col("q_straddles")).as("straddles_contig"))
+      val bf = packBestFitCore(binned, BestFitChunk)
+        .groupBy("source")
+        .agg(countDistinct(col("quartile"), col("pack_id"))
+            .as("packs_bestfit"),
+          sum(when(col("n_tokens") > B, lit(1L)).otherwise(lit(0L)))
+            .as("oversize_bestfit"))
+      contig.join(bf, "source")
+        .withColumn("bins_ratio_ppm",
+          expr("packs_bestfit * 1000000L div packs_contig"))
+        .select("source", "n_docs", "tokens", "packs_contig",
+          "straddles_contig", "packs_bestfit", "oversize_bestfit",
+          "bins_ratio_ppm")
+        .orderBy("source")
+    }
   }
 
   /** Sequence-PACKING efficiency report — the quality side of
@@ -1729,6 +1745,49 @@ object TextAnalysis extends QueryPack {
     "drift_incremental" -> driftIncremental,
     "k_anon_check" -> kAnonCheck)
 
+  /** The shared best-fit recursive-CTE chain (q → rank → chunk → fold)
+    * interpolated into BOTH the pack_best_fit and pack_tradeoff oracle
+    * strings — one edit point, like the PackBin/BestFitChunk constants,
+    * so the two oracles cannot disagree about the same packing. */
+  private def bestFitCtes: String = {
+    val B = PackBin; val C = BestFitChunk
+    val best = s"list_max(list_filter(f.loads, l -> l + d.n_tokens <= $B))"
+    s"""q AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(NTILE(4) OVER (PARTITION BY source
+       |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, quartile
+       |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+       |  FROM q),
+       |c AS (
+       |  SELECT *, (rk - 1) // $C AS chunk,
+       |         rk - ((rk - 1) // $C) * $C AS crn
+       |  FROM r),
+       |fit AS (
+       |  SELECT source, quartile, chunk, doc_id, n_tokens, crn,
+       |         CAST(0 AS BIGINT) AS bin, [n_tokens] AS loads
+       |  FROM c WHERE crn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.quartile, d.chunk, d.doc_id, d.n_tokens, d.crn,
+       |    CASE WHEN $best IS NULL
+       |         THEN CAST(len(f.loads) AS BIGINT)
+       |         ELSE CAST(list_position(f.loads, $best) - 1 AS BIGINT)
+       |    END,
+       |    CASE WHEN $best IS NULL
+       |         THEN list_append(f.loads, d.n_tokens)
+       |         ELSE list_transform(generate_series(1, len(f.loads)),
+       |                i -> CASE WHEN i = list_position(f.loads, $best)
+       |                     THEN f.loads[i] + d.n_tokens
+       |                     ELSE f.loads[i] END)
+       |    END
+       |  FROM fit f JOIN c d
+       |    ON d.source = f.source AND d.quartile = f.quartile
+       |   AND d.chunk = f.chunk AND d.crn = f.crn + 1)""".stripMargin
+  }
+
   private def markerSql(lang: String): String = {
     val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
@@ -2271,42 +2330,8 @@ object TextAnalysis extends QueryPack {
     // one-long state to a bin-load list. Constants are the shared
     // PackBin / BestFitChunk fields, so the engines cannot drift.
     "pack_best_fit" -> {
-      val B = PackBin; val C = BestFitChunk
-      val best = s"list_max(list_filter(f.loads, l -> l + d.n_tokens <= $B))"
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id, source,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         CAST(NTILE(4) OVER (PARTITION BY source
-         |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
-         |  FROM documents),
-         |r AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, quartile
-         |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
-         |  FROM q),
-         |c AS (
-         |  SELECT *, (rk - 1) // $C AS chunk,
-         |         rk - ((rk - 1) // $C) * $C AS crn
-         |  FROM r),
-         |fit AS (
-         |  SELECT source, quartile, chunk, doc_id, n_tokens, crn,
-         |         CAST(0 AS BIGINT) AS bin, [n_tokens] AS loads
-         |  FROM c WHERE crn = 1
-         |  UNION ALL
-         |  SELECT d.source, d.quartile, d.chunk, d.doc_id, d.n_tokens, d.crn,
-         |    CASE WHEN $best IS NULL
-         |         THEN CAST(len(f.loads) AS BIGINT)
-         |         ELSE CAST(list_position(f.loads, $best) - 1 AS BIGINT)
-         |    END,
-         |    CASE WHEN $best IS NULL
-         |         THEN list_append(f.loads, d.n_tokens)
-         |         ELSE list_transform(generate_series(1, len(f.loads)),
-         |                i -> CASE WHEN i = list_position(f.loads, $best)
-         |                     THEN f.loads[i] + d.n_tokens
-         |                     ELSE f.loads[i] END)
-         |    END
-         |  FROM fit f JOIN c d
-         |    ON d.source = f.source AND d.quartile = f.quartile
-         |   AND d.chunk = f.chunk AND d.crn = f.crn + 1)
+      val C = BestFitChunk
+      s"""WITH RECURSIVE $bestFitCtes
          |SELECT source, quartile, doc_id, n_tokens,
          |       chunk * $C + bin AS pack_id
          |FROM fit ORDER BY source, quartile, doc_id""".stripMargin
@@ -2316,13 +2341,7 @@ object TextAnalysis extends QueryPack {
     // best-fit packs from the recursive fold's distinct bins
     "pack_tradeoff" -> {
       val B = PackBin; val C = BestFitChunk
-      val best = s"list_max(list_filter(f.loads, l -> l + d.n_tokens <= $B))"
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id, source,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         CAST(NTILE(4) OVER (PARTITION BY source
-         |              ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
-         |  FROM documents),
+      s"""WITH RECURSIVE $bestFitCtes,
          |fillq AS (
          |  SELECT source, quartile, n_tokens,
          |    CAST(coalesce(SUM(n_tokens)
@@ -2343,34 +2362,6 @@ object TextAnalysis extends QueryPack {
          |           AS packs_contig,
          |         CAST(SUM(q_straddles) AS BIGINT) AS straddles_contig
          |  FROM strat GROUP BY source),
-         |r AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, quartile
-         |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
-         |  FROM q),
-         |c AS (
-         |  SELECT *, (rk - 1) // $C AS chunk,
-         |         rk - ((rk - 1) // $C) * $C AS crn
-         |  FROM r),
-         |fit AS (
-         |  SELECT source, quartile, chunk, doc_id, n_tokens, crn,
-         |         CAST(0 AS BIGINT) AS bin, [n_tokens] AS loads
-         |  FROM c WHERE crn = 1
-         |  UNION ALL
-         |  SELECT d.source, d.quartile, d.chunk, d.doc_id, d.n_tokens, d.crn,
-         |    CASE WHEN $best IS NULL
-         |         THEN CAST(len(f.loads) AS BIGINT)
-         |         ELSE CAST(list_position(f.loads, $best) - 1 AS BIGINT)
-         |    END,
-         |    CASE WHEN $best IS NULL
-         |         THEN list_append(f.loads, d.n_tokens)
-         |         ELSE list_transform(generate_series(1, len(f.loads)),
-         |                i -> CASE WHEN i = list_position(f.loads, $best)
-         |                     THEN f.loads[i] + d.n_tokens
-         |                     ELSE f.loads[i] END)
-         |    END
-         |  FROM fit f JOIN c d
-         |    ON d.source = f.source AND d.quartile = f.quartile
-         |   AND d.chunk = f.chunk AND d.crn = f.crn + 1),
          |bins AS (
          |  SELECT DISTINCT source, quartile, chunk * $C + bin AS pack_id
          |  FROM fit),
