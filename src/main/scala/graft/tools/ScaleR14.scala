@@ -29,8 +29,13 @@ import graft.tools.Amplify.{amplifiedDocStats, bytesPolicy, mults, timed}
   *    4× milder than the 20-source axis, which is exactly why it needs
   *    its own row) vs the keyed contiguousFill, both reading ONE shared
   *    persisted quartile-binned input; mismatches must be 0.
+  *  - `bestfit` (r13 addition): the new blocked best-fit-decreasing
+  *    packer itself under octave growth — wall time (rank + chunk +
+  *    fold), bins opened, and the capacity invariant (no multi-doc bin
+  *    above PackBin) asserted at every octave; parallelism is #chunks,
+  *    so the fold must scale like the scan, not like the strata.
   *
-  * `sbt "runMain graft.tools.ScaleR14 <sketchparts|packing2d>"`;
+  * `sbt "runMain graft.tools.ScaleR14 <sketchparts|packing2d|bestfit>"`;
   * octaves via SCALE_R14_MULTS, sketch resolution via SCALE_R14_PARTS.
   * Unknown modes fail loud. Results land in SCALE.md §round-13.
   */
@@ -47,11 +52,12 @@ object ScaleR14 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val which = args.headOption.getOrElse("packing2d")
-    require(Set("sketchparts", "packing2d")(which),
-      s"unknown mode '$which' — expected sketchparts|packing2d")
+    require(Set("sketchparts", "packing2d", "bestfit")(which),
+      s"unknown mode '$which' — expected sketchparts|packing2d|bestfit")
     which match {
       case "sketchparts" => sketchParts(spark, d)
       case "packing2d"   => packing2d(spark, d)
+      case "bestfit"     => bestfit(spark, d)
     }
     spark.stop()
   }
@@ -174,6 +180,46 @@ object ScaleR14 {
         f"parts=$parts%4d strata=80 window_s=${tWinBuild + tWinRun}%7.2f " +
         f"keyed_s=${tKeyedBuild + tKeyedRun}%7.2f mismatches=$mismatches%d")
       require(mismatches <= 0L, "row-level 2-col packing mismatch")
+      binned.unpersist()
+    }
+  }
+
+  // -------------------------------------------------------- bestfit --
+
+  private def bestfit(spark: SparkSession, d: String): Unit = {
+    val baseRows = Tables.documents(spark, d).count()
+    val B = graft.text.TextAnalysis.PackBin
+    val C = graft.text.TextAnalysis.BestFitChunk
+    // warmup (JIT + codegen) outside the measured octaves
+    graft.text.TextAnalysis.packBestFit(spark, d)
+      .agg(sum(col("pack_id"))).collect()
+    for (mult <- mults("SCALE_R14_MULTS", Seq(256, 4096, 16384))) {
+      val parts = bytesPolicy(spark, mult * baseRows, 1200L)
+      val binned = graft.queries.Extended.quartileBinsOf(
+        amplifiedDocStats(spark, d, mult),
+        4).select("doc_id", "source", "quartile", "n_tokens")
+      binned.persist()
+      val n = binned.count()
+      val (bf, tBuild) = timed(
+        graft.text.TextAnalysis.packBestFitOf(binned, C))
+      // one aggregate answers cost AND the capacity invariant: every
+      // bin's load ≤ B unless it is a singleton oversize bin
+      val (agg, tRun) = timed(bf
+        .groupBy("source", "quartile", "pack_id")
+        .agg(sum(col("n_tokens")).as("load"), count(lit(1)).as("docs"))
+        .agg(count(lit(1)).as("bins"),
+          sum(when(col("load") > B && col("docs") > 1, 1L)
+            .otherwise(0L)).as("overfull_multi"),
+          sum(col("docs")).as("docs_total"))
+        .collect()(0))
+      val bins = agg.getLong(0)
+      val overfull = agg.getLong(1)
+      val docsTotal = agg.getLong(2)
+      println(f"[scale-r14-bestfit] mult=$mult%5d rows=$n%9d " +
+        f"parts=$parts%4d chunk=$C%3d bestfit_s=${tBuild + tRun}%7.2f " +
+        f"bins=$bins%9d overfull_multi=$overfull%d")
+      require(overfull == 0L && docsTotal == n,
+        s"capacity invariant violated at mult=$mult")
       binned.unpersist()
     }
   }

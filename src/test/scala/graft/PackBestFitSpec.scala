@@ -67,6 +67,47 @@ class PackBestFitSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 4L))
   }
 
+  test("RANDOMIZED: 200 random strata agree with an independent " +
+    "reference fold (sizes spanning tiny..over-B, ties, chunking)") {
+    // one Spark job covers all cases: each (source, quartile) stratum
+    // is its own random corpus, so the distributed fold and the plain
+    // Scala reference disagree on ANY stratum → that stratum's rows
+    // mismatch. Seeded — failures reproduce.
+    val rnd = new scala.util.Random(13)
+    val C = 7 // small chunk so chunking is exercised constantly
+    val rows = for {
+      strat <- 0 until 200
+      n = 1 + rnd.nextInt(30)
+      i <- 0 until n
+    } yield (strat.toLong * 1000 + i, s"s${strat / 4}", (strat % 4).toLong + 1,
+      (1 + rnd.nextInt(700)).toLong) // up to ~1.4× PackBin → oversize mix
+    val df = rows.toDF("doc_id", "source", "quartile", "n_tokens")
+    val got = TextAnalysis.packBestFitOf(df, chunkDocs = C)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    // reference: plain-Scala blocked BFD per stratum
+    val want = rows.groupBy(r => (r._2, r._3)).flatMap { case (_, docs) =>
+      docs.sortBy(d => (-d._4, d._1)) // length desc, doc_id asc
+        .grouped(C).zipWithIndex.flatMap { case (chunk, ci) =>
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+          chunk.map { d =>
+            val fit = loads.zipWithIndex
+              .filter(_._1 + d._4 <= TextAnalysis.PackBin)
+            val bin =
+              if (fit.isEmpty) { loads += d._4; loads.size - 1 }
+              else {
+                val b = fit.maxBy(f => (f._1, -f._2))._2
+                loads(b) += d._4; b
+              }
+            d._1 -> (ci.toLong * C + bin)
+          }
+        }
+    }.toMap
+    assert(got.size === want.size)
+    val bad = got.filter { case (id, p) => want(id) != p }
+    assert(bad.isEmpty, s"${bad.size} mismatches, e.g. ${bad.take(3)} " +
+      s"(want ${bad.take(3).keys.map(want)})")
+  }
+
   test("partitioning invariance + bin-capacity invariant on real data") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("n_chars"),

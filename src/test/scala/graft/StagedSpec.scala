@@ -99,4 +99,25 @@ class StagedSpec extends SparkSpec {
     assert(oldest.storageLevel === StorageLevel.NONE,
       "the cap must evict the oldest armed scope")
   }
+
+  test("released scopes leave the cap queue: MaxArmed COMPLETED scopes " +
+    "must not evict the one still-live scope (r13 review regression)") {
+    val live = Staged.stage((1 to 10).toDF("x"))
+    live.count()
+    Staged.releaseAfter(live.filter(col("x") > 1), live)
+    assert(live.storageLevel !== StorageLevel.NONE)
+    // 2× the cap of scopes that each run to completion — their
+    // listeners release and must VACATE their queue slots; if they
+    // lingered, the arms alone would push the live scope out
+    for (i <- 0 until Staged.MaxArmed * 2) {
+      val s = Staged.stage((1 to 3).toDF("c"))
+      val r = Staged.releaseAfter(s.filter(col("c") > i % 3), s)
+      r.count() // terminal action → listener releases s
+      assert(eventually()(s.storageLevel === StorageLevel.NONE))
+    }
+    assert(live.storageLevel !== StorageLevel.NONE,
+      "completed scopes must not occupy eviction slots")
+    assert(live.filter(col("x") > 1).count() === 9L)
+    assert(eventually()(live.storageLevel === StorageLevel.NONE))
+  }
 }
