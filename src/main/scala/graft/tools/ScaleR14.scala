@@ -118,6 +118,16 @@ object ScaleR14 {
     }
   }
 
+  /** The shared per-octave input of the packing modes: narrow
+    * amplified stats quartile-binned to the (source, quartile) strata —
+    * ONE recipe, so the modes cannot silently measure different
+    * inputs (the narrow-amplification discipline lives in one place). */
+  private def binnedStats(spark: SparkSession, d: String,
+      mult: Int): DataFrame =
+    graft.queries.Extended.quartileBinsOf(
+      amplifiedDocStats(spark, d, mult),
+      4).select("doc_id", "source", "quartile", "n_tokens")
+
   // ----------------------------------------------------- packing2d --
 
   /** The window form of the (source, quartile) exclusive prefix — the
@@ -144,13 +154,11 @@ object ScaleR14 {
     for (mult <- mults("SCALE_R14_MULTS", Seq(256, 4096, 16384))) {
       val parts = bytesPolicy(spark, mult * baseRows, 1200L)
       // ONE shared quartile-binned input (the stage common to both
-      // forms), persisted so the A/B charges only the prefix stage
+      // forms), persisted so the A/B charges only the prefix stage;
       // narrow amplification: ranking only needs the length stats, so
       // the text payload never enters the copy fan-out's exchange
       // (the text-carrying form filled the disk at x65536)
-      val binned = graft.queries.Extended.quartileBinsOf(
-        amplifiedDocStats(spark, d, mult),
-        4).select("doc_id", "source", "quartile", "n_tokens")
+      val binned = binnedStats(spark, d, mult)
       binned.persist()
       val n = binned.count()
       // construction timed apart from the run (the keyed form's eager
@@ -195,11 +203,14 @@ object ScaleR14 {
       .agg(sum(col("pack_id"))).collect()
     for (mult <- mults("SCALE_R14_MULTS", Seq(256, 4096, 16384))) {
       val parts = bytesPolicy(spark, mult * baseRows, 1200L)
-      val binned = graft.queries.Extended.quartileBinsOf(
-        amplifiedDocStats(spark, d, mult),
-        4).select("doc_id", "source", "quartile", "n_tokens")
+      val binned = binnedStats(spark, d, mult)
       binned.persist()
       val n = binned.count()
+      // NOTE: packBestFitOf wraps its input in a Staged scope whose
+      // listener releases THIS persist after the first collect on bf —
+      // fine here (nothing reads binned afterwards), but any
+      // post-collect reuse of binned must re-persist or it replays the
+      // amplification unstaged
       val (bf, tBuild) = timed(
         graft.text.TextAnalysis.packBestFitOf(binned, C))
       // one aggregate answers cost AND the capacity invariant: every
