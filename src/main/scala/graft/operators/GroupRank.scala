@@ -190,41 +190,99 @@ object GroupRank {
   private[graft] val SketchDirectParts = 256
   private[graft] val SketchSampleCap = 1L << 21
 
+  /** The sample cap ADAPTS to the requested resolution: the noise bound
+    * wants ≥ 2⁵ expected samples per bucket, and the fixed 2²¹ floor
+    * lands exactly on that floor at 2¹⁶ parts (measured, SCALE.md §r13)
+    * — so past 2¹⁶ the cap rises as `parts · 2⁵` instead of silently
+    * letting buckets get noisier (VERDICT r13 #5). The GK sketch cost
+    * this cap bounds grows with sample · (1/ε) = sample · parts, so the
+    * adaptive cap keeps that product at `parts² · 2⁵` — a 10⁵-part
+    * caller pays a bigger sketch, never a noisier one. */
+  private[graft] def sketchSampleCap(parts: Int): Long =
+    math.max(SketchSampleCap, parts.toLong << 5)
+
+  /** What [[boundarySketchTraced]] decided, for the specs that pin the
+    * safe-side clamps: the sampling fraction actually applied (None =
+    * sketched unsampled), how many exact key-only counts ran, and
+    * whether the boundary-shortfall recovery re-sketched. */
+  private[graft] final case class SketchTrace(
+      sampledFraction: Option[Double], exactCounts: Int, resketched: Boolean)
+
   private[graft] def boundarySketch(df: DataFrame, keyCol: String,
       parts: Int): Seq[Double] =
-    if (parts <= 1) Seq.empty
-    else {
-      val src =
-        if (parts <= SketchDirectParts) df // small ε is cheap; no extra job
-        else {
-          // sizing the sample needs a row count, but an eager df.count()
-          // here is a full extra lineage replay at plan-CONSTRUCTION
-          // time (ADVICE r12) — on an unstaged expensive input that is
-          // a fourth corpus pass. Prefer the optimizer's row-count stat
-          // when the plan carries one (free to read; exact for local /
-          // materialized-cache relations, an ESTIMATE elsewhere — e.g.
-          // a limit's stat is the limit value even when fewer rows
-          // exist). A mis-estimate only mis-sizes the SAMPLE: too high
-          // → fewer samples → noisier boundaries (parallelism skew),
-          // too low → sketch over more rows than the cap (slower) —
-          // never a rank, since boundaries only place buckets. Only
-          // when the plan carries no stat fall back to a column-pruned
-          // count over the key alone — Catalyst prunes every other
-          // projection out of that job, so tokenization / wide decodes
-          // upstream of the key never execute for it.
-          val n = df.queryExecution.optimizedPlan.stats.rowCount
-            .map(_.longValue)
-            .getOrElse(df.select(keyCol).count())
-          if (n > SketchSampleCap)
-            df.sample(withReplacement = false,
-              SketchSampleCap.toDouble / n, seed = 42L)
-          else df
-        }
+    boundarySketchTraced(df, keyCol, parts)._1
+
+  /** Sizing the sample needs a row count, but an eager `df.count()` at
+    * plan-CONSTRUCTION time is a full extra lineage replay (ADVICE
+    * r12) — on an unstaged expensive input that is a fourth corpus
+    * pass. The optimizer's row-count stat is free to read but only an
+    * ESTIMATE outside local/materialized-cache relations, and each
+    * error direction has its own failure mode, so each is clamped from
+    * the safe side:
+    *
+    *  - stat ABOVE the cap is trusted for the fraction — a HIGH
+    *    mis-estimate (the documented LIMIT case: a limit's stat is the
+    *    limit value even when fewer rows exist) only shrinks the
+    *    sample, and a near-empty sample is caught BELOW by the
+    *    boundary-shortfall recovery (ADVICE r13: without it the keyed
+    *    path silently collapses toward one bucket — perf-only, ranks
+    *    stay exact, but the serial-task shape this operator exists to
+    *    avoid); a LOW mis-estimate in this branch merely over-samples.
+    *  - stat AT-OR-BELOW the cap is NEVER trusted alone: skipping the
+    *    sample on a stat that under-reports the true count re-opens
+    *    the uncapped-GK cost cliff the cap exists to close (VERDICT
+    *    r13 #4), so the no-sample decision is verified with the exact
+    *    column-pruned count first — Catalyst prunes every other
+    *    projection out of that job, so tokenization / wide decodes
+    *    upstream of the key never execute for it, and when the stat
+    *    was honest that count is over ≤ cap rows.
+    *
+    * Shortfall recovery: far fewer resolved boundaries than requested
+    * can be legitimate (a value-limited key — n_chars has 523 values),
+    * so a shortfall after a STAT-sized sample is arbitrated by the
+    * exact count once, and the sketch re-runs only when the fraction
+    * was materially undersized (true count < half the stat). Every
+    * clamp affects bucket BALANCE only — any boundary set yields exact
+    * ranks. */
+  private[graft] def boundarySketchTraced(df: DataFrame, keyCol: String,
+      parts: Int): (Seq[Double], SketchTrace) =
+    boundarySketchTraced(df, keyCol, parts,
+      df.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue))
+
+  /** Same, with the row-count stat injectable — the spec feeds
+    * deliberately wrong stats (under- and over-reports) to pin the
+    * safe-side clamps without needing a plan shape that mis-estimates
+    * on demand. */
+  private[graft] def boundarySketchTraced(df: DataFrame, keyCol: String,
+      parts: Int, statN: Option[Long]): (Seq[Double], SketchTrace) = {
+    def sketch(src: DataFrame): Seq[Double] =
       src.stat.approxQuantile(keyCol,
         (1 until parts).map(_.toDouble / parts).toArray,
         1.0 / (4.0 * parts))
         .distinct.sorted.toSeq
+    if (parts <= 1) (Seq.empty, SketchTrace(None, 0, resketched = false))
+    else if (parts <= SketchDirectParts) // small ε is cheap; no extra job
+      (sketch(df), SketchTrace(None, 0, resketched = false))
+    else {
+      val cap = sketchSampleCap(parts)
+      var exactCounts = 0
+      lazy val exactN = { exactCounts += 1; df.select(keyCol).count() }
+      val statAboveCap = statN.exists(_ > cap)
+      val n = if (statAboveCap) statN.get else exactN
+      def sampled(rows: Long): (DataFrame, Option[Double]) =
+        if (rows > cap) {
+          val f = cap.toDouble / rows
+          (df.sample(withReplacement = false, f, seed = 42L), Some(f))
+        } else (df, None)
+      val (src, fraction) = sampled(n)
+      val bs = sketch(src)
+      if (statAboveCap && bs.size < (parts - 1) / 2 && exactN < n / 2) {
+        val (src2, fraction2) = sampled(exactN)
+        (sketch(src2),
+          SketchTrace(fraction2, exactCounts, resketched = true))
+      } else (bs, SketchTrace(fraction, exactCounts, resketched = false))
     }
+  }
 
   /** Shared core of the keyed paths: bucket → tiny counts aggregate →
     * broadcast offsets → within-bucket window. `value = None` ranks

@@ -357,6 +357,71 @@ class GroupRankKeyedSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sketch sample cap adapts past 2^16 parts: >= 2^5 expected " +
+    "samples per bucket at any requested resolution (VERDICT r13 #5)") {
+    assert(GroupRank.sketchSampleCap(1024) === (1L << 21)) // floor holds
+    assert(GroupRank.sketchSampleCap(1 << 16) === (1L << 21)) // the edge
+    assert(GroupRank.sketchSampleCap(1 << 17) === (1L << 22)) // cap rises
+    assert(GroupRank.sketchSampleCap(100000) === 3200000L)
+  }
+
+  test("a row-count stat UNDER-reporting the true count cannot skip the " +
+    "sample: the no-sample decision is verified by the exact key-only " +
+    "count (VERDICT r13 #4 — the uncapped-GK cliff stays closed)") {
+    val big = spark.range(3000000L)
+      .select(($"id" % 99991).cast("double").as("k"))
+    // the stub stat claims 100 rows (<= cap); the true count is 3M
+    // (> cap) — trusting the stat would sketch 3M rows uncapped
+    val (bs, trace) = GroupRank.boundarySketchTraced(
+      big, "k", parts = 300, statN = Some(100L))
+    assert(trace.exactCounts === 1, "the no-sample decision must be " +
+      "verified by the exact column-pruned count")
+    assert(trace.sampledFraction.isDefined &&
+      trace.sampledFraction.get < 1.0,
+      s"the sketch must still sample, got $trace")
+    assert(!trace.resketched)
+    assert(bs.size > 149, s"boundaries must resolve, got ${bs.size}")
+  }
+
+  test("an honest at-or-below-cap stat costs exactly one verifying " +
+    "count and sketches unsampled") {
+    val small = spark.range(5000L).select($"id".cast("double").as("k"))
+    val (bs, trace) = GroupRank.boundarySketchTraced(
+      small, "k", parts = 300, statN = Some(5000L))
+    assert(trace === GroupRank.SketchTrace(None, 1, resketched = false))
+    assert(bs.size > 149)
+  }
+
+  test("a row-count stat OVER-reporting the true count (the LIMIT " +
+    "shape) cannot collapse the keyed path to one bucket: the boundary " +
+    "shortfall triggers one exact count and a re-sketch (ADVICE r13)") {
+    val small = spark.range(50000L).select($"id".cast("double").as("k"))
+    // the stub stat claims 4G rows — fraction ~5e-4 of the true 50k
+    // leaves a ~26-row sample whose sketch resolves almost nothing
+    val (bs, trace) = GroupRank.boundarySketchTraced(
+      small, "k", parts = 300, statN = Some(4000000000L))
+    assert(trace.resketched, s"shortfall must re-sketch, got $trace")
+    assert(trace.exactCounts === 1)
+    assert(trace.sampledFraction.isEmpty, "the corrected count is " +
+      "under the cap, so the re-sketch runs unsampled")
+    assert(bs.size > 149, s"boundaries must resolve, got ${bs.size}")
+  }
+
+  test("end-to-end LIMIT shape: a GlobalLimit's stat IS the limit " +
+    "value; the shortfall recovery still resolves the boundaries") {
+    // parquet relations carry no rowCount, so limit() is the one plan
+    // shape whose stat over-reports without CBO — the documented case
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id".cast("double").as("k"))
+      .limit(2000000000)
+    val statN = df.queryExecution.optimizedPlan.stats.rowCount
+    assert(statN.exists(_.longValue == 2000000000L),
+      s"precondition: the limit must reach the stat, got $statN")
+    val (bs, trace) = GroupRank.boundarySketchTraced(df, "k", parts = 300)
+    assert(trace.resketched && bs.size > 149,
+      s"got ${bs.size} boundaries, $trace")
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,
