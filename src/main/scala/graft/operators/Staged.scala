@@ -43,15 +43,20 @@ object Staged {
     * terminal action is almost always the next execution. */
   private[graft] val AbandonAfterEvents = 64
 
-  /** Hard cap on concurrently ARMED scopes, process-wide. An idle
+  /** Hard cap on concurrently ARMED scopes, PER SparkSession. An idle
     * session that builds scoped queries without ever executing one
     * never fires the event TTL (listeners only tick on query
     * executions — ADVICE r12), so arming the (cap+1)-th scope
-    * force-releases the OLDEST armed one. Releasing early is always
-    * safe (recompute-deterministic inputs; the cost is a lineage
-    * replay, never a wrong rank), so the cap bounds both retained
-    * cache memory and the per-event listener fan-out at
-    * O(MaxArmed). */
+    * force-releases the OLDEST armed one OF THE SAME SESSION.
+    * Releasing early is always safe (recompute-deterministic inputs;
+    * the cost is a lineage replay, never a wrong rank), but the cap is
+    * scoped per session (ADVICE r13): the queue is process-wide, and
+    * evicting by global age alone let one session's construction churn
+    * drop ANOTHER live session's hot cache mid-query. Listener
+    * registration is per-session too, so per-event fan-out stays
+    * O(MaxArmed) per session; scopes whose SparkContext has stopped
+    * are swept on every arm, so a dead session's frames/listeners
+    * cannot stay strongly referenced behind other sessions' slots. */
   private[graft] val MaxArmed = 8
 
   private val armed =
@@ -62,9 +67,10 @@ object Staged {
     * [[AbandonAfterEvents]] unrelated executions, or when evicted by
     * the [[MaxArmed]] cap. */
   private final class ReleaseListener(
-      spark: org.apache.spark.sql.SparkSession,
+      val session: org.apache.spark.sql.SparkSession,
       frames: List[DataFrame], targetHash: Int)
       extends QueryExecutionListener {
+    private def spark = session
     private val released = new java.util.concurrent.atomic.AtomicBoolean
     private val unrelated = new java.util.concurrent.atomic.AtomicInteger
     def release(): Unit =
@@ -130,14 +136,29 @@ object Staged {
     // evict-oldest keeps armed listeners (and their caches) bounded
     // even on a session that never executes anything; released scopes
     // remove themselves from the queue, so only LIVE scopes occupy cap
-    // slots. Eviction is best-effort cleanup of someone ELSE's scope —
-    // a failing unpersist there (e.g. its session was stopped) must
-    // not break this caller's construction.
-    while (armed.size > MaxArmed) {
-      val oldest = armed.poll()
-      if (oldest != null)
-        try oldest.release()
-        catch { case scala.util.control.NonFatal(_) => () }
+    // slots. The cap counts THIS session's scopes only (ADVICE r13:
+    // evicting by global age let one session's construction churn
+    // unpersist another live session's hot cache mid-query); scopes of
+    // a STOPPED SparkContext are swept in the same pass — their frames
+    // are already dead, only the strong references linger. Eviction is
+    // best-effort cleanup — a failing release must not break this
+    // caller's construction.
+    def releaseQuietly(l: ReleaseListener): Unit =
+      try l.release()
+      catch { case scala.util.control.NonFatal(_) => () }
+    var mine = 0
+    val sweep = armed.iterator()
+    while (sweep.hasNext) {
+      val l = sweep.next()
+      if (l.session.sparkContext.isStopped) releaseQuietly(l)
+      else if (l.session eq spark) mine += 1
+    }
+    if (mine > MaxArmed) {
+      val evict = armed.iterator()
+      while (mine > MaxArmed && evict.hasNext) {
+        val l = evict.next()
+        if (l.session eq spark) { releaseQuietly(l); mine -= 1 }
+      }
     }
     result
   }

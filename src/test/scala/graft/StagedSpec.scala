@@ -100,6 +100,31 @@ class StagedSpec extends SparkSpec {
       "the cap must evict the oldest armed scope")
   }
 
+  test("the eviction cap is PER SESSION: build-only churn in another " +
+    "SparkSession must not unpersist this session's live scope " +
+    "(ADVICE r13 — cross-tenant eviction)") {
+    val live = Staged.stage((1 to 10).toDF("x"))
+    live.count() // materialize (as the operators' eager passes do)
+    Staged.releaseAfter(live.filter(col("x") > 1), live)
+    assert(live.storageLevel !== StorageLevel.NONE)
+    // 2× the cap of scopes armed in a SIBLING session: under the old
+    // process-wide cap this churn alone evicted `live`
+    val other = spark.newSession()
+    var othersOldest: org.apache.spark.sql.DataFrame = null
+    for (i <- 0 until Staged.MaxArmed * 2) {
+      val s = Staged.stage(other.range(3).withColumn("c", col("id") + i))
+      if (othersOldest == null) othersOldest = s
+      Staged.releaseAfter(s.filter(col("c") > 1), s)
+    }
+    assert(live.storageLevel !== StorageLevel.NONE,
+      "another session's churn must not evict this session's scope")
+    // the sibling session's own cap still enforces: ITS oldest evicted
+    assert(othersOldest.storageLevel === StorageLevel.NONE,
+      "the arming session's own oldest scope must still be evicted")
+    assert(live.filter(col("x") > 1).count() === 9L)
+    assert(eventually()(live.storageLevel === StorageLevel.NONE))
+  }
+
   test("released scopes leave the cap queue: MaxArmed COMPLETED scopes " +
     "must not evict the one still-live scope (r13 review regression)") {
     val live = Staged.stage((1 to 10).toDF("x"))
