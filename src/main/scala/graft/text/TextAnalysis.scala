@@ -633,15 +633,51 @@ object TextAnalysis extends QueryPack {
     * group) to fixed-budget token bins: pack_id = ⌊tokens-before / B⌋.
     * This is the contiguous-fill packing a pretraining loader uses to
     * batch documents into context windows. The per-source prefix sum is
-    * [[graft.operators.GroupRank.withRunningSumBy]] (value-deterministic
-    * buckets + broadcast offsets), NOT `Window.partitionBy(source)` —
-    * the grouped window pulls each source's entire corpus through one
-    * task, and sources are exactly the axis that is huge per value and
-    * tiny in cardinality at 100 TB (VERDICT r11 #1). */
+    * size-GATED ([[windowFillFits]]): above the per-stratum envelope it
+    * is [[graft.operators.GroupRank.withRunningSumBy]]
+    * (value-deterministic buckets + broadcast offsets), never
+    * `Window.partitionBy(source)` — the grouped window pulls each
+    * source's entire corpus through one task, and sources are exactly
+    * the axis that is huge per value and tiny in cardinality at 100 TB
+    * (VERDICT r11 #1); below the envelope the plain window is measured
+    * 3.8× cheaper and row-identical, so the gate takes it (VERDICT
+    * r13 #1). */
   /** One packing bin size, interpolated into BOTH Scala paths and both
     * DuckDB oracles below — a single edit point, so the engine and its
     * oracles cannot drift apart. */
   private[graft] val PackBin = 512
+
+  /** Per-stratum-bytes ceiling under which the PLAIN grouped window is
+    * the faster exclusive-prefix plan and the gate below picks it over
+    * the keyed form. Calibrated from SCALE.md §r13's window-vs-keyed
+    * octave: the 80-strata window stays 3.8× FASTER through 327.68 M
+    * rows (~160 MB per actual stratum), with the crossover beyond
+    * that — the keyed form's three passes are pure insurance below the
+    * single-task envelope. The gate divides the caller's input-bytes
+    * estimate by `groupBound` (the promised MAXIMUM stratum count), so
+    * the per-stratum estimate can under-read by up to
+    * bound/actual ≈ 3.2× (256 promised vs 80 actual strata); 32 MiB
+    * by-bound therefore admits ≤ ~105 MB per actual stratum — inside
+    * the measured window-wins regime with the whole crossover gap as
+    * margin. At 100 TB the same arithmetic reads ~TB per stratum and
+    * the keyed form always wins the gate. */
+  private[graft] val WindowFillMaxStratumBytes = 32L << 20
+
+  /** The gate itself (VERDICT r13 #1): window below the per-stratum
+    * envelope, keyed above — the same stats-derived plan selection
+    * `semantic_dedup_auto` and the ANN geometry gates use. `inputBytes`
+    * must be the caller's CLEAN base-scan estimate (a projected parquet
+    * relation's `stats.sizeInBytes`): intermediate joined/staged frames
+    * inflate the product estimate by orders of magnitude (an
+    * unmaterialized cache over the quartile machinery reads ~72 GB for
+    * 5 000 rows), so a caller without a trustworthy estimate passes the
+    * −1 default and gets the keyed form — mis-gating is always a perf
+    * trade, never a correctness one (the two forms are row-identical;
+    * SCALE.md §r13 measured 0 mismatches at every octave). */
+  private[graft] def windowFillFits(inputBytes: BigInt,
+      groupBound: Long): Boolean =
+    inputBytes >= 0 && groupBound > 0 &&
+      inputBytes <= BigInt(WindowFillMaxStratumBytes) * groupBound
 
   /** Shared contiguous-fill tail of the packing family: the exclusive
     * per-group prefix of `value` in (primary, tieBreak) order (keyed
@@ -649,15 +685,35 @@ object TextAnalysis extends QueryPack {
     * form's `rowsBetween(unboundedPreceding, -1)`) plus the
     * ⌊prefix / PackBin⌋ bin id. ONE body, so the fill semantics cannot
     * drift between `doc_packing` / `pack_by_length` / `corpus_build`
-    * and the DuckDB oracle shape they all share. */
+    * and the DuckDB oracle shape they all share.
+    *
+    * The prefix-sum PLAN is auto-gated ([[windowFillFits]]): below the
+    * per-stratum envelope the plain grouped window (one sort, no
+    * bucket machinery) is measured 3.8× cheaper and row-identical;
+    * above it — or when the caller has no trustworthy byte estimate —
+    * the keyed bucket form keeps the worst task bytes-policy bounded
+    * (a 100 TB source must never serialize through one window task).
+    * The window arm assumes the registered callers' non-null long
+    * keys; the keyed arm's null/NaN raise-guard still covers every
+    * above-envelope input. */
   private[graft] def contiguousFill(df: DataFrame, groupCols: Seq[String],
       primary: Column, tieBreak: Column, value: Column,
-      groupBound: Long): DataFrame =
-    graft.operators.GroupRank.withRunningSumBy(
-        df, groupCols, primary, primaryDesc = false, tieBreak, value,
-        "__cum", groupBound = groupBound)
-      .withColumn("tokens_before", col("__cum") - value)
+      groupBound: Long, inputBytes: BigInt = BigInt(-1)): DataFrame = {
+    val cum =
+      if (windowFillFits(inputBytes, groupBound)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(primary, tieBreak)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        df.withColumn("__cum", sum(value.cast("long")).over(w))
+      } else
+        graft.operators.GroupRank.withRunningSumBy(
+          df, groupCols, primary, primaryDesc = false, tieBreak, value,
+          "__cum", groupBound = groupBound)
+    cum.withColumn("tokens_before", col("__cum") - value)
       .withColumn("pack_id", expr(s"tokens_before div $PackBin"))
+  }
 
   def docPacking(spark: SparkSession, d: String): DataFrame =
     docPackingOf(Tables.documents(spark, d))
@@ -675,11 +731,14 @@ object TextAnalysis extends QueryPack {
     // ×4096 packing octave measured the 3× replay at 20 s vs the
     // window's 6 s; staged, the replays read ~24 B/row from cache
     // (self-releasing, spill-safe)
-    graft.operators.Staged.scoped(documents
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))) { docs =>
+    val narrow = documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // the fill gate's byte estimate comes from THIS clean projection —
+    // read before staging wraps it in a cache whose estimate inflates
+    val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    graft.operators.Staged.scoped(narrow) { docs =>
       contiguousFill(docs, Seq("source"), col("doc_id"), col("doc_id"),
-          col("n_tokens"), groupBound = 64)
+          col("n_tokens"), groupBound = 64, inputBytes = est)
         .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
         .orderBy("source", "doc_id")
     }
@@ -705,11 +764,15 @@ object TextAnalysis extends QueryPack {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // fill-gate estimate from the clean pre-quartile projection — the
+    // binned frame's own estimate inflates through the rank join
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     graft.operators.Staged.scoped(
       graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
       contiguousFill(binned, Seq("source", "quartile"), col("doc_id"),
-          col("doc_id"), col("n_tokens"), groupBound = 256)
+          col("doc_id"), col("n_tokens"), groupBound = 256,
+          inputBytes = est)
         .select("source", "quartile", "doc_id", "n_tokens",
           "tokens_before", "pack_id")
         .orderBy("source", "quartile", "doc_id")
@@ -823,11 +886,13 @@ object TextAnalysis extends QueryPack {
     // bin ONCE and share the staged stratum frame between both
     // packers — calling packByLength + packBestFit separately would
     // pay the tokenization and the quartile keyed rank twice
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     graft.operators.Staged.scoped(
       graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
       val contig = contiguousFill(binned, Seq("source", "quartile"),
-          col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 256)
+          col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 256,
+          inputBytes = est)
         .groupBy("source", "quartile")
         .agg(count(lit(1)).as("q_docs"),
           sum(col("n_tokens")).as("q_tokens"),
@@ -1518,6 +1583,14 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "text", "source")
     val kept = graft.dedup.Dedup.dedupCorpus(good.select("doc_id", "text"))
       .join(good.select("doc_id", "source"), "doc_id")
+    // fill-gate estimate: the TEXT-CARRYING base projection (the chunk
+    // frame the window form would sort carries chunk_text, a ~1.25×
+    // window/stride expansion of it — same order of magnitude; the
+    // gate-vs-join-product caveat on contiguousFill applies to the
+    // post-dedup chunks frame, whose estimate is unusable)
+    val est = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
     graft.operators.Staged.scoped(kept
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
@@ -1535,7 +1608,8 @@ object TextAnalysis extends QueryPack {
       // source — the shared contiguousFill tail, bucket-sized tasks
       // instead of one per source
       contiguousFill(chunks, Seq("source"), col("doc_id"),
-          col("chunk_idx"), col("n_chunk_tokens"), groupBound = 64)
+          col("chunk_idx"), col("n_chunk_tokens"), groupBound = 64,
+          inputBytes = est)
         .select("source", "doc_id", "chunk_idx", "chunk_text",
           "n_chunk_tokens", "tokens_before", "pack_id")
         .orderBy("source", "doc_id", "chunk_idx")

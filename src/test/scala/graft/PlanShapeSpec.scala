@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, size, split}
 
 /** The plans we'd want at 100 TB, asserted — not just eyeballed:
   * pushdown reaches the scan, dimensions broadcast, top-k never global
@@ -286,36 +287,81 @@ class PlanShapeSpec extends SparkSpec {
       s"batch-vs-history candidates must be a band-key equi-join:\n$p")
   }
 
-  test("packing family: no corpus-sized per-source window — the prefix " +
-    "sum is the keyed bucket form (VERDICT r11 #1)") {
-    // the collapse shape is a Window PARTITIONED BY exactly the source
-    // column and ORDERED BY the corpus key (doc_id / chunk_idx): one
-    // task per source, ~5 tasks for 100 TB. The keyed form's windows
-    // are partitioned by (__b, source) — bucket-sized — and its
-    // offsets window (partition [source], order [__b]) runs over the
-    // model-sized counts frame, which is fine and expected.
-    // also catches pack_by_length's 2-column stratum axis: a window
-    // partitioned by exactly (source) or (source, quartile) with a
-    // corpus-key order is the collapse; the keyed form always leads
-    // with the __b bucket column
-    val collapsed =
-      """\], \[source#\d+(, quartile#\d+L?)?\], \[(doc_id|chunk_idx)#""".r
-    // pack_best_fit/pack_tradeoff: the BFD fold itself is a bounded
-    // chunk aggregate (no window at all); the law checks its keyed
-    // RANK never degrades to a per-stratum window either
+  // the collapse shape is a Window PARTITIONED BY exactly the stratum
+  // axis — (source) or (source, quartile) — and ORDERED BY a corpus
+  // key: one task per stratum, ~5 tasks for 100 TB. The keyed form's
+  // windows are partitioned by (__b, source) — bucket-sized — and its
+  // offsets window (partition [source], order [__b]) runs over the
+  // model-sized counts frame, which is fine and expected. The order
+  // alternation includes n_tokens so pack_best_fit's length-desc keyed
+  // RANK is covered too (ADVICE r13: doc_id/chunk_idx alone would miss
+  // a BFD degradation to a per-stratum window).
+  private val collapsedStratumWindow =
+    """\], \[source#\d+(, quartile#\d+L?)?\], \[(doc_id|chunk_idx|n_tokens)#""".r
+
+  test("packing family under the fill gate, SMALL side: below the " +
+    "per-stratum envelope the gate picks the plain window — proving " +
+    "every registered caller wires a real byte estimate (VERDICT r13 #1)") {
+    // sf0.001 is far below WindowFillMaxStratumBytes × bound, so the
+    // gated contiguousFill queries must now PLAN the window form (the
+    // measured-3.8×-cheaper plan at this size); a caller that forgot
+    // its estimate would silently fall back to keyed and fail here
     for ((name, q) <- Seq(
         "doc_packing" -> text.TextAnalysis.docPacking(spark, sf0001),
         "pack_by_length" -> text.TextAnalysis.packByLength(spark, sf0001),
-        "pack_best_fit" -> text.TextAnalysis.packBestFit(spark, sf0001),
         "pack_efficiency" -> text.TextAnalysis.packEfficiency(spark, sf0001),
-        "pack_tradeoff" -> text.TextAnalysis.packTradeoff(spark, sf0001),
         "corpus_build" -> text.TextAnalysis.corpusBuild(spark, sf0001))) {
       val p = planOf(q)
-      assert(collapsed.findFirstIn(p).isEmpty,
-        s"$name still runs a per-source corpus window:\n$p")
-      assert(p.contains("range_bucket"),
-        s"$name must place rows by the frozen-boundary binary search:\n$p")
+      assert(collapsedStratumWindow.findFirstIn(p).isDefined,
+        s"$name under the envelope must take the gated window form:\n$p")
     }
+  }
+
+  test("packing family under the fill gate, LARGE side: an " +
+    "above-envelope byte estimate plans the keyed bucket form " +
+    "(VERDICT r11 #1 still holds at scale)") {
+    val binned = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // 100 TB-shaped estimate: 64 strata × 32 MiB = 2 GiB is the
+    // envelope; 1 TiB is far above it
+    val p = planOf(text.TextAnalysis.contiguousFill(binned, Seq("source"),
+      col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 64,
+      inputBytes = BigInt(1L) << 40))
+    assert(collapsedStratumWindow.findFirstIn(p).isEmpty,
+      s"above the envelope the fill must never window per stratum:\n$p")
+    assert(p.contains("range_bucket"),
+      s"above the envelope rows must place by the frozen-boundary " +
+        s"binary search:\n$p")
+    // and an UNKNOWN estimate (the −1 default) must take the safe side
+    val pDefault = planOf(text.TextAnalysis.contiguousFill(binned,
+      Seq("source"), col("doc_id"), col("doc_id"), col("n_tokens"),
+      groupBound = 64))
+    assert(collapsedStratumWindow.findFirstIn(pDefault).isEmpty &&
+      pDefault.contains("range_bucket"),
+      s"no estimate must mean the keyed form:\n$pDefault")
+  }
+
+  test("pack_best_fit / pack_tradeoff: the length-desc keyed rank " +
+    "never degrades to a per-stratum window; the BFD fold stays a " +
+    "bounded chunk aggregate") {
+    // pack_best_fit has NO gated fill, so the full collapse law holds;
+    // pack_tradeoff's contiguous side legitimately windows under the
+    // gate at this size, so its law is the n_tokens-ordered shape only
+    // (the BFD rank's own degradation — ADVICE r13)
+    val bfdCollapse =
+      """\], \[source#\d+(, quartile#\d+L?)?\], \[n_tokens#""".r
+    val pBf = planOf(text.TextAnalysis.packBestFit(spark, sf0001))
+    assert(collapsedStratumWindow.findFirstIn(pBf).isEmpty,
+      s"pack_best_fit still runs a per-stratum corpus window:\n$pBf")
+    assert(pBf.contains("range_bucket"),
+      s"pack_best_fit must place rows by the frozen-boundary binary " +
+        s"search:\n$pBf")
+    val pTr = planOf(text.TextAnalysis.packTradeoff(spark, sf0001))
+    assert(bfdCollapse.findFirstIn(pTr).isEmpty,
+      s"pack_tradeoff's BFD rank degraded to a per-stratum window:\n$pTr")
+    assert(pTr.contains("range_bucket"),
+      s"pack_tradeoff must keep the keyed BFD rank:\n$pTr")
   }
 
   test("corpus_build and dedup_minhash never fall back to all-pairs joins") {
