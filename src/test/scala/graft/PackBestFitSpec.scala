@@ -108,6 +108,65 @@ class PackBestFitSpec extends SparkSpec {
       s"(want ${bad.take(3).keys.map(want)})")
   }
 
+  test("chunk-width laws at the shipped widths {1, 7, 64, 256} over " +
+    "random strata: capacity, oversize-singleton, doc conservation " +
+    "hold at EVERY width; bin counts non-increasing across the widths " +
+    "(VERDICT r13 #6)") {
+    val B = TextAnalysis.PackBin
+    val rnd = new scala.util.Random(14)
+    val rows = for {
+      strat <- 0 until 120
+      n = 1 + rnd.nextInt(40)
+      i <- 0 until n
+    } yield (strat.toLong * 1000 + i, s"s${strat / 4}",
+      (strat % 4).toLong + 1, (1 + rnd.nextInt(700)).toLong)
+    val df = rows.toDF("doc_id", "source", "quartile", "n_tokens")
+    val widths = Seq(1, 7, 64, 256)
+    val binCounts = widths.map { c =>
+      val bins = TextAnalysis.packBestFitOf(df, chunkDocs = c)
+        .groupBy($"source", $"quartile", $"pack_id")
+        .agg(sum($"n_tokens").as("load"), count(lit(1)).as("docs"),
+          max($"n_tokens").as("maxn"))
+      // capacity law: a multi-doc bin never exceeds B at ANY width
+      assert(bins.filter($"docs" > 1 && $"load" > B).count() === 0L,
+        s"capacity violated at width $c")
+      // oversize-singleton law: an over-B doc is ALWAYS alone
+      assert(bins.filter($"maxn" > B && $"docs" > 1).count() === 0L,
+        s"oversize shared a bin at width $c")
+      // conservation: every doc placed exactly once
+      assert(bins.agg(sum($"docs")).collect()(0).getLong(0)
+        === rows.size.toLong, s"docs lost/duplicated at width $c")
+      c -> bins.groupBy($"source", $"quartile").count()
+        .as[(String, Long, Long)].collect()
+        .map { case (s, q, n) => (s, q) -> n }.toMap
+    }.toMap
+    // bin counts are non-increasing across the SHIPPED widths on
+    // length-quartiled random strata — an EMPIRICAL regression, not a
+    // theorem (the next test pins a counterexample at adjacent
+    // widths); seeded, so deterministic
+    for (Seq(w1, w2) <- widths.sliding(2); key <- binCounts(w1).keys) {
+      assert(binCounts(w2)(key) <= binCounts(w1)(key),
+        s"stratum $key opened MORE bins at width $w2 than $w1")
+    }
+  }
+
+  test("chunk-width monotonicity is NOT a theorem: a wider chunk can " +
+    "open MORE bins (BFD anomaly, pinned so the empirical law above " +
+    "is never mistaken for an invariant)") {
+    // the ×51 image of a searched B=10 counterexample (sizes 8 7 4 2 8
+    // 1 7 7 1): feasibility is preserved because 51·a + 51·b ≤ 512 ⟺
+    // a + b ≤ 10 for integer sizes. Width 5 packs 6 bins; width 6,
+    // with MORE flexibility, greedily packs 7.
+    val sizes = Seq(8L, 7L, 4L, 2L, 8L, 1L, 7L, 7L, 1L).map(_ * 51)
+    val df = binned(sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "a", 1L, n) }: _*)
+    def bins(c: Int): Long =
+      TextAnalysis.packBestFitOf(df, chunkDocs = c)
+        .select($"pack_id").distinct().count()
+    assert(bins(5) === 6L)
+    assert(bins(6) === 7L)
+  }
+
   test("partitioning invariance + bin-capacity invariant on real data") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("n_chars"),
