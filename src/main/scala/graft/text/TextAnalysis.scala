@@ -831,11 +831,16 @@ object TextAnalysis extends QueryPack {
     * stratum frame between both packers. */
   private def packBestFitCore(staged: DataFrame,
       chunkDocs: Int): DataFrame = {
-    val B = PackBin
-    // the tightest feasible bin = max load still accepting the doc;
-    // ties resolve to the LOWEST bin id via array_position's
-    // first-occurrence semantics (DuckDB's list_position matches)
-    val bestLoad = s"array_max(filter(acc.loads, l -> l + d.n_tokens <= $B))"
+    // the per-chunk fold is [[graft.functions.BestFitPackExpr]] — the
+    // tightest feasible bin (max load still accepting the doc), ties
+    // to the LOWEST bin id, no feasible bin → a new one; the SAME law
+    // as the DuckDB recursive-CTE oracle below (list_position
+    // first-occurrence semantics) and as the Catalyst `aggregate`-HOF
+    // fold the expression replaced (VERDICT r13 #3: the HOF rebuilt
+    // the immutable loads array per step under interpreted
+    // evaluation — the expression is the identical O(C · bins) loop
+    // over primitive arrays; ScaleR15 keeps the HOF as the measured
+    // A/B reference)
     graft.operators.GroupRank.withGroupRankBy(staged,
         Seq("source", "quartile"), col("n_tokens"), primaryDesc = true,
         col("doc_id"), "rk", groupBound = 256)
@@ -844,21 +849,11 @@ object TextAnalysis extends QueryPack {
       // ≤ chunkDocs structs per row — the fold's bounded working set
       .agg(array_sort(collect_list(struct(col("rk"), col("doc_id"),
         col("n_tokens")))).as("docs"))
-      .withColumn("bins", expr(
-        s"""aggregate(docs,
-           |  named_struct(
-           |    'loads', cast(array() as array<bigint>),
-           |    'bins',  cast(array() as array<bigint>)),
-           |  (acc, d) -> named_struct(
-           |    'loads', case when $bestLoad is null
-           |      then concat(acc.loads, array(d.n_tokens))
-           |      else transform(acc.loads, (l, i) ->
-           |        if(i = cast(array_position(acc.loads, $bestLoad) as int) - 1,
-           |           l + d.n_tokens, l)) end,
-           |    'bins', concat(acc.bins, array(case when $bestLoad is null
-           |      then cast(size(acc.loads) as bigint)
-           |      else array_position(acc.loads, $bestLoad) - 1 end))),
-           |  acc -> acc.bins)""".stripMargin))
+      .withColumn("bins", org.apache.spark.sql.execution.graft
+        .GraftPlanBridge.column(graft.functions.BestFitPackExpr(
+          org.apache.spark.sql.execution.graft.GraftPlanBridge.expr(
+            expr("transform(docs, d -> d.n_tokens)")),
+          PackBin)))
       .select(col("source"), col("quartile"), col("chunk"),
         explode(arrays_zip(col("docs"), col("bins"))).as("z"))
       .select(col("source"), col("quartile"),
@@ -879,7 +874,6 @@ object TextAnalysis extends QueryPack {
     * fragmentation best-fit paid). Two keyed passes + model-sized
     * aggregates — no new corpus shape beyond its two inputs. */
   def packTradeoff(spark: SparkSession, d: String): DataFrame = {
-    val B = PackBin
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -887,12 +881,23 @@ object TextAnalysis extends QueryPack {
     // packers — calling packByLength + packBestFit separately would
     // pay the tokenization and the quartile keyed rank twice
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    graft.operators.Staged.scoped(
+    packTradeoffOf(
       graft.queries.Extended.quartileBinsOf(docs, 4)
-        .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
+        .select("doc_id", "source", "quartile", "n_tokens"), est)
+  }
+
+  /** Same over any already-binned (doc_id, source, quartile, n_tokens)
+    * frame — exposed so the scale sweep can drive strata past a few
+    * bins (and past [[PackBin]]-sized docs), where the A/B actually
+    * shows its trade (VERDICT r13 #2: at sf0.01 every stratum fits in
+    * a handful of bins and the ratio column is uniformly 10⁶). */
+  private[graft] def packTradeoffOf(binnedIn: DataFrame,
+      inputBytes: BigInt): DataFrame = {
+    val B = PackBin
+    graft.operators.Staged.scoped(binnedIn) { binned =>
       val contig = contiguousFill(binned, Seq("source", "quartile"),
           col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 256,
-          inputBytes = est)
+          inputBytes = inputBytes)
         .groupBy("source", "quartile")
         .agg(count(lit(1)).as("q_docs"),
           sum(col("n_tokens")).as("q_tokens"),

@@ -167,6 +167,20 @@ class PackBestFitSpec extends SparkSpec {
     assert(bins(6) === 7L)
   }
 
+  test("BestFitPackExpr.pack static kernel: edge cases the query-level " +
+    "tests reach only statistically") {
+    import graft.functions.BestFitPackExpr.pack
+    assert(pack(Array.empty[Long], 512L).toSeq === Seq.empty)
+    // exact fit is feasible; ties to the first bin
+    assert(pack(Array(400L, 200L, 100L, 100L, 12L), 512L).toSeq
+      === Seq(0L, 1L, 0L, 1L, 0L))
+    // oversize first doc: singleton bin, never joined
+    assert(pack(Array(600L, 500L, 100L), 512L).toSeq === Seq(0L, 1L, 2L))
+    // equal loads: first (lowest) bin id wins
+    assert(pack(Array(300L, 300L, 200L, 200L, 100L), 512L).toSeq
+      === Seq(0L, 1L, 0L, 1L, 2L))
+  }
+
   test("partitioning invariance + bin-capacity invariant on real data") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("n_chars"),
