@@ -129,17 +129,36 @@ object ScaleR15 {
     for (mult <- mults("SCALE_R15_MULTS", Seq(256, 4096))) {
       val parts = bytesPolicy(spark, mult * baseRows, 1200L)
       val binned = binnedStats(spark, d, mult)
-      binned.persist()
-      val n = binned.count()
+      // packBestFitOf's Staged scope RELEASES the shared persist after
+      // each run's terminal action (the documented ScaleR14 gotcha) —
+      // and the release fires ASYNC on the listener bus, so a naive
+      // re-persist can be unpersisted from under the next run. Every
+      // timed run therefore first AWAITS the previous scope's release,
+      // then re-stages and re-materializes — otherwise run 2+ silently
+      // pays the amplification replay the first run didn't, and the
+      // A/B compares cache states, not folds
+      def restage(): Long = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (binned.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        binned.persist()
+        binned.count()
+      }
+      val n = restage()
       // expression form at the shipped width, then the width sweep
       val runs = for (c <- Seq(128, 256, 512)) yield {
+        restage()
         val (bf, tBuild) = timed(TextAnalysis.packBestFitOf(binned, c))
         val ((bins, overfull, docs), tRun) = timed(packAggregate(bf))
         require(overfull == 0L && docs == n,
           s"capacity invariant violated at mult=$mult chunk=$c")
         (c, tBuild + tRun, bins)
       }
-      // the HOF reference at the shipped width
+      // the HOF reference at the shipped width (no Staged scope of its
+      // own, so restage() keeps its cache state identical to the runs)
+      restage()
       val (hof, tHofBuild) = timed(
         bestfitHof(binned, TextAnalysis.BestFitChunk))
       val ((hofBins, hofOverfull, hofDocs), tHofRun) = timed(
