@@ -57,9 +57,28 @@ case class BestFitPackExpr(child: Expression, binCapacity: Long)
 
 object BestFitPackExpr {
 
-  /** Static, shared by interpreted eval and generated code. */
-  def packArray(sizes: ArrayData, capacity: Long): ArrayData =
-    new GenericArrayData(pack(sizes.toLongArray(), capacity))
+  /** Static, shared by interpreted eval and generated code. A null
+    * element raises LOUD here: the declared input type admits
+    * `containsNull = true` (the wired `transform(docs, d ->
+    * d.n_tokens)` is formally nullable even though the rank guard
+    * upstream makes nulls unreachable), and without the check a null
+    * would either NPE in the boxed copy or read as a size-0 doc from
+    * the unsafe layout — two different silent behaviors for the same
+    * bad input (r14 review). */
+  def packArray(sizes: ArrayData, capacity: Long): ArrayData = {
+    val n = sizes.numElements()
+    val longs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (sizes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"best_fit_pack: null size at position $i — document sizes " +
+            "must be non-null")
+      longs(i) = sizes.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(pack(longs, capacity))
+  }
 
   /** The imperative BFD fold: `loads` is the open-bin load list, and
     * for each size the scan keeps the fullest still-feasible bin

@@ -227,7 +227,11 @@ object GroupRank {
     *    boundary-shortfall recovery (ADVICE r13: without it the keyed
     *    path silently collapses toward one bucket — perf-only, ranks
     *    stay exact, but the serial-task shape this operator exists to
-    *    avoid); a LOW mis-estimate in this branch merely over-samples.
+    *    avoid). A LOW mis-estimate in this branch would OVER-sample —
+    *    an invisible cost cliff (boundaries resolve fine, so no
+    *    recovery triggers) — which is why the stat is read at all only
+    *    with CBO off, where every rowCount producer is exact or
+    *    over-reporting by construction (see the 3-arg overload).
     *  - stat AT-OR-BELOW the cap is NEVER trusted alone: skipping the
     *    sample on a stat that under-reports the true count re-opens
     *    the uncapped-GK cost cliff the cap exists to close (VERDICT
@@ -247,7 +251,19 @@ object GroupRank {
   private[graft] def boundarySketchTraced(df: DataFrame, keyCol: String,
       parts: Int): (Seq[Double], SketchTrace) =
     boundarySketchTraced(df, keyCol, parts,
-      df.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue))
+      // the stat is read ONLY with CBO off: there the rowCount
+      // producers are exact (LocalRelation, Range, materialized cache)
+      // or OVER-reports (GlobalLimit — limit ≥ true count), so the
+      // shortfall recovery below covers every mis-estimate direction.
+      // CBO's ANALYZE-derived estimates can also UNDER-report inside
+      // the above-cap regime (stale stats: claimed 5M, true 500M →
+      // fraction cap/5M over 500M rows = a 0.42-sample GK cliff the
+      // recovery cannot see, because its boundaries resolve fine), so
+      // under CBO the sizing always pays the exact pruned count
+      // (r14 review).
+      if (df.sparkSession.conf.get("spark.sql.cbo.enabled", "false")
+          .toBoolean) None
+      else df.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue))
 
   /** Same, with the row-count stat injectable — the spec feeds
     * deliberately wrong stats (under- and over-reports) to pin the

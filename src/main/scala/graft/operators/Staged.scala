@@ -59,6 +59,17 @@ object Staged {
     * cannot stay strongly referenced behind other sessions' slots. */
   private[graft] val MaxArmed = 8
 
+  /** Process-wide BACKSTOP over the per-session cap (r14 review): a
+    * server minting `newSession()` per tenant and abandoning
+    * build-only scopes would otherwise pin sessions × [[MaxArmed]]
+    * caches forever — the stopped-context sweep never fires while the
+    * shared context lives, and the event TTL never ticks on idle
+    * sessions. Past this total the GLOBALLY oldest scope is evicted
+    * even across sessions: bounded-with-rare-cross-tenant-eviction
+    * beats unbounded, and a release is always recompute-safe. The
+    * queue scan on every arm is O(this bound) too. */
+  private[graft] val MaxArmedTotal = 64
+
   private val armed =
     new java.util.concurrent.ConcurrentLinkedQueue[ReleaseListener]
 
@@ -147,17 +158,31 @@ object Staged {
       try l.release()
       catch { case scala.util.control.NonFatal(_) => () }
     var mine = 0
+    var total = 0
     val sweep = armed.iterator()
     while (sweep.hasNext) {
       val l = sweep.next()
       if (l.session.sparkContext.isStopped) releaseQuietly(l)
-      else if (l.session eq spark) mine += 1
+      else {
+        total += 1
+        if (l.session eq spark) mine += 1
+      }
     }
     if (mine > MaxArmed) {
       val evict = armed.iterator()
       while (mine > MaxArmed && evict.hasNext) {
         val l = evict.next()
-        if (l.session eq spark) { releaseQuietly(l); mine -= 1 }
+        if (l.session eq spark) { releaseQuietly(l); mine -= 1; total -= 1 }
+      }
+    }
+    // the process-wide backstop: many idle sibling sessions must not
+    // pin unbounded cache in aggregate, so past MaxArmedTotal the
+    // globally oldest scope goes, whoever owns it
+    if (total > MaxArmedTotal) {
+      val evict = armed.iterator()
+      while (total > MaxArmedTotal && evict.hasNext) {
+        val l = evict.next()
+        releaseQuietly(l); total -= 1
       }
     }
     result

@@ -647,23 +647,24 @@ object TextAnalysis extends QueryPack {
     * oracles cannot drift apart. */
   private[graft] val PackBin = 512
 
-  /** Per-stratum-bytes ceiling under which the PLAIN grouped window is
+  /** TOTAL-input-bytes ceiling under which the PLAIN grouped window is
     * the faster exclusive-prefix plan and the gate below picks it over
-    * the keyed form. Calibrated from SCALE.md §r13's window-vs-keyed
-    * octave: the 80-strata window stays 3.8× FASTER through 327.68 M
-    * rows (~160 MB per actual stratum), with the crossover beyond
-    * that — the keyed form's three passes are pure insurance below the
-    * single-task envelope. The gate divides the caller's input-bytes
-    * estimate by `groupBound` (the promised MAXIMUM stratum count), so
-    * the per-stratum estimate can under-read by up to
-    * bound/actual ≈ 3.2× (256 promised vs 80 actual strata); 32 MiB
-    * by-bound therefore admits ≤ ~105 MB per actual stratum — inside
-    * the measured window-wins regime with the whole crossover gap as
-    * margin. At 100 TB the same arithmetic reads ~TB per stratum and
-    * the keyed form always wins the gate. */
-  private[graft] val WindowFillMaxStratumBytes = 32L << 20
+    * the keyed form. The safety quantity is bytes through ONE window
+    * task = the LARGEST stratum's bytes, and the caller has no lower
+    * bound on stratum count (a one-source corpus is legal under any
+    * `groupBound`, which bounds cardinality from ABOVE — the wrong
+    * side), so the gate bounds the worst case by the only sound
+    * surrogate: total bytes ≥ max-stratum bytes. Calibrated from
+    * SCALE.md §r13's window-vs-keyed octave: the window stays 3.8×
+    * faster through ~160 MB per actual stratum, so 64 MiB TOTAL —
+    * even if one stratum holds everything — sits well inside the
+    * measured window-wins regime. The forfeited window wins in the
+    * 64 MiB–160 MB-per-stratum band are the keyed form's documented
+    * insurance premium (what r13 shipped unconditionally); at any real
+    * corpus scale the gate reads keyed. */
+  private[graft] val WindowFillMaxTotalBytes = 64L << 20
 
-  /** The gate itself (VERDICT r13 #1): window below the per-stratum
+  /** The gate itself (VERDICT r13 #1): window below the total-bytes
     * envelope, keyed above — the same stats-derived plan selection
     * `semantic_dedup_auto` and the ANN geometry gates use. `inputBytes`
     * must be the caller's CLEAN base-scan estimate (a projected parquet
@@ -677,7 +678,7 @@ object TextAnalysis extends QueryPack {
   private[graft] def windowFillFits(inputBytes: BigInt,
       groupBound: Long): Boolean =
     inputBytes >= 0 && groupBound > 0 &&
-      inputBytes <= BigInt(WindowFillMaxStratumBytes) * groupBound
+      inputBytes <= BigInt(WindowFillMaxTotalBytes)
 
   /** Shared contiguous-fill tail of the packing family: the exclusive
     * per-group prefix of `value` in (primary, tieBreak) order (keyed

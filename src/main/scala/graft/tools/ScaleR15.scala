@@ -133,16 +133,25 @@ object ScaleR15 {
       // each run's terminal action (the documented ScaleR14 gotcha) —
       // and the release fires ASYNC on the listener bus, so a naive
       // re-persist can be unpersisted from under the next run. Every
-      // timed run therefore first AWAITS the previous scope's release,
-      // then re-stages and re-materializes — otherwise run 2+ silently
-      // pays the amplification replay the first run didn't, and the
-      // A/B compares cache states, not folds
+      // timed run therefore first AWAITS the pending release (when one
+      // is pending — awaiting unconditionally would spin the full
+      // deadline on the never-released first persist), then re-stages
+      // and re-materializes; a deadline miss fails LOUD, because
+      // proceeding would reintroduce the exact cache-state-vs-fold
+      // confound the await exists to remove (r14 review).
+      var releasePending = false
       def restage(): Long = {
-        val deadline = System.currentTimeMillis() + 30000
-        while (binned.storageLevel !=
-            org.apache.spark.storage.StorageLevel.NONE &&
-            System.currentTimeMillis() < deadline)
-          Thread.sleep(50)
+        if (releasePending) {
+          val deadline = System.currentTimeMillis() + 30000
+          while (binned.storageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          require(binned.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE,
+            "Staged release did not fire within 30 s — aborting the A/B " +
+              "rather than timing against an undefined cache state")
+        }
         binned.persist()
         binned.count()
       }
@@ -152,6 +161,7 @@ object ScaleR15 {
         restage()
         val (bf, tBuild) = timed(TextAnalysis.packBestFitOf(binned, c))
         val ((bins, overfull, docs), tRun) = timed(packAggregate(bf))
+        releasePending = true // this run's scope will release binned
         require(overfull == 0L && docs == n,
           s"capacity invariant violated at mult=$mult chunk=$c")
         (c, tBuild + tRun, bins)
@@ -159,6 +169,7 @@ object ScaleR15 {
       // the HOF reference at the shipped width (no Staged scope of its
       // own, so restage() keeps its cache state identical to the runs)
       restage()
+      releasePending = false // bestfitHof arms no scope
       val (hof, tHofBuild) = timed(
         bestfitHof(binned, TextAnalysis.BestFitChunk))
       val ((hofBins, hofOverfull, hofDocs), tHofRun) = timed(

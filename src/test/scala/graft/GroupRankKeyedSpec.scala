@@ -422,6 +422,24 @@ class GroupRankKeyedSpec extends SparkSpec {
       s"got ${bs.size} boundaries, $trace")
   }
 
+  test("under CBO the sizing never trusts plan stats: ANALYZE-derived " +
+    "estimates can UNDER-report inside the above-cap regime, an " +
+    "invisible over-sample cliff the shortfall recovery cannot see " +
+    "(r14 review)") {
+    // the same LIMIT shape that over-reports without CBO; with CBO on
+    // the stat must be IGNORED and the exact pruned count pays instead
+    val df = Tables.documents(spark, sf0001)
+      .select($"doc_id".cast("double").as("k"))
+      .limit(2000000000)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val (bs, trace) = GroupRank.boundarySketchTraced(df, "k", parts = 300)
+      assert(trace.exactCounts === 1 && !trace.resketched,
+        s"CBO stats must not size the sample, got $trace")
+      assert(bs.size > 149)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,

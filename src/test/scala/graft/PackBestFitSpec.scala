@@ -179,6 +179,14 @@ class PackBestFitSpec extends SparkSpec {
     // equal loads: first (lowest) bin id wins
     assert(pack(Array(300L, 300L, 200L, 200L, 100L), 512L).toSeq
       === Seq(0L, 1L, 0L, 1L, 2L))
+    // a null element raises LOUD instead of NPE-or-zero (the declared
+    // input type is formally nullable; r14 review)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.BestFitPackExpr.packArray(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](300L, null, 100L)), 512L)
+    }
+    assert(ex.getMessage.contains("null size at position 1"))
   }
 
   test("partitioning invariance + bin-capacity invariant on real data") {

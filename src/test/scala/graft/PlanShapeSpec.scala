@@ -323,8 +323,9 @@ class PlanShapeSpec extends SparkSpec {
     val binned = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // 100 TB-shaped estimate: 64 strata × 32 MiB = 2 GiB is the
-    // envelope; 1 TiB is far above it
+    // 100 TB-shaped estimate: the envelope is 64 MiB TOTAL (the gate
+    // cannot lower-bound the stratum count, so total bytes is the
+    // sound surrogate for worst-stratum bytes); 1 TiB is far above it
     val p = planOf(text.TextAnalysis.contiguousFill(binned, Seq("source"),
       col("doc_id"), col("doc_id"), col("n_tokens"), groupBound = 64,
       inputBytes = BigInt(1L) << 40))

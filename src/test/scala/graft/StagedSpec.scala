@@ -125,6 +125,28 @@ class StagedSpec extends SparkSpec {
     assert(eventually()(live.storageLevel === StorageLevel.NONE))
   }
 
+  test("MaxArmedTotal backstop: many idle sibling sessions cannot pin " +
+    "unbounded cache in aggregate — past the process-wide total the " +
+    "globally oldest scope is evicted even across sessions (r14 review)") {
+    val first = Staged.stage((1 to 10).toDF("x"))
+    first.count()
+    Staged.releaseAfter(first.filter(col("x") > 1), first)
+    assert(first.storageLevel !== StorageLevel.NONE)
+    // enough sibling sessions, each inside its own per-session cap, to
+    // push the process-wide total past MaxArmedTotal
+    val sessionsNeeded = Staged.MaxArmedTotal / Staged.MaxArmed + 1
+    for (s <- 0 until sessionsNeeded) {
+      val sess = spark.newSession()
+      for (i <- 0 until Staged.MaxArmed) {
+        val st = Staged.stage(
+          sess.range(3).withColumn("c", col("id") + s * 100 + i))
+        Staged.releaseAfter(st.filter(col("c") > 1), st)
+      }
+    }
+    assert(first.storageLevel === StorageLevel.NONE,
+      "the process-wide backstop must evict the globally oldest scope")
+  }
+
   test("released scopes leave the cap queue: MaxArmed COMPLETED scopes " +
     "must not evict the one still-live scope (r13 review regression)") {
     val live = Staged.stage((1 to 10).toDF("x"))
