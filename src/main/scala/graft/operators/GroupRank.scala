@@ -148,9 +148,10 @@ object GroupRank {
   def withGroupRankBy(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       out: String = "rk", partitions: Int = 0,
-      totalOut: Option[String] = None, groupBound: Long = 0L): DataFrame =
+      totalOut: Option[String] = None, groupBound: Long = 0L,
+      inputBytes: BigInt = BigInt(-1)): DataFrame =
     keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
-      partitions, value = None, out, totalOut, groupBound)
+      partitions, value = None, out, totalOut, groupBound, inputBytes)
 
   /** Distributed per-group RUNNING SUM of `value` in `(primary,
     * tiebreak)` order — `sum(value) OVER (PARTITION BY group ORDER BY
@@ -163,9 +164,43 @@ object GroupRank {
   def withRunningSumBy(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       value: Column, out: String = "cum", partitions: Int = 0,
-      totalOut: Option[String] = None, groupBound: Long = 0L): DataFrame =
+      totalOut: Option[String] = None, groupBound: Long = 0L,
+      inputBytes: BigInt = BigInt(-1)): DataFrame =
     keyedPrefix(df, groupCols, primary, primaryDesc, tieBreak,
-      partitions, value = Some(value), out, totalOut, groupBound)
+      partitions, value = Some(value), out, totalOut, groupBound,
+      inputBytes)
+
+  /** TOTAL-input-bytes ceiling under which the PLAIN grouped window is
+    * the cheaper prefix plan and [[keyedPrefix]] takes it over the
+    * bucket machinery. The safety quantity is bytes through ONE window
+    * task — the LARGEST stratum's bytes — and callers can bound stratum
+    * cardinality only from ABOVE (the wrong side for a max-stratum
+    * estimate), so the gate bounds the worst case by the only sound
+    * surrogate: total bytes ≥ max-stratum bytes. Calibrated from
+    * SCALE.md §r13's window-vs-keyed octaves: the window stays 3.8×
+    * faster through ~160 MB per actual stratum, so 64 MiB TOTAL — even
+    * if one stratum holds everything — sits well inside the measured
+    * window-wins regime; forfeited wins above it are the keyed form's
+    * documented insurance premium. */
+  private[graft] val WindowMaxTotalBytes = 64L << 20
+
+  /** The plan gate (VERDICT r13 #1, widened r14): window below the
+    * total-bytes envelope, keyed above. `inputBytes` must be the
+    * caller's CLEAN base-scan estimate (a projected parquet relation's
+    * `stats.sizeInBytes`) — joined/staged intermediates inflate the
+    * product estimate by orders of magnitude (a probe read ~72 GB for
+    * 5 000 rows through a rank join), so a caller without a trustworthy
+    * estimate keeps the −1 default and gets the keyed form. Mis-gating
+    * is always a perf trade, never a correctness one: the window arm is
+    * the exact reference construction the keyed form is spec-proven
+    * equal to. Empty groupCols never gate (a global single-partition
+    * window is [[AssignIds]]' territory); the window arm also assumes
+    * the caller's non-null finite keys — the keyed arm's raise-guard
+    * still covers every above-envelope input. */
+  private[graft] def windowFits(inputBytes: BigInt,
+      groupCols: Seq[String]): Boolean =
+    groupCols.nonEmpty && inputBytes >= 0 &&
+      inputBytes <= BigInt(WindowMaxTotalBytes)
 
   /** `parts − 1` quantile boundaries of `keyCol`, one distributed
     * sketch pass, collected once (model-sized: doubles). The sketch's
@@ -322,7 +357,30 @@ object GroupRank {
   private def keyedPrefix(df: DataFrame, groupCols: Seq[String],
       primary: Column, primaryDesc: Boolean, tieBreak: Column,
       partitions: Int, value: Option[Column], out: String,
-      totalOut: Option[String], groupBound: Long = 0L): DataFrame = {
+      totalOut: Option[String], groupBound: Long = 0L,
+      inputBytes: BigInt = BigInt(-1)): DataFrame = {
+    if (windowFits(inputBytes, groupCols)) {
+      // below the envelope the plain grouped window IS the cheaper
+      // plan (one sort, no sketch/counts/offsets passes) and the exact
+      // reference the keyed form is spec-proven equal to
+      val ord = if (primaryDesc) primary.desc else primary.asc
+      val wOrd = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(ord, tieBreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val base = value match {
+        case Some(v) => df.withColumn(out, sum(v.cast("long")).over(wOrd))
+        case None =>
+          df.withColumn(out, row_number().over(
+            Window.partitionBy(groupCols.map(col): _*)
+              .orderBy(ord, tieBreak)).cast("long"))
+      }
+      return totalOut.fold(base) { t =>
+        base.withColumn(t, value.map(v => sum(v.cast("long")).over(wAll))
+          .getOrElse(count(lit(1)).over(wAll)))
+      }
+    }
     val parts = AssignIds.sizedPartitions(df, partitions)
     val raw = primary.cast("double")
     val signed = if (primaryDesc) negate(raw) else raw

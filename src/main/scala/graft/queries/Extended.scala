@@ -1356,22 +1356,29 @@ object Extended extends QueryPack {
     * offsets broadcast back — since r10 the shared operator, since r11
     * the keyed pin-free form); the quartile is closed-form integer math
     * on (rank, source total). No single-partition window anywhere. */
-  def qualityQuartiles(spark: SparkSession, d: String): DataFrame =
-    quartileBinsOf(
-      Tables.documents(spark, d).select(col("doc_id"), col("source"), col("n_chars")),
-      4)
+  def qualityQuartiles(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    quartileBinsOf(docs, 4,
+        inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
       .orderBy("doc_id")
+  }
 
   /** Same over any `(doc_id, source, n_chars)` frame with `k` bins —
     * exposed so the unit spec can pin NTILE remainder semantics and
     * partitioning invariance on constructed corpora. */
-  private[graft] def quartileBinsOf(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def quartileBinsOf(docs: DataFrame, k: Int,
+      inputBytes: BigInt = BigInt(-1)): DataFrame = {
     // NTILE(k) closed form: rem = tot % k leading buckets hold
     // (tot div k)+1 rows each, the rest hold (tot div k); CASE keeps
-    // the zero-size ELSE division unevaluated when tot < k
+    // the zero-size ELSE division unevaluated when tot < k.
+    // `inputBytes` rides through to the rank's window-vs-keyed gate
+    // ([[graft.operators.GroupRank.windowFits]]) — registered callers
+    // pass their clean base-scan estimate, sweeps keep the keyed form
     graft.operators.GroupRank.withGroupRankBy(docs, Seq("source"),
         col("n_chars"), primaryDesc = false, col("doc_id"), "__rank",
-        totalOut = Some("__tot"), groupBound = 64)
+        totalOut = Some("__tot"), groupBound = 64,
+        inputBytes = inputBytes)
       .withColumn("quartile", expr(
         s"""CASE WHEN __rank <= (__tot % $k) * (__tot DIV $k + 1)
            |     THEN (__rank - 1) DIV (__tot DIV $k + 1) + 1

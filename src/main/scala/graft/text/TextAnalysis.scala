@@ -633,7 +633,8 @@ object TextAnalysis extends QueryPack {
     * group) to fixed-budget token bins: pack_id = ⌊tokens-before / B⌋.
     * This is the contiguous-fill packing a pretraining loader uses to
     * batch documents into context windows. The per-source prefix sum is
-    * size-GATED ([[windowFillFits]]): above the per-stratum envelope it
+    * size-GATED ([[graft.operators.GroupRank.windowFits]]): above the
+    * total-bytes envelope it
     * is [[graft.operators.GroupRank.withRunningSumBy]]
     * (value-deterministic buckets + broadcast offsets), never
     * `Window.partitionBy(source)` — the grouped window pulls each
@@ -647,39 +648,6 @@ object TextAnalysis extends QueryPack {
     * oracles cannot drift apart. */
   private[graft] val PackBin = 512
 
-  /** TOTAL-input-bytes ceiling under which the PLAIN grouped window is
-    * the faster exclusive-prefix plan and the gate below picks it over
-    * the keyed form. The safety quantity is bytes through ONE window
-    * task = the LARGEST stratum's bytes, and the caller has no lower
-    * bound on stratum count (a one-source corpus is legal under any
-    * `groupBound`, which bounds cardinality from ABOVE — the wrong
-    * side), so the gate bounds the worst case by the only sound
-    * surrogate: total bytes ≥ max-stratum bytes. Calibrated from
-    * SCALE.md §r13's window-vs-keyed octave: the window stays 3.8×
-    * faster through ~160 MB per actual stratum, so 64 MiB TOTAL —
-    * even if one stratum holds everything — sits well inside the
-    * measured window-wins regime. The forfeited window wins in the
-    * 64 MiB–160 MB-per-stratum band are the keyed form's documented
-    * insurance premium (what r13 shipped unconditionally); at any real
-    * corpus scale the gate reads keyed. */
-  private[graft] val WindowFillMaxTotalBytes = 64L << 20
-
-  /** The gate itself (VERDICT r13 #1): window below the total-bytes
-    * envelope, keyed above — the same stats-derived plan selection
-    * `semantic_dedup_auto` and the ANN geometry gates use. `inputBytes`
-    * must be the caller's CLEAN base-scan estimate (a projected parquet
-    * relation's `stats.sizeInBytes`): intermediate joined/staged frames
-    * inflate the product estimate by orders of magnitude (an
-    * unmaterialized cache over the quartile machinery reads ~72 GB for
-    * 5 000 rows), so a caller without a trustworthy estimate passes the
-    * −1 default and gets the keyed form — mis-gating is always a perf
-    * trade, never a correctness one (the two forms are row-identical;
-    * SCALE.md §r13 measured 0 mismatches at every octave). */
-  private[graft] def windowFillFits(inputBytes: BigInt,
-      groupBound: Long): Boolean =
-    inputBytes >= 0 && groupBound > 0 &&
-      inputBytes <= BigInt(WindowFillMaxTotalBytes)
-
   /** Shared contiguous-fill tail of the packing family: the exclusive
     * per-group prefix of `value` in (primary, tieBreak) order (keyed
     * running sum − the row's own value — bit-identical to the window
@@ -688,33 +656,21 @@ object TextAnalysis extends QueryPack {
     * drift between `doc_packing` / `pack_by_length` / `corpus_build`
     * and the DuckDB oracle shape they all share.
     *
-    * The prefix-sum PLAN is auto-gated ([[windowFillFits]]): below the
-    * per-stratum envelope the plain grouped window (one sort, no
+    * The prefix-sum PLAN is auto-gated inside the operator
+    * ([[graft.operators.GroupRank.windowFits]], VERDICT r13 #1): below
+    * the total-bytes envelope the plain grouped window (one sort, no
     * bucket machinery) is measured 3.8× cheaper and row-identical;
     * above it — or when the caller has no trustworthy byte estimate —
     * the keyed bucket form keeps the worst task bytes-policy bounded
-    * (a 100 TB source must never serialize through one window task).
-    * The window arm assumes the registered callers' non-null long
-    * keys; the keyed arm's null/NaN raise-guard still covers every
-    * above-envelope input. */
+    * (a 100 TB source must never serialize through one window task). */
   private[graft] def contiguousFill(df: DataFrame, groupCols: Seq[String],
       primary: Column, tieBreak: Column, value: Column,
-      groupBound: Long, inputBytes: BigInt = BigInt(-1)): DataFrame = {
-    val cum =
-      if (windowFillFits(inputBytes, groupBound)) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(groupCols.map(col): _*)
-          .orderBy(primary, tieBreak)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        df.withColumn("__cum", sum(value.cast("long")).over(w))
-      } else
-        graft.operators.GroupRank.withRunningSumBy(
-          df, groupCols, primary, primaryDesc = false, tieBreak, value,
-          "__cum", groupBound = groupBound)
-    cum.withColumn("tokens_before", col("__cum") - value)
+      groupBound: Long, inputBytes: BigInt = BigInt(-1)): DataFrame =
+    graft.operators.GroupRank.withRunningSumBy(
+        df, groupCols, primary, primaryDesc = false, tieBreak, value,
+        "__cum", groupBound = groupBound, inputBytes = inputBytes)
+      .withColumn("tokens_before", col("__cum") - value)
       .withColumn("pack_id", expr(s"tokens_before div $PackBin"))
-  }
 
   def docPacking(spark: SparkSession, d: String): DataFrame =
     docPackingOf(Tables.documents(spark, d))
@@ -769,7 +725,7 @@ object TextAnalysis extends QueryPack {
     // binned frame's own estimate inflates through the rank join
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     graft.operators.Staged.scoped(
-      graft.queries.Extended.quartileBinsOf(docs, 4)
+      graft.queries.Extended.quartileBinsOf(docs, 4, inputBytes = est)
         .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
       contiguousFill(binned, Seq("source", "quartile"), col("doc_id"),
           col("doc_id"), col("n_tokens"), groupBound = 256,
@@ -807,14 +763,16 @@ object TextAnalysis extends QueryPack {
     * sort are bounded at the chunk width, parallelism is #chunks
     * (corpus-proportional), and pack ids are chunk-local
     * (chunk · C + bin), so chunks need no cross-coordination. The fold
-    * itself is a Catalyst `aggregate` HOF over the collected chunk —
-    * expression-evaluated, no UDF, no Encoder round-trip. */
+    * itself is [[graft.functions.BestFitPackExpr]] over the collected
+    * chunk — a native codegen-embedded expression, no UDF, no Encoder
+    * round-trip (r14: 4.6× the `aggregate`-HOF form it replaced). */
   def packBestFit(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     packBestFitOf(
-      graft.queries.Extended.quartileBinsOf(docs, 4)
+      graft.queries.Extended.quartileBinsOf(docs, 4,
+          inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
         .select("doc_id", "source", "quartile", "n_tokens"),
       BestFitChunk)
   }
@@ -883,7 +841,7 @@ object TextAnalysis extends QueryPack {
     // pay the tokenization and the quartile keyed rank twice
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     packTradeoffOf(
-      graft.queries.Extended.quartileBinsOf(docs, 4)
+      graft.queries.Extended.quartileBinsOf(docs, 4, inputBytes = est)
         .select("doc_id", "source", "quartile", "n_tokens"), est)
   }
 
@@ -1085,7 +1043,8 @@ object TextAnalysis extends QueryPack {
     // performance choice only — the keyed paths are recompute-safe —
     // and it self-releases after the terminal action (ADVICE r11).
     graft.operators.Staged.scoped(
-      graft.queries.Extended.quartileBinsOf(docs, 4)
+      graft.queries.Extended.quartileBinsOf(docs, 4,
+          inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
         .select(col("doc_id"), col("quartile").as("phase"))
         .withColumn("shuffle_key",
           graft.functions.DetMix.lehmerMix(col("doc_id")))) { phased =>

@@ -440,6 +440,52 @@ class GroupRankKeyedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("window-vs-keyed gate (VERDICT r13 #1, unified r14): an " +
+    "under-envelope inputBytes plans the plain grouped window with " +
+    "identical ranks, sums, and totals; above-envelope or no estimate " +
+    "keeps the keyed bucket form; empty groupCols never gate") {
+    val df = mk(97).withColumn("tok", ($"id" % 7 + 1).cast("long"))
+    def plan(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    // rank + total: window arm == keyed arm, row for row
+    // the keyed form's tell in a plan string is its offsets join
+    // (__off) — range_bucket itself constant-folds away over LOCAL
+    // relations (ConvertToLocalRelation evaluates the projection)
+    val gated = GroupRank.withGroupRankBy(df, Seq("g"), $"score", false,
+      $"id", "rk", totalOut = Some("n"), inputBytes = BigInt(4096))
+    val keyed = GroupRank.withGroupRankBy(df, Seq("g"), $"score", false,
+      $"id", "rk", totalOut = Some("n"), partitions = 7)
+    assert(!plan(gated).contains("__off") &&
+      plan(gated).contains("Window"),
+      s"under the envelope the gate must plan the window:\n${plan(gated)}")
+    assert(plan(keyed).contains("__off"))
+    assert(gated.select($"id", $"rk", $"n").as[(Long, Long, Long)]
+      .collect().toSet ===
+      keyed.select($"id", $"rk", $"n").as[(Long, Long, Long)]
+        .collect().toSet)
+    // running sum + total: same law
+    val gsum = GroupRank.withRunningSumBy(df, Seq("g"), $"score", false,
+      $"id", $"tok", "cum", totalOut = Some("t"), inputBytes = BigInt(4096))
+    val ksum = GroupRank.withRunningSumBy(df, Seq("g"), $"score", false,
+      $"id", $"tok", "cum", totalOut = Some("t"), partitions = 7)
+    assert(!plan(gsum).contains("__off"))
+    assert(gsum.select($"id", $"cum", $"t").as[(Long, Long, Long)]
+      .collect().toSet ===
+      ksum.select($"id", $"cum", $"t").as[(Long, Long, Long)]
+        .collect().toSet)
+    // above the envelope the estimate must NOT window
+    val big = GroupRank.withGroupRankBy(df, Seq("g"), $"score", false,
+      $"id", "rk", partitions = 7, inputBytes = BigInt(1L) << 40)
+    assert(plan(big).contains("__off"),
+      "an above-envelope estimate must keep the keyed form")
+    // empty groupCols: a global single-partition window is never the
+    // gate's business, tiny estimate or not
+    val flat = GroupRank.withGroupRankBy(df, Seq.empty, $"score", false,
+      $"id", "rk", partitions = 3, inputBytes = BigInt(4096))
+    assert(plan(flat).contains("__off"),
+      "empty groupCols must never take the window arm")
+  }
+
   test("empty frame and single-partition degenerate cleanly") {
     val empty = mk(5).filter($"id" > 100)
     assert(GroupRank.withGroupRankBy(empty, Seq("g"), $"score", false,

@@ -302,7 +302,7 @@ class PlanShapeSpec extends SparkSpec {
   test("packing family under the fill gate, SMALL side: below the " +
     "per-stratum envelope the gate picks the plain window — proving " +
     "every registered caller wires a real byte estimate (VERDICT r13 #1)") {
-    // sf0.001 is far below WindowFillMaxStratumBytes × bound, so the
+    // sf0.001 is far below GroupRank.WindowMaxTotalBytes, so the
     // gated contiguousFill queries must now PLAN the window form (the
     // measured-3.8×-cheaper plan at this size); a caller that forgot
     // its estimate would silently fall back to keyed and fail here
