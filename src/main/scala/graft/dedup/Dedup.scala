@@ -842,6 +842,153 @@ object Dedup extends QueryPack {
       .orderBy("source_a", "source_b")
   }
 
+  // ---------- KMV / Theta sketch source overlap (the 100 TB path) ----------
+
+  /** KMV retained-sample size. 512 keeps the per-source distinct
+    * estimate's relative std at 1/√(k−2) ≈ 4.4% (Beyer et al. 2007)
+    * while leaving sf0.01's ~1.2–1.5k distinct shingles per source
+    * genuinely in ESTIMATION mode (θ ≈ 0.35–0.45), so the verified
+    * gate exercises the estimator, not the exact-mode identity. */
+  private[graft] val KmvK = 512
+
+  /** 2^64 as an exact double, for normalizing unsigned hashes to (0,1). */
+  private val TwoPow64 = 1.8446744073709552e19
+
+  /** Unsigned long → unit interval: h/2^64 with the sign wrap undone.
+    * Monotone in UNSIGNED hash order, which is what θ comparisons key
+    * on; exact cutoff comparisons use [[xorMin]] instead (doubles lose
+    * the low 11 bits). */
+  private def unitHash(h: Column): Column =
+    h.cast("double") / lit(TwoPow64) +
+      when(h < 0, lit(1.0)).otherwise(lit(0.0))
+
+  /** Unsigned comparison trick: XOR with Long.MinValue maps unsigned
+    * order onto signed order exactly. */
+  private def xorMin(h: Column): Column =
+    h.bitwiseXOR(lit(Long.MinValue))
+
+  /** Per-source KMV sketches over the SAME hashed-shingle stream the
+    * exact [[sourceOverlap]] self-joins — one sketch aggregate pass,
+    * k longs of state per source on the shuffle. */
+  private def kmvSourceSketches(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.KmvSketchAgg.register(docs.sparkSession, k)
+    hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(expr("kmv_sketch(shingle)").as("sk"))
+  }
+
+  /** Sketch → (θ, distinct estimate, retained sample). Theta-sketch
+    * convention: a saturated sketch's k-th smallest value IS θ and is
+    * excluded from the retained sample (`est = (k−1)/θ`); an
+    * unsaturated sketch is exact (θ = 1, sample = the distinct set). */
+  private def kmvSummary(sketches: DataFrame, k: Int): DataFrame =
+    sketches
+      .withColumn("kth",
+        when(size(col("sk")) === k, element_at(col("sk"), k)))
+      .withColumn("theta",
+        when(col("kth").isNull, lit(1.0)).otherwise(unitHash(col("kth"))))
+      .withColumn("est_distinct",
+        when(col("kth").isNull, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")))
+      .withColumn("retained",
+        when(col("kth").isNull, col("sk")).otherwise(slice(col("sk"), 1, k - 1)))
+
+  /** Cross-source distinct-shingle overlap ESTIMATED from per-source
+    * KMV/Theta sketches — the 100 TB form of [[sourceOverlap]]. The
+    * exact form's inverted-index self-join shuffles the whole distinct
+    * (source, shingle) stream and pays the hot-shingle join product;
+    * here the corpus is touched ONCE by a sketch aggregate whose state
+    * is k longs per source, and ALL pairwise set algebra runs over the
+    * S·k retained-hash rows (model-sized: S sources × 512 longs — at
+    * any corpus size). Intersection estimator (DataSketches Theta
+    * semantics, public): retained samples below θ_pair =
+    * min(θ_a, θ_b) are a uniform sample of A ∩ B, so
+    * `est_shared = |sample_a ∩ sample_b < θ_pair| / θ_pair`; the
+    * estimate HLL structurally cannot give. Deterministic: the k
+    * smallest distinct hashes are partition-order-invariant and every
+    * double is computed in fixed expression order — but not
+    * SQL-expressible (DuckDB lacks xxhash64), so this row is
+    * rows-only and [[sourceOverlapKmvVerified]] is its hash-checked
+    * gate (the sketch-gate program). Same 2^-64 hash-collision caveat
+    * as the whole hashed-shingle family. */
+  def sourceOverlapKmvOf(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val sum = kmvSummary(kmvSourceSketches(docs, k), k).localCheckpoint()
+    val a = sum.select(col("source").as("source_a"), col("kth").as("kth_a"),
+      col("theta").as("theta_a"), col("est_distinct").as("est_a"))
+    val b = sum.select(col("source").as("source_b"), col("kth").as("kth_b"),
+      col("theta").as("theta_b"), col("est_distinct").as("est_b"))
+    val grid = a.crossJoin(broadcast(b)) // S² pair rows: model-sized
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("kth_pair",
+        when(col("kth_a").isNull, col("kth_b"))
+          .when(col("kth_b").isNull, col("kth_a"))
+          .otherwise(when(xorMin(col("kth_a")) <= xorMin(col("kth_b")),
+            col("kth_a")).otherwise(col("kth_b"))))
+      .withColumn("theta_pair", least(col("theta_a"), col("theta_b")))
+    val ea = sum.select(col("source").as("source_a"), explode(col("retained")).as("h"))
+    val eb = sum.select(col("source").as("source_b"), explode(col("retained")).as("h"))
+    val sampled = ea.join(eb, "h")
+      .filter(col("source_a") < col("source_b"))
+      .join(broadcast(grid.select("source_a", "source_b", "kth_pair")),
+        Seq("source_a", "source_b"))
+      .filter(col("kth_pair").isNull ||
+        xorMin(col("h")) < xorMin(col("kth_pair")))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_samp"))
+    grid.join(sampled, Seq("source_a", "source_b"), "left")
+      .withColumn("est_shared",
+        coalesce(col("n_samp"), lit(0L)).cast("double") / col("theta_pair"))
+      .withColumn("est_jaccard",
+        col("est_shared") / (col("est_a") + col("est_b") - col("est_shared")))
+      .select("source_a", "source_b", "theta_pair", "est_a", "est_b",
+        "est_shared", "est_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapKmv(spark: SparkSession, d: String): DataFrame =
+    sourceOverlapKmvOf(Tables.documents(spark, d))
+
+  /** Hash-checked gate for [[sourceOverlapKmv]]: the estimates land
+    * within their published error bounds of the EXACT recompute (which
+    * the oracle re-derives from the shingle strings). Bounds, one-sided
+    * margin ~6σ plus a small-count absolute floor:
+    * per-source `|est − exact| ≤ exact·6/√(k−2) + 8` (KMV relative
+    * std), pair `|est_shared − exact| ≤ 6·√(exact·(1/θ_pair − 1)) + 8`
+    * (binomial thinning of the intersection at rate θ_pair). The gate
+    * pays brute-force ground truth by design — that IS the cost; a
+    * broken merge, a lost retained hash, or an estimator regression
+    * flips a boolean and hash-fails the row. */
+  def sourceOverlapKmvVerified(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val k = KmvK
+    val est = sourceOverlapKmvOf(docs, k)
+    val ss = hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct()
+    val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.select(col("source").as("source_a"), col("shingle"))
+      .join(ss.select(col("source").as("source_b"), col("shingle")), "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_shared"))
+    val relBound = 6.0 / math.sqrt((k - 2).toDouble)
+    inter
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("exact_a"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("exact_b"))), "source_b")
+      .join(est, Seq("source_a", "source_b"))
+      .withColumn("sizes_within_bound",
+        abs(col("est_a") - col("exact_a")) <=
+          col("exact_a") * lit(relBound) + lit(8.0) &&
+        abs(col("est_b") - col("exact_b")) <=
+          col("exact_b") * lit(relBound) + lit(8.0))
+      .withColumn("shared_within_bound",
+        abs(col("est_shared") - col("exact_shared")) <=
+          lit(6.0) * sqrt(greatest(col("exact_shared"), lit(1L)).cast("double") *
+            greatest(lit(1.0) / col("theta_pair") - lit(1.0), lit(0.0))) + lit(8.0))
+      .select("source_a", "source_b", "exact_a", "exact_b", "exact_shared",
+        "sizes_within_bound", "shared_within_bound")
+      .orderBy("source_a", "source_b")
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark decontamination — the eval-overlap check a training
@@ -1335,6 +1482,8 @@ object Dedup extends QueryPack {
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_survivor_quality" -> survivorQuality,
     "source_overlap" -> sourceOverlap,
+    "source_overlap_kmv" -> sourceOverlapKmv,
+    "source_overlap_kmv_verified" -> sourceOverlapKmvVerified,
     "span_scrub" -> spanScrub,
     "dedup_incremental" -> dedupIncremental,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
@@ -1693,6 +1842,34 @@ object Dedup extends QueryPack {
         |  GROUP BY 1, 2)
         |SELECT source_a, source_b, n_shared,
         |       CAST(n_shared AS DOUBLE) / (x.n + y.n - n_shared) AS jaccard
+        |FROM inter
+        |JOIN sz x ON x.source = source_a
+        |JOIN sz y ON y.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    // the KMV gate: exact values recomputed from the shingle strings
+    // (2^-64 hash-collision caveat as everywhere in the family); the
+    // booleans are the gate — an estimator/merge regression flips one
+    // Spark-side and hash-fails the row
+    "source_overlap_kmv_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS exact_shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |       x.n AS exact_a, y.n AS exact_b, exact_shared,
+        |       true AS sizes_within_bound,
+        |       true AS shared_within_bound
         |FROM inter
         |JOIN sz x ON x.source = source_a
         |JOIN sz y ON y.source = source_b

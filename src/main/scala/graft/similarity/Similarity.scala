@@ -180,6 +180,73 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN-mean size and acceptance threshold for [[mineBitext]] — the
+    * standard margin-mining constants (k small, threshold just above
+    * parity; 1.05 keeps ~2/3 of best-pairs on this corpus, a real cut
+    * on both sides). */
+  private[graft] val BitextKnn = 4
+  private[graft] val BitextMargin = 1.05
+
+  /** Margin-based pair mining — the CCMatrix/LASER alignment-mining
+    * operator (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus
+    * Mining with Multilingual Sentence Embeddings"; Schwenk et al.
+    * 2021 CCMatrix): raw cosine is a biased pair score because hubs
+    * score high against EVERYTHING, so each candidate pair's cosine is
+    * normalized by the mean cosine of both endpoints' k-nearest
+    * neighborhoods — `margin(x,y) = cos(x,y) / ((fwd(x)+bwd(y))·0.5)`,
+    * the "ratio" margin — and a source keeps its best-margin target
+    * only above a threshold. Sides here: even vec_ids mine against odd
+    * vec_ids (standing in for the two languages/modalities).
+    *
+    * Scale shape: the brute-force scored frame is the small-scale
+    * stand-in (exactly like the exact ANN baseline it shares
+    * machinery with) — at 100 TB the scored pairs come from any of
+    * the bucketed ANN candidate generators (IVF cells, LSH tables,
+    * hier), and everything downstream is unchanged: both kNN-mean
+    * cuts run through the bounded-heap [[graft.plans.TopKPerKey]]
+    * (map-side partial heaps — never a corpus-sized window task), the
+    * rank window only touches the ≤ n·k survivor frame, and the
+    * fwd/bwd re-joins are id equi-joins (AQE broadcasts them at small
+    * scale, shuffles co-partitioned at large). Deterministic ties
+    * (id-ordered at every cut) and fixed-order double arithmetic
+    * (((c1+c2)+c3)+c4)·0.25, cos/((f+b)·0.5) make the row exactly
+    * hash-checkable against the brute-force DuckDB mirror. */
+  def mineBitext(spark: SparkSession, d: String): DataFrame = {
+    val e = vecs(spark, d)
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("av"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("bv"))
+    val scored = b.join(broadcast(a))
+      .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
+      .select("src_id", "tgt_id", "cos_sim")
+
+    // mean of the k best cosines per key, summed in fixed rank order
+    // (rank-pivot, then (((c1+c2)+c3)+c4)·0.25) so the double is
+    // bit-identical to the oracle's
+    def knnMean(keyCol: String, tieCol: String, outName: String): DataFrame = {
+      val top = graft.plans.TopKPerKey(scored, Seq(keyCol),
+        Seq(col("cos_sim").desc, col(tieCol).asc), k = BitextKnn)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("cos_sim").desc, col(tieCol).asc)
+      def at(i: Int) = max(when(col("rk") === i, col("cos_sim")))
+      top.withColumn("rk", row_number().over(w)) // ≤ keys×k rows
+        .groupBy(keyCol)
+        .agg(((((at(1) + at(2)) + at(3)) + at(4)) * lit(0.25)).as(outName))
+    }
+
+    val mar = scored
+      .join(knnMean("src_id", "tgt_id", "fwd"), "src_id")
+      .join(knnMean("tgt_id", "src_id", "bwd"), "tgt_id")
+      .withColumn("margin",
+        col("cos_sim") / ((col("fwd") + col("bwd")) * lit(0.5)))
+      .select("src_id", "tgt_id", "cos_sim", "margin")
+    graft.plans.TopKPerKey(mar, Seq("src_id"),
+      Seq(col("margin").desc, col("tgt_id").asc), k = 1)
+      .filter(col("margin") > lit(BitextMargin))
+      .orderBy("src_id")
+  }
+
   /** Matryoshka two-stage retrieval: rank candidates on the PREFIX of
     * the embedding, rerank only the shortlist at full dimension.
     * MRL-trained embeddings (Kusupati et al. 2022, "Matryoshka
@@ -1594,6 +1661,7 @@ object Similarity extends QueryPack {
     "ann_topk" -> annTopK,
     "ann_mrl" -> annMrl,
     "mine_hard_negatives" -> mineHardNegatives,
+    "mine_bitext" -> mineBitext,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
@@ -2045,6 +2113,43 @@ object Similarity extends QueryPack {
          |    ON q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label)
          |SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank
          |FROM sims WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "mine_bitext" -> {
+      // the same sequential-fold cosine, the same rank-pivot fixed-order
+      // kNN means, the same ((f+b)*0.5) margin denominator — bit-exact
+      val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+      def mean4(part: String, tie: String): String =
+        s"""SELECT $part,
+           |  ((((MAX(CASE WHEN rk=1 THEN cos_sim END)
+           |     + MAX(CASE WHEN rk=2 THEN cos_sim END))
+           |     + MAX(CASE WHEN rk=3 THEN cos_sim END))
+           |     + MAX(CASE WHEN rk=4 THEN cos_sim END)) * 0.25)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+         |sims AS (
+         |  SELECT src_id, tgt_id, $cs AS cos_sim FROM a q JOIN b c ON true),
+         |fr AS (SELECT src_id, tgt_id, cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |                            ORDER BY cos_sim DESC, tgt_id) AS rk
+         |       FROM sims),
+         |fwd AS (${mean4("src_id", "tgt_id")} AS fwd FROM fr GROUP BY src_id),
+         |br AS (SELECT src_id, tgt_id, cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY tgt_id
+         |                            ORDER BY cos_sim DESC, src_id) AS rk
+         |       FROM sims),
+         |bwd AS (${mean4("tgt_id", "src_id")} AS bwd FROM br GROUP BY tgt_id),
+         |mar AS (
+         |  SELECT s.src_id, s.tgt_id, s.cos_sim,
+         |         s.cos_sim / ((f.fwd + w.bwd) * 0.5) AS margin
+         |  FROM sims s JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)),
+         |best AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |                               ORDER BY margin DESC, tgt_id) AS brk
+         |  FROM mar)
+         |SELECT src_id, tgt_id, cos_sim, margin FROM best
+         |WHERE brk = 1 AND margin > $BitextMargin
+         |ORDER BY src_id""".stripMargin
     },
     "ann_mrl" -> {
       // stage 1 on the 16-dim prefix (DuckDB list slices are 1-based
