@@ -867,15 +867,17 @@ object Dedup extends QueryPack {
   private def xorMin(h: Column): Column =
     h.bitwiseXOR(lit(Long.MinValue))
 
-  /** Per-source KMV sketches over the SAME hashed-shingle stream the
-    * exact [[sourceOverlap]] self-joins — one sketch aggregate pass,
-    * k longs of state per source on the shuffle. */
-  private def kmvSourceSketches(docs: DataFrame, k: Int): DataFrame = {
-    graft.functions.KmvSketchAgg.register(docs.sparkSession, k)
-    hashedShingles(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .groupBy("source")
-      .agg(expr("kmv_sketch(shingle)").as("sk"))
+  /** (source, shingle-hash) stream for the KMV sketches — the SAME
+    * hashed trigram shingles the exact [[sourceOverlap]] self-joins,
+    * but with `source` carried THROUGH the shingle explosion instead
+    * of joined back on doc_id afterwards: the sketch never needs the
+    * doc identity, so the corpus-sized (shingle ⋈ doc_id) exchange the
+    * exact form pays is deleted outright. */
+  private def sourceShingleHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    docs.select(col("source"),
+      explode(GraftPlanBridge.column(graft.functions.ShingleHashesExpr(
+        GraftPlanBridge.expr(col("text")), 3))).as("shingle"))
   }
 
   /** Sketch → (θ, distinct estimate, retained sample). Theta-sketch
@@ -912,8 +914,18 @@ object Dedup extends QueryPack {
     * rows-only and [[sourceOverlapKmvVerified]] is its hash-checked
     * gate (the sketch-gate program). Same 2^-64 hash-collision caveat
     * as the whole hashed-shingle family. */
-  def sourceOverlapKmvOf(docs: DataFrame, k: Int = KmvK): DataFrame = {
-    val sum = kmvSummary(kmvSourceSketches(docs, k), k).localCheckpoint()
+  def sourceOverlapKmvOf(docs: DataFrame, k: Int = KmvK): DataFrame =
+    kmvOverlapOfHashes(sourceShingleHashes(docs), k)
+
+  /** The same estimator over ANY (source, shingle BIGINT-hash) stream —
+    * the seam the ScaleR15 `kmv` sweep drives with synthetic hash
+    * streams of known ground truth, so the measured path IS the
+    * registered path. */
+  private[graft] def kmvOverlapOfHashes(ss: DataFrame, k: Int = KmvK): DataFrame = {
+    graft.functions.KmvSketchAgg.register(ss.sparkSession, k)
+    val sum = kmvSummary(
+      ss.groupBy("source").agg(expr("kmv_sketch(shingle)").as("sk")), k)
+      .localCheckpoint()
     val a = sum.select(col("source").as("source_a"), col("kth").as("kth_a"),
       col("theta").as("theta_a"), col("est_distinct").as("est_a"))
     val b = sum.select(col("source").as("source_b"), col("kth").as("kth_b"),

@@ -1022,6 +1022,47 @@ object TextAnalysis extends QueryPack {
     }
   }
 
+  /** PPS sample size per source stratum. */
+  private[graft] val PpsPerSource = 8L
+
+  /** Probability-proportional-to-size systematic sample — Madow's
+    * (1949) systematic PPS selection, the mixture-builder's fixed-size
+    * counterpart to [[dsirResampleOf]]'s Bernoulli thinning: per
+    * source, walk the docs in seedless Lehmer-shuffled order,
+    * accumulate token mass, and pick the doc whose mass interval
+    * contains each boundary i·W/n (i = 1..n) — so inclusion
+    * probability is proportional to n_tokens and each source yields
+    * (at most) exactly [[PpsPerSource]] docs, with no per-row
+    * random draw and no floating point anywhere: the boundary test is
+    * `(cum·n) div W > ((cum−w)·n) div W` in 64-bit integers, so the
+    * row is exactly hash-checkable. Composes the engine's own pieces:
+    * the deterministic mix (`sample_det`'s literal formula) and the
+    * gated keyed running sum ([[graft.operators.GroupRank]] — window
+    * plan under the byte envelope, bucketed keyed form at corpus
+    * scale; a per-source W fits the keyed totalOut contract). Staged
+    * like [[tokenBudget]]: the keyed arm's counts+rank passes must not
+    * re-tokenize the corpus. */
+  def samplePps(spark: SparkSession, d: String): DataFrame = {
+    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
+    val n = PpsPerSource
+    val narrow = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mix.as("mix"))
+    // clean base-projection estimate, read before staging wraps it
+    val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    graft.operators.Staged.scoped(narrow) { docs =>
+      graft.operators.GroupRank.withRunningSumBy(
+          docs, Seq("source"), col("mix"), primaryDesc = false,
+          col("doc_id"), col("n_tokens"), "cum",
+          totalOut = Some("w_total"), groupBound = 64, inputBytes = est)
+        .filter(expr(s"(cum * $n) div w_total > ((cum - n_tokens) * $n) div w_total"))
+        .withColumn("pick_idx", expr(s"(cum * $n) div w_total"))
+        .select("source", "doc_id", "n_tokens", "cum", "w_total", "pick_idx")
+        .orderBy("source", "cum")
+    }
+  }
+
   /** Length-CURRICULUM training order — phase docs by global length
     * quartile (shortest first, the classic easy→hard curriculum axis),
     * Lehmer-shuffled WITHIN each phase, with one dense global position
@@ -1771,6 +1812,7 @@ object TextAnalysis extends QueryPack {
     "split_stratified" -> splitStratified,
     "source_quota" -> sourceQuota,
     "token_budget" -> tokenBudget,
+    "sample_pps" -> samplePps,
     "curriculum_order" -> curriculumOrder,
     "mixture_schedule" -> mixtureSchedule,
     "corpus_shuffle" -> corpusShuffle,
@@ -2053,6 +2095,29 @@ object TextAnalysis extends QueryPack {
         |SELECT source, doc_id, n_tokens, cum_tokens, tot_tokens
         |FROM r WHERE cum_tokens * 5 <= tot_tokens * 3
         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // Madow systematic PPS: the same shuffled running sum, boundary
+    // test and pick index in exact 64-bit integer division (//)
+    "sample_pps" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+         |           AS mix
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |              ORDER BY mix, doc_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+         |           AS w_total
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum, w_total,
+         |       (cum * $PpsPerSource) // w_total AS pick_idx
+         |FROM r
+         |WHERE (cum * $PpsPerSource) // w_total
+         |      > ((cum - n_tokens) * $PpsPerSource) // w_total
+         |ORDER BY source, cum""".stripMargin,
     // the streaming admission's greedy fold (admit iff the doc fits
     // WHOLE; rejected docs leave the total untouched) recomputed as a
     // recursive CTE in doc_id order — the stream feeds batches in

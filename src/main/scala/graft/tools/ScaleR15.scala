@@ -55,12 +55,13 @@ object ScaleR15 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val which = args.headOption.getOrElse("bestfitab")
-    require(Set("bestfitab", "tradeoff", "sketchparts17")(which),
-      s"unknown mode '$which' — expected bestfitab|tradeoff|sketchparts17")
+    require(Set("bestfitab", "tradeoff", "sketchparts17", "kmv")(which),
+      s"unknown mode '$which' — expected bestfitab|tradeoff|sketchparts17|kmv")
     which match {
       case "bestfitab"     => bestfitAb(spark, d)
       case "tradeoff"      => tradeoff(spark, d)
       case "sketchparts17" => sketchParts17(spark, d)
+      case "kmv"           => kmv(spark, d)
     }
     spark.stop()
   }
@@ -274,6 +275,77 @@ object ScaleR15 {
         f"pinned1024_s=${tPinned + tPinnedRun}%7.2f mismatches=$mismatches")
       require(mismatches == 0L, "keyed and pinned ranks must agree")
       docs.unpersist()
+    }
+  }
+
+  // ------------------------------------------------------------ kmv --
+
+  /** KMV/Theta overlap vs the exact self-join, octaved (r14 session 2).
+    * Synthetic (source, shingle-hash) streams with CLOSED-FORM ground
+    * truth: 20 sources; of each source's draws, 1/4 hit a shared
+    * common pool and 3/4 a per-source private pool, with the draw
+    * index m < pool so coverage never wraps — per-source distinct is
+    * exactly 2000·mult and every pair's intersection exactly
+    * 1000·mult. The sketch side runs the REGISTERED estimator
+    * ([[graft.dedup.Dedup.kmvOverlapOfHashes]], the seam
+    * `source_overlap_kmv` itself uses); the exact side is
+    * `sourceOverlap`'s distinct + inverted-index self-join shape over
+    * the same stream. Asserts, per octave: the exact path reproduces
+    * the closed form (sanity of the A/B itself), and every sketch
+    * estimate lands inside the verified gate's published bounds
+    * (6/√(k−2) relative per source; 6·√(I·(1/θ−1)) + 8 per pair). */
+  private def kmv(spark: SparkSession, d: String): Unit = {
+    import graft.dedup.Dedup
+    val S = 20
+    Dedup.sourceOverlapKmv(spark, d).collect() // warmup: JIT + codegen
+    for (mult <- mults("SCALE_R15_MULTS", Seq(16, 256, 1024))) {
+      val rows = 80000L * mult
+      val pool = 12500L * mult
+      val parts = bytesPolicy(spark, rows, 32L)
+      // integer `div`, not `/` (Spark's / on longs is true division)
+      val stream = spark.range(rows).select(
+        concat(lit("src"), (col("id") % S)).as("source"),
+        when(expr(s"(id div $S) % 4") === 0,
+          expr(s"(id div ${S * 4}) % $pool"))
+          .otherwise(lit(pool) + (col("id") % S + 1) * pool +
+            expr(s"(id div ${S * 4}) % $pool"))
+          .as("key"))
+        .select(col("source"), xxhash64(col("key")).as("shingle"))
+      val (est, tSketch) = timed(Dedup.kmvOverlapOfHashes(stream).collect())
+      val ss = stream.distinct()
+      val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ss.select(col("source").as("source_a"), col("shingle"))
+        .join(ss.select(col("source").as("source_b"), col("shingle")), "shingle")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_shared"))
+      val ((szRows, interRows), tExact) = timed((sz.collect(), inter.collect()))
+      val perSource = 2000L * mult
+      val perPair = 1000L * mult
+      require(szRows.forall(_.getLong(1) == perSource) &&
+        interRows.length == S * (S - 1) / 2 &&
+        interRows.forall(_.getLong(2) == perPair),
+        s"exact path disagrees with the closed form at mult=$mult")
+      val k = Dedup.KmvK
+      val relBound = 6.0 / math.sqrt((k - 2).toDouble)
+      var worstSize = 0.0; var worstShared = 0.0
+      est.foreach { r =>
+        val estA = r.getAs[Double]("est_a"); val estB = r.getAs[Double]("est_b")
+        val theta = r.getAs[Double]("theta_pair")
+        val estI = r.getAs[Double]("est_shared")
+        val errA = math.abs(estA - perSource) / perSource
+        val errB = math.abs(estB - perSource) / perSource
+        worstSize = math.max(worstSize, math.max(errA, errB))
+        val sharedBound = 6.0 * math.sqrt(perPair * math.max(1.0 / theta - 1.0, 0.0)) + 8.0
+        worstShared = math.max(worstShared, math.abs(estI - perPair) / sharedBound)
+        require(errA <= relBound && errB <= relBound,
+          s"per-source estimate out of bound at mult=$mult: $estA/$estB vs $perSource")
+        require(math.abs(estI - perPair) <= sharedBound,
+          s"pair estimate out of bound at mult=$mult: $estI vs $perPair")
+      }
+      println(f"[scale-r15-kmv] mult=$mult%5d rows=$rows%10d parts=$parts%4d " +
+        f"distinct_per_source=$perSource%9d pair_exact=$perPair%9d " +
+        f"sketch_s=$tSketch%7.2f exact_s=$tExact%7.2f " +
+        f"worst_size_relerr=$worstSize%6.4f worst_shared_bound_frac=$worstShared%5.3f")
     }
   }
 }

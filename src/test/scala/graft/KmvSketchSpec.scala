@@ -32,6 +32,18 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("duplicate-heavy stream: eviction + membership survive churn") {
+    // small pool => constant duplicate hits and threshold evictions,
+    // the hot paths of the heap + open-addressing internals
+    val rng = new scala.util.Random(23)
+    val pool = Seq.fill(300)(rng.nextLong()) :+ 0L // include the sentinel hash
+    val vals = Seq.fill(5000)(pool(rng.nextInt(pool.length)))
+    val expected = vals.distinct.sortBy(h => h ^ Long.MinValue).take(128)
+    for (parts <- Seq(1, 7)) {
+      assert(sketchOf(vals, k = 128, parts = parts) == expected)
+    }
+  }
+
   test("distinct estimate within the published relative bound") {
     val k = 256
     val n = 20000
