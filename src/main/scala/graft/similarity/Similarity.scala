@@ -217,10 +217,19 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("src_id"), col("v").as("av"))
     val b = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("tgt_id"), col("v").as("bv"))
-    val scored = b.join(broadcast(a))
+    bitextMarginTail(b.join(broadcast(a))
       .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
-      .select("src_id", "tgt_id", "cos_sim")
+      .select("src_id", "tgt_id", "cos_sim"))
+  }
 
+  /** Margin scoring + best-pair selection over ANY scored
+    * (src_id, tgt_id, cos_sim) candidate frame — shared by the exact
+    * [[mineBitext]] and the IVF-shortlist [[mineBitextIvf]], which is
+    * the point: the 100 TB path differs ONLY in where the scored pairs
+    * come from. An endpoint with fewer than [[BitextKnn]] scored
+    * candidates yields a null kNN mean, hence null margins, and drops
+    * at the threshold — the deterministic starved-shortlist rule. */
+  private def bitextMarginTail(scored: DataFrame): DataFrame = {
     // mean of the k best cosines per key, summed in fixed rank order
     // (rank-pivot, then (((c1+c2)+c3)+c4)·0.25) so the double is
     // bit-identical to the oracle's
@@ -245,6 +254,58 @@ object Similarity extends QueryPack {
       Seq(col("margin").desc, col("tgt_id").asc), k = 1)
       .filter(col("margin") > lit(BitextMargin))
       .orderBy("src_id")
+  }
+
+  /** Recall floor for [[mineBitextIvfVerified]] — conservative under
+    * the measured sf0.01 recall (see MineBitextSpec), same policy as
+    * the ANN floors above. */
+  private[graft] val BitextIvfFloor = 0.5
+
+  /** [[mineBitext]] with the scored pairs coming from the IVF coarse
+    * quantizer's same-cell candidate net instead of the all-pairs
+    * cross — the registered PROOF of the scale composition the exact
+    * form's scaladoc claims: candidates are
+    * [[ivfCandidatesOf]]'s soft-assigned cell pairs restricted to
+    * cross-side (even↔odd) orientation, so pair work is per-cell
+    * occupancy², never |A|·|B|, and the margin tail is IDENTICAL
+    * ([[bitextMarginTail]]). kNN means run over each endpoint's
+    * candidate set (the shortlist approximation CCMatrix itself
+    * makes — its margins are computed over FAISS shortlists, not
+    * exact neighborhoods), so mined pairs can differ from the exact
+    * form's; [[mineBitextIvfVerified]] turns that gap into a
+    * hash-checked recall row. Rows-only itself (the oracle cannot run
+    * k-means). */
+  def mineBitextIvf(spark: SparkSession, d: String): DataFrame = {
+    val all = vecs(spark, d)
+    val cand = ivfCandidatesOf(spark, all, nlist = 16, softAssign = 3)
+      .filter((col("vec_a") % 2) =!= (col("vec_b") % 2))
+      .select(
+        when(col("vec_a") % 2 === 0, col("vec_a")).otherwise(col("vec_b")).as("src_id"),
+        when(col("vec_a") % 2 === 0, col("vec_b")).otherwise(col("vec_a")).as("tgt_id"))
+    bitextMarginTail(cand
+      .join(all.select(col("vec_id").as("src_id"), col("v").as("av")), "src_id")
+      .join(all.select(col("vec_id").as("tgt_id"), col("v").as("bv")), "tgt_id")
+      .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
+      .select("src_id", "tgt_id", "cos_sim"))
+  }
+
+  /** Hash-checked recall gate for [[mineBitextIvf]] against the exact
+    * [[mineBitext]] (which IS SQL-expressible, so `n_exact` is
+    * oracle-recomputed): the shortlist miner must recover at least
+    * [[BitextIvfFloor]] of the exactly-mined pairs. Same contract as
+    * [[recallGate]]: `meets_floor` flips and hash-fails on a real
+    * regression (broken cells, lost candidates, margin drift past the
+    * threshold band). */
+  def mineBitextIvfVerified(spark: SparkSession, d: String): DataFrame = {
+    val exact = graft.operators.Materialize(
+      mineBitext(spark, d).select("src_id", "tgt_id"))
+    val found = exact.join(
+      mineBitextIvf(spark, d).select("src_id", "tgt_id"),
+      Seq("src_id", "tgt_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(lit(BitextIvfFloor).as("floor"), col("n_exact"),
+        (col("n_found") >= col("n_exact") * lit(BitextIvfFloor)).as("meets_floor"))
   }
 
   /** Matryoshka two-stage retrieval: rank candidates on the PREFIX of
@@ -1662,6 +1723,8 @@ object Similarity extends QueryPack {
     "ann_mrl" -> annMrl,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_bitext" -> mineBitext,
+    "mine_bitext_ivf" -> mineBitextIvf,
+    "mine_bitext_ivf_verified" -> mineBitextIvfVerified,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
@@ -1687,6 +1750,47 @@ object Similarity extends QueryPack {
     * `dot / (sqrt(na) * sqrt(nb))`. */
   private val cosSql =
     "(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))))"
+
+  /** The exact margin miner as one DuckDB statement — `mine_bitext`'s
+    * oracle, and re-counted by the `mine_bitext_ivf_verified` gate.
+    * Bit-exact against the Spark side: the same sequential-fold
+    * cosine, the same rank-pivot fixed-order kNN means, the same
+    * ((f+b)*0.5) margin denominator. */
+  private lazy val bitextSql: String = {
+    val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    def mean4(part: String): String =
+      s"""SELECT $part,
+         |  ((((MAX(CASE WHEN rk=1 THEN cos_sim END)
+         |     + MAX(CASE WHEN rk=2 THEN cos_sim END))
+         |     + MAX(CASE WHEN rk=3 THEN cos_sim END))
+         |     + MAX(CASE WHEN rk=4 THEN cos_sim END)) * 0.25)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+       |sims AS (
+       |  SELECT src_id, tgt_id, $cs AS cos_sim FROM a q JOIN b c ON true),
+       |fr AS (SELECT src_id, tgt_id, cos_sim,
+       |         ROW_NUMBER() OVER (PARTITION BY src_id
+       |                            ORDER BY cos_sim DESC, tgt_id) AS rk
+       |       FROM sims),
+       |fwd AS (${mean4("src_id")} AS fwd FROM fr GROUP BY src_id),
+       |br AS (SELECT src_id, tgt_id, cos_sim,
+       |         ROW_NUMBER() OVER (PARTITION BY tgt_id
+       |                            ORDER BY cos_sim DESC, src_id) AS rk
+       |       FROM sims),
+       |bwd AS (${mean4("tgt_id")} AS bwd FROM br GROUP BY tgt_id),
+       |mar AS (
+       |  SELECT s.src_id, s.tgt_id, s.cos_sim,
+       |         s.cos_sim / ((f.fwd + w.bwd) * 0.5) AS margin
+       |  FROM sims s JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |                               ORDER BY margin DESC, tgt_id) AS brk
+       |  FROM mar)
+       |SELECT src_id, tgt_id, cos_sim, margin FROM best
+       |WHERE brk = 1 AND margin > $BitextMargin
+       |ORDER BY src_id""".stripMargin
+  }
 
   /** The LSH bucket computation as DuckDB SQL, built from the SAME
     * plane matrix the Spark expression carries — shortest-roundtrip
@@ -2114,43 +2218,14 @@ object Similarity extends QueryPack {
          |SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank
          |FROM sims WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
-    "mine_bitext" -> {
-      // the same sequential-fold cosine, the same rank-pivot fixed-order
-      // kNN means, the same ((f+b)*0.5) margin denominator — bit-exact
-      val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
-      def mean4(part: String, tie: String): String =
-        s"""SELECT $part,
-           |  ((((MAX(CASE WHEN rk=1 THEN cos_sim END)
-           |     + MAX(CASE WHEN rk=2 THEN cos_sim END))
-           |     + MAX(CASE WHEN rk=3 THEN cos_sim END))
-           |     + MAX(CASE WHEN rk=4 THEN cos_sim END)) * 0.25)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |a AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
-         |b AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
-         |sims AS (
-         |  SELECT src_id, tgt_id, $cs AS cos_sim FROM a q JOIN b c ON true),
-         |fr AS (SELECT src_id, tgt_id, cos_sim,
-         |         ROW_NUMBER() OVER (PARTITION BY src_id
-         |                            ORDER BY cos_sim DESC, tgt_id) AS rk
-         |       FROM sims),
-         |fwd AS (${mean4("src_id", "tgt_id")} AS fwd FROM fr GROUP BY src_id),
-         |br AS (SELECT src_id, tgt_id, cos_sim,
-         |         ROW_NUMBER() OVER (PARTITION BY tgt_id
-         |                            ORDER BY cos_sim DESC, src_id) AS rk
-         |       FROM sims),
-         |bwd AS (${mean4("tgt_id", "src_id")} AS bwd FROM br GROUP BY tgt_id),
-         |mar AS (
-         |  SELECT s.src_id, s.tgt_id, s.cos_sim,
-         |         s.cos_sim / ((f.fwd + w.bwd) * 0.5) AS margin
-         |  FROM sims s JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)),
-         |best AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |                               ORDER BY margin DESC, tgt_id) AS brk
-         |  FROM mar)
-         |SELECT src_id, tgt_id, cos_sim, margin FROM best
-         |WHERE brk = 1 AND margin > $BitextMargin
-         |ORDER BY src_id""".stripMargin
-    },
+    "mine_bitext" -> bitextSql,
+    // the recall gate recounts the EXACT miner's pairs (the shortlist
+    // side cannot run in SQL — k-means); the boolean is the gate
+    "mine_bitext_ivf_verified" ->
+      s"""SELECT CAST($BitextIvfFloor AS DOUBLE) AS floor,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       true AS meets_floor
+         |FROM ($bitextSql)""".stripMargin,
     "ann_mrl" -> {
       // stage 1 on the 16-dim prefix (DuckDB list slices are 1-based
       // inclusive, matching Spark's slice(v, 1, 16)), stage 2 the

@@ -17,6 +17,22 @@ class MineBitextSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("margin") > Similarity.BitextMargin))
   }
 
+  test("ivf shortlist miner: gate true, recall printed against its floor") {
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = Similarity.mineBitext(spark, d)
+        .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.mineBitextIvf(spark, d)
+        .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & ivf).size.toDouble / exact.size
+      info(s"$d: exact=${exact.size} ivf=${ivf.size} recall=$recall")
+      assert(recall >= Similarity.BitextIvfFloor,
+        s"recall $recall under floor at $d")
+      val gate = Similarity.mineBitextIvfVerified(spark, d).collect()(0)
+      assert(gate.getAs[Boolean]("meets_floor"))
+      assert(gate.getAs[Long]("n_exact") == exact.size.toLong)
+    }
+  }
+
   test("margin math matches an independent Scala fold on a synthetic corpus") {
     // 6 sources, 8 targets, deterministic integer-grid vectors
     val dim = 8
