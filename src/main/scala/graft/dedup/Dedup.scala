@@ -983,9 +983,16 @@ object Dedup extends QueryPack {
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_shared"))
     val relBound = 6.0 / math.sqrt((k - 2).toDouble)
-    inter
-      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("exact_a"))), "source_a")
-      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("exact_b"))), "source_b")
+    // the FULL S² grid, exact_shared coalesced to 0 — a disjoint pair
+    // must still gate its estimate (a phantom-overlap regression on a
+    // zero-intersection pair would otherwise never be bound-checked;
+    // r14-session-2 review)
+    sz.select(col("source").as("source_a"), col("n").as("exact_a"))
+      .crossJoin(broadcast(
+        sz.select(col("source").as("source_b"), col("n").as("exact_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_shared", coalesce(col("exact_shared"), lit(0L)))
       .join(est, Seq("source_a", "source_b"))
       .withColumn("sizes_within_bound",
         abs(col("est_a") - col("exact_a")) <=
@@ -1877,14 +1884,16 @@ object Dedup extends QueryPack {
         |         CAST(count(*) AS BIGINT) AS exact_shared
         |  FROM sh a JOIN sh b USING (shingle)
         |  WHERE a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT source_a, source_b,
-        |       x.n AS exact_a, y.n AS exact_b, exact_shared,
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |         x.n AS exact_a, y.n AS exact_b
+        |  FROM sz x JOIN sz y ON x.source < y.source)
+        |SELECT source_a, source_b, exact_a, exact_b,
+        |       COALESCE(exact_shared, CAST(0 AS BIGINT)) AS exact_shared,
         |       true AS sizes_within_bound,
         |       true AS shared_within_bound
-        |FROM inter
-        |JOIN sz x ON x.source = source_a
-        |JOIN sz y ON y.source = source_b
+        |FROM grid LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum

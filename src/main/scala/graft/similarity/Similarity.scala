@@ -228,33 +228,39 @@ object Similarity extends QueryPack {
     * the point: the 100 TB path differs ONLY in where the scored pairs
     * come from. An endpoint with fewer than [[BitextKnn]] scored
     * candidates yields a null kNN mean, hence null margins, and drops
-    * at the threshold — the deterministic starved-shortlist rule. */
-  private def bitextMarginTail(scored: DataFrame): DataFrame = {
-    // mean of the k best cosines per key, summed in fixed rank order
-    // (rank-pivot, then (((c1+c2)+c3)+c4)·0.25) so the double is
-    // bit-identical to the oracle's
-    def knnMean(keyCol: String, tieCol: String, outName: String): DataFrame = {
-      val top = graft.plans.TopKPerKey(scored, Seq(keyCol),
-        Seq(col("cos_sim").desc, col(tieCol).asc), k = BitextKnn)
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col("cos_sim").desc, col(tieCol).asc)
-      def at(i: Int) = max(when(col("rk") === i, col("cos_sim")))
-      top.withColumn("rk", row_number().over(w)) // ≤ keys×k rows
-        .groupBy(keyCol)
-        .agg(((((at(1) + at(2)) + at(3)) + at(4)) * lit(0.25)).as(outName))
-    }
+    * at the threshold — the deterministic starved-shortlist rule. The
+    * scored frame feeds three consumers (both kNN means and the margin
+    * join), so it is staged once — the IVF form's candidate generation
+    * and cosine scoring must not replay 3× (r14-session-2 review). */
+  private def bitextMarginTail(scoredIn: DataFrame): DataFrame =
+    graft.operators.Staged.scoped(scoredIn) { scored =>
+      // mean of the k best cosines per key, left-folded in fixed rank
+      // order then scaled by 1/k, both derived from [[BitextKnn]] so
+      // the fold and the oracle's cannot drift from the heap size —
+      // the doubles stay bit-identical to the oracle's
+      def knnMean(keyCol: String, tieCol: String, outName: String): DataFrame = {
+        val top = graft.plans.TopKPerKey(scored, Seq(keyCol),
+          Seq(col("cos_sim").desc, col(tieCol).asc), k = BitextKnn)
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("cos_sim").desc, col(tieCol).asc)
+        def at(i: Int) = max(when(col("rk") === i, col("cos_sim")))
+        top.withColumn("rk", row_number().over(w)) // ≤ keys×k rows
+          .groupBy(keyCol)
+          .agg(((1 to BitextKnn).map(at).reduceLeft(_ + _) *
+            lit(1.0 / BitextKnn)).as(outName))
+      }
 
-    val mar = scored
-      .join(knnMean("src_id", "tgt_id", "fwd"), "src_id")
-      .join(knnMean("tgt_id", "src_id", "bwd"), "tgt_id")
-      .withColumn("margin",
-        col("cos_sim") / ((col("fwd") + col("bwd")) * lit(0.5)))
-      .select("src_id", "tgt_id", "cos_sim", "margin")
-    graft.plans.TopKPerKey(mar, Seq("src_id"),
-      Seq(col("margin").desc, col("tgt_id").asc), k = 1)
-      .filter(col("margin") > lit(BitextMargin))
-      .orderBy("src_id")
-  }
+      val mar = scored
+        .join(knnMean("src_id", "tgt_id", "fwd"), "src_id")
+        .join(knnMean("tgt_id", "src_id", "bwd"), "tgt_id")
+        .withColumn("margin",
+          col("cos_sim") / ((col("fwd") + col("bwd")) * lit(0.5)))
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+      graft.plans.TopKPerKey(mar, Seq("src_id"),
+        Seq(col("margin").desc, col("tgt_id").asc), k = 1)
+        .filter(col("margin") > lit(BitextMargin))
+        .orderBy("src_id")
+    }
 
   /** Recall floor for [[mineBitextIvfVerified]] — conservative under
     * the measured sf0.01 recall (see MineBitextSpec), same policy as
@@ -1758,12 +1764,14 @@ object Similarity extends QueryPack {
     * ((f+b)*0.5) margin denominator. */
   private lazy val bitextSql: String = {
     val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
-    def mean4(part: String): String =
+    // the same BitextKnn-derived left fold and 1/k factor as knnMean
+    def mean4(part: String): String = {
+      val fold = (1 to BitextKnn)
+        .map(i => s"MAX(CASE WHEN rk=$i THEN cos_sim END)")
+        .reduceLeft((a, b) => s"($a\n     + $b)")
       s"""SELECT $part,
-         |  ((((MAX(CASE WHEN rk=1 THEN cos_sim END)
-         |     + MAX(CASE WHEN rk=2 THEN cos_sim END))
-         |     + MAX(CASE WHEN rk=3 THEN cos_sim END))
-         |     + MAX(CASE WHEN rk=4 THEN cos_sim END)) * 0.25)""".stripMargin
+         |  ($fold * ${1.0 / BitextKnn})""".stripMargin
+    }
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |a AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
        |b AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),

@@ -1030,18 +1030,27 @@ object TextAnalysis extends QueryPack {
     * counterpart to [[dsirResampleOf]]'s Bernoulli thinning: per
     * source, walk the docs in seedless Lehmer-shuffled order,
     * accumulate token mass, and pick the doc whose mass interval
-    * contains each boundary i·W/n (i = 1..n) — so inclusion
-    * probability is proportional to n_tokens and each source yields
-    * (at most) exactly [[PpsPerSource]] docs, with no per-row
-    * random draw and no floating point anywhere: the boundary test is
-    * `(cum·n) div W > ((cum−w)·n) div W` in 64-bit integers, so the
-    * row is exactly hash-checkable. Composes the engine's own pieces:
-    * the deterministic mix (`sample_det`'s literal formula) and the
-    * gated keyed running sum ([[graft.operators.GroupRank]] — window
-    * plan under the byte envelope, bucketed keyed form at corpus
-    * scale; a per-source W fits the keyed totalOut contract). Staged
-    * like [[tokenBudget]]: the keyed arm's counts+rank passes must not
-    * re-tokenize the corpus. */
+    * contains a selection boundary. Boundaries carry a deterministic
+    * per-source PHASE: `b_i = (i·W + o) div n + 1` for i = 0..n−1 with
+    * `o = lehmerMix(W) mod W` — the integer-exact form of Madow's
+    * random-start `(i+u)·W/n`, which is what makes inclusion
+    * probability ∝ n_tokens for EVERY doc; the naive phase-0
+    * `i·W/n (i=1..n)` rule puts boundary n exactly at cum = W, so the
+    * last doc in shuffled order would be picked with probability 1
+    * regardless of size (r14-session-2 review). All boundaries lie in
+    * [1, W], so each source yields exactly [[PpsPerSource]] picks
+    * (fewer only when one doc out-masses a whole W/n step and swallows
+    * 2+ boundaries). No floating point anywhere: the boundary count
+    * below c is `0 if c·n ≤ o else min(n, ((c·n − o − 1) div W) + 1)`
+    * in 64-bit integers (c·n ≤ 8·W keeps far from overflow at any
+    * corpus size), so the row is exactly hash-checkable. Composes the
+    * engine's own pieces: the deterministic mix (`sample_det`'s
+    * literal formula) and the gated keyed running sum
+    * ([[graft.operators.GroupRank]] — window plan under the byte
+    * envelope, bucketed keyed form at corpus scale; a per-source W
+    * fits the keyed totalOut contract). Staged like [[tokenBudget]]:
+    * the keyed arm's counts+rank passes must not re-tokenize the
+    * corpus. */
   def samplePps(spark: SparkSession, d: String): DataFrame = {
     val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
     val n = PpsPerSource
@@ -1051,13 +1060,18 @@ object TextAnalysis extends QueryPack {
         mix.as("mix"))
     // clean base-projection estimate, read before staging wraps it
     val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    // boundaries <= c, as exact integer SQL over (c, off, w_total)
+    def nb(c: String) = s"(CASE WHEN $c * $n <= off THEN CAST(0 AS BIGINT) " +
+      s"ELSE least(CAST($n AS BIGINT), (($c * $n - off - 1) div w_total) + 1) END)"
     graft.operators.Staged.scoped(narrow) { docs =>
       graft.operators.GroupRank.withRunningSumBy(
           docs, Seq("source"), col("mix"), primaryDesc = false,
           col("doc_id"), col("n_tokens"), "cum",
           totalOut = Some("w_total"), groupBound = 64, inputBytes = est)
-        .filter(expr(s"(cum * $n) div w_total > ((cum - n_tokens) * $n) div w_total"))
-        .withColumn("pick_idx", expr(s"(cum * $n) div w_total"))
+        .withColumn("off",
+          graft.functions.DetMix.lehmerMix(col("w_total")) % col("w_total"))
+        .filter(expr(s"${nb("cum")} > ${nb("(cum - n_tokens)")}"))
+        .withColumn("pick_idx", expr(nb("cum")))
         .select("source", "doc_id", "n_tokens", "cum", "w_total", "pick_idx")
         .orderBy("source", "cum")
     }
@@ -2095,9 +2109,13 @@ object TextAnalysis extends QueryPack {
         |SELECT source, doc_id, n_tokens, cum_tokens, tot_tokens
         |FROM r WHERE cum_tokens * 5 <= tot_tokens * 3
         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
-    // Madow systematic PPS: the same shuffled running sum, boundary
-    // test and pick index in exact 64-bit integer division (//)
-    "sample_pps" ->
+    // Madow systematic PPS: the same shuffled running sum, per-source
+    // phase offset, boundary count and pick index in exact 64-bit
+    // integer division (//)
+    "sample_pps" -> {
+      val n = PpsPerSource
+      def nb(c: String) = s"(CASE WHEN $c * $n <= off THEN CAST(0 AS BIGINT) " +
+        s"ELSE least(CAST($n AS BIGINT), (($c * $n - off - 1) // w_total) + 1) END)"
       s"""WITH t AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2111,13 +2129,18 @@ object TextAnalysis extends QueryPack {
          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
          |         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
          |           AS w_total
-         |  FROM t)
+         |  FROM t),
+         |p AS (
+         |  SELECT *,
+         |         (w_total % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+         |           % w_total AS off
+         |  FROM r)
          |SELECT source, doc_id, n_tokens, cum, w_total,
-         |       (cum * $PpsPerSource) // w_total AS pick_idx
-         |FROM r
-         |WHERE (cum * $PpsPerSource) // w_total
-         |      > ((cum - n_tokens) * $PpsPerSource) // w_total
-         |ORDER BY source, cum""".stripMargin,
+         |       ${nb("cum")} AS pick_idx
+         |FROM p
+         |WHERE ${nb("cum")} > ${nb("(cum - n_tokens)")}
+         |ORDER BY source, cum""".stripMargin
+    },
     // the streaming admission's greedy fold (admit iff the doc fits
     // WHOLE; rejected docs leave the total untouched) recomputed as a
     // recursive CTE in doc_id order — the stream feeds batches in

@@ -325,6 +325,8 @@ object ScaleR15 {
         interRows.length == S * (S - 1) / 2 &&
         interRows.forall(_.getLong(2) == perPair),
         s"exact path disagrees with the closed form at mult=$mult")
+      require(est.length == S * (S - 1) / 2,
+        s"estimator dropped pair rows at mult=$mult: ${est.length}")
       val k = Dedup.KmvK
       val relBound = 6.0 / math.sqrt((k - 2).toDouble)
       var worstSize = 0.0; var worstShared = 0.0
