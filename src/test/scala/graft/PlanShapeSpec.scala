@@ -563,4 +563,46 @@ class PlanShapeSpec extends SparkSpec {
       s"stage 2 must not rescan the corpus crosswise:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("source_overlap_kmv never shuffles on the shingle key (the sketch's point)") {
+    val p = planOf(dedup.Dedup.sourceOverlapKmv(spark, sf0001))
+    // the exact source_overlap joins the corpus-sized shingle stream
+    // on `shingle`; the sketch form's pair algebra must read from the
+    // checkpointed MODEL-SIZED summary (S rows of k longs — the one
+    // corpus pass lives upstream of the checkpoint), with no
+    // shingle-keyed exchange or join anywhere downstream
+    assert(!"""hashpartitioning\(shingle#""".r.findFirstIn(p).isDefined,
+      s"sketch overlap must not exchange on the shingle key:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"pair algebra must read the checkpointed model-sized summary:\n$p")
+  }
+
+  test("mine_bitext kNN cuts run through bounded heaps, windows only on survivors") {
+    val p = planOf(similarity.Similarity.mineBitext(spark, sf0001))
+    // every Window must sit ABOVE a TopKPerKey cut — a window directly
+    // over the scored A×B frame is the one-task-per-key collapse the
+    // margin tail exists to avoid
+    assert(p.contains("TopKPerKeyPartial"),
+      s"bounded-heap partial cut missing:\n$p")
+    val winAt = "Window ".r.findAllMatchIn(p).map(_.start).toList
+    val topkAt = "TopKPerKey".r.findAllMatchIn(p).map(_.start).toList
+    assert(winAt.nonEmpty && topkAt.nonEmpty)
+    // plan prints top-down: a Window printed BEFORE any TopKPerKey in
+    // its subtree consumes a survivor frame; one printed after the
+    // LAST TopKPerKey would be feeding it raw scored pairs
+    assert(winAt.forall(w => topkAt.exists(t => t > w)),
+      s"a window has no bounded-heap cut beneath it:\n$p")
+  }
+
+  test("sample_pps under the envelope takes the gated window form") {
+    val p = planOf(text.TextAnalysis.samplePps(spark, sf0001))
+    // sf0.001's narrow projection sits far below WindowMaxTotalBytes,
+    // so the running sum must plan the plain per-source window (proves
+    // the caller wired a real clean estimate); range_bucket appearing
+    // here would mean the estimate was lost and the keyed form paid
+    assert("""\], \[source#\d+\], \[mix#""".r.findFirstIn(p).isDefined,
+      s"sample_pps under the envelope must take the gated window:\n$p")
+    assert(!p.contains("range_bucket"),
+      s"keyed bucket machinery must not plan under the envelope:\n$p")
+  }
 }
