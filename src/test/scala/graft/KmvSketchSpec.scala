@@ -79,6 +79,36 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("property: any adds + any merge tree == k smallest distinct (pure state, 300 cases)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      k <- Gen.choose(8, 96)
+      n <- Gen.choose(0, 800)
+      pool <- Gen.choose(16, 400)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      splits <- Gen.choose(1, 6)
+    } yield (k, n, pool, seed, splits)
+    val prop = Prop.forAll(gen) { case (k, n, pool, seed, splits) =>
+      val rng = new scala.util.Random(seed)
+      // small pools force duplicates + evictions; occasional full-range
+      // values exercise the unsigned extremes
+      val vals = Seq.fill(n)(
+        if (rng.nextInt(10) == 0) rng.nextLong()
+        else new scala.util.Random(rng.nextInt(pool)).nextLong())
+      val expected = vals.distinct.sortBy(h => h ^ Long.MinValue).take(k)
+      // random partitioning into sub-states, merged pairwise in order
+      val parts = vals.grouped(math.max(1, n / splits + 1)).toSeq
+      val states = parts.map { p =>
+        val s = new graft.functions.KmvState(k); p.foreach(s.add); s
+      }
+      val merged = states.reduceOption { (a, b) => a.mergeIn(b); a }
+        .getOrElse(new graft.functions.KmvState(k))
+      merged.sorted.toSeq == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("sketch union law: merge of disjoint-source sketches = sketch of union") {
     val k = 64
     val rng = new scala.util.Random(11)
