@@ -190,7 +190,9 @@ object GroupRank {
     * `stats.sizeInBytes`) — joined/staged intermediates inflate the
     * product estimate by orders of magnitude (a probe read ~72 GB for
     * 5 000 rows through a rank join), so a caller without a trustworthy
-    * estimate keeps the −1 default and gets the keyed form. Mis-gating
+    * estimate keeps the −1 default, which since r15 AUTO-DERIVES the
+    * estimate off the input plan under [[autoInputBytes]]'s trust
+    * rules (junk lineage → keyed, as before). Mis-gating
     * is always a perf trade, never a correctness one: the window arm is
     * the exact reference construction the keyed form is spec-proven
     * equal to. Empty groupCols never gate (a global single-partition
@@ -201,6 +203,65 @@ object GroupRank {
       groupCols: Seq[String]): Boolean =
     groupCols.nonEmpty && inputBytes >= 0 &&
       inputBytes <= BigInt(WindowMaxTotalBytes)
+
+  /** The gate estimate, derived off the input plan itself (VERDICT r14
+    * #5): every registered caller used to compute
+    * `narrow.queryExecution.optimizedPlan.stats.sizeInBytes` by hand
+    * and thread it down, and a caller that forgot got the keyed form
+    * silently — safe but slow (`quality_topq` and `token_budget` were
+    * exactly that). The operator now applies the same trust rules in
+    * one place:
+    *
+    *  - TRUSTED: `Project`/`Filter` chains over a FILE-backed relation
+    *    — the optimizer's size there is the measured file bytes scaled
+    *    by column pruning (no join/aggregate estimate products), and a
+    *    real corpus input is always file-backed. An
+    *    `InMemoryRelation` ([[Staged]] inputs resolve to one once the
+    *    cache substitution runs) is trusted iff the plan it CACHES is
+    *    that same scan shape — checked on its physical plan
+    *    (codegen/project/filter/columnar-to-row over a file scan), with
+    *    `statsOfPlanToCache` as the value, which is bit-identical to
+    *    the estimate the caller read pre-staging.
+    *  - NOT trusted (→ −1 → keyed, the safe arm): anything containing
+    *    a join, aggregate, generate, repartition, or AQE-wrapped cache
+    *    lineage — size-estimate products there are off by orders of
+    *    magnitude in the dangerous direction. `LocalRelation`/`Range`
+    *    toy frames are also left untrusted BY DESIGN: their stats are
+    *    exact, but no real corpus is a local relation, and the keyed
+    *    machinery's own specs drive small local frames through the
+    *    bucket form precisely by relying on the conservative default
+    *    (an explicit `inputBytes` still routes them anywhere a test
+    *    wants).
+    *
+    * Callers whose gate-relevant bytes are NOT their input frame's —
+    * a fill over a rank-join output whose clean pre-join estimate the
+    * caller alone knows — still pass `inputBytes` explicitly; an
+    * explicit value always wins over derivation. */
+  private[graft] def autoInputBytes(df: DataFrame): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.execution
+    def cleanLogical(p: logical.LogicalPlan): Boolean = p match {
+      case pr: logical.Project => cleanLogical(pr.child)
+      case f: logical.Filter => cleanLogical(f.child)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        cleanPhysical(imr.cachedPlan)
+      case _ => false
+    }
+    def cleanPhysical(p: execution.SparkPlan): Boolean = p match {
+      case w: execution.WholeStageCodegenExec => cleanPhysical(w.child)
+      case i: execution.InputAdapter => cleanPhysical(i.child)
+      case c: execution.ColumnarToRowExec => cleanPhysical(c.child)
+      case pr: execution.ProjectExec => cleanPhysical(pr.child)
+      case f: execution.FilterExec => cleanPhysical(f.child)
+      case _: execution.FileSourceScanExec => true
+      case _ => false
+    }
+    val plan = df.queryExecution.optimizedPlan
+    if (cleanLogical(plan)) plan.stats.sizeInBytes else BigInt(-1)
+  }
 
   /** `parts − 1` quantile boundaries of `keyCol`, one distributed
     * sketch pass, collected once (model-sized: doubles). The sketch's
@@ -359,7 +420,11 @@ object GroupRank {
       partitions: Int, value: Option[Column], out: String,
       totalOut: Option[String], groupBound: Long = 0L,
       inputBytes: BigInt = BigInt(-1)): DataFrame = {
-    if (windowFits(inputBytes, groupCols)) {
+    // −1 (the default) = derive the estimate off the input plan under
+    // [[autoInputBytes]]'s trust rules; an explicit value always wins
+    val gateBytes =
+      if (inputBytes == BigInt(-1)) autoInputBytes(df) else inputBytes
+    if (windowFits(gateBytes, groupCols)) {
       // below the envelope the plain grouped window IS the cheaper
       // plan (one sort, no sketch/counts/offsets passes) and the exact
       // reference the keyed form is spec-proven equal to

@@ -1359,9 +1359,8 @@ object Extended extends QueryPack {
   def qualityQuartiles(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    quartileBinsOf(docs, 4,
-        inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
-      .orderBy("doc_id")
+    // the gate estimate auto-derives from the clean scan lineage (r15)
+    quartileBinsOf(docs, 4).orderBy("doc_id")
   }
 
   /** Same over any `(doc_id, source, n_chars)` frame with `k` bins —
@@ -1373,8 +1372,10 @@ object Extended extends QueryPack {
     // (tot div k)+1 rows each, the rest hold (tot div k); CASE keeps
     // the zero-size ELSE division unevaluated when tot < k.
     // `inputBytes` rides through to the rank's window-vs-keyed gate
-    // ([[graft.operators.GroupRank.windowFits]]) — registered callers
-    // pass their clean base-scan estimate, sweeps keep the keyed form
+    // ([[graft.operators.GroupRank.windowFits]]); the −1 default
+    // auto-derives off the input plan (r15) — registered callers feed
+    // clean scans and gate for free, while the amplified sweep frames
+    // (join/repartition lineage) derive −1 and keep the keyed form
     graft.operators.GroupRank.withGroupRankBy(docs, Seq("source"),
         col("n_chars"), primaryDesc = false, col("doc_id"), "__rank",
         totalOut = Some("__tot"), groupBound = 64,

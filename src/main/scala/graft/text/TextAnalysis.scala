@@ -690,12 +690,13 @@ object TextAnalysis extends QueryPack {
     // (self-releasing, spill-safe)
     val narrow = documents.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // the fill gate's byte estimate comes from THIS clean projection —
-    // read before staging wraps it in a cache whose estimate inflates
-    val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the fill gate's byte estimate is auto-derived inside the keyed
+    // operator (r15): the staged frame's clean file-scan lineage is
+    // visible through the cache, so no hand-threading — an amplified
+    // sweep input (join lineage) derives −1 and keeps the keyed form
     graft.operators.Staged.scoped(narrow) { docs =>
       contiguousFill(docs, Seq("source"), col("doc_id"), col("doc_id"),
-          col("n_tokens"), groupBound = 64, inputBytes = est)
+          col("n_tokens"), groupBound = 64)
         .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
         .orderBy("source", "doc_id")
     }
@@ -721,11 +722,13 @@ object TextAnalysis extends QueryPack {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // fill-gate estimate from the clean pre-quartile projection — the
-    // binned frame's own estimate inflates through the rank join
+    // the quartile rank's gate estimate auto-derives from `docs`' clean
+    // scan lineage (r15); the FILL still threads the pre-quartile
+    // estimate by hand — its input is the rank-join output, whose own
+    // estimate is inflated junk only the caller can see past
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     graft.operators.Staged.scoped(
-      graft.queries.Extended.quartileBinsOf(docs, 4, inputBytes = est)
+      graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens")) { binned =>
       contiguousFill(binned, Seq("source", "quartile"), col("doc_id"),
           col("doc_id"), col("n_tokens"), groupBound = 256,
@@ -771,8 +774,7 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     packBestFitOf(
-      graft.queries.Extended.quartileBinsOf(docs, 4,
-          inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens"),
       BestFitChunk)
   }
@@ -838,10 +840,13 @@ object TextAnalysis extends QueryPack {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     // bin ONCE and share the staged stratum frame between both
     // packers — calling packByLength + packBestFit separately would
-    // pay the tokenization and the quartile keyed rank twice
+    // pay the tokenization and the quartile keyed rank twice. The fill
+    // inside packTradeoffOf runs over the rank-join output, so its
+    // clean pre-quartile estimate is still threaded by hand (the
+    // quartile rank itself auto-derives — r15)
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     packTradeoffOf(
-      graft.queries.Extended.quartileBinsOf(docs, 4, inputBytes = est)
+      graft.queries.Extended.quartileBinsOf(docs, 4)
         .select("doc_id", "source", "quartile", "n_tokens"), est)
   }
 
@@ -1058,8 +1063,6 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         mix.as("mix"))
-    // clean base-projection estimate, read before staging wraps it
-    val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
     // boundaries <= c, as exact integer SQL over (c, off, w_total)
     def nb(c: String) = s"(CASE WHEN $c * $n <= off THEN CAST(0 AS BIGINT) " +
       s"ELSE least(CAST($n AS BIGINT), (($c * $n - off - 1) div w_total) + 1) END)"
@@ -1067,7 +1070,7 @@ object TextAnalysis extends QueryPack {
       graft.operators.GroupRank.withRunningSumBy(
           docs, Seq("source"), col("mix"), primaryDesc = false,
           col("doc_id"), col("n_tokens"), "cum",
-          totalOut = Some("w_total"), groupBound = 64, inputBytes = est)
+          totalOut = Some("w_total"), groupBound = 64)
         .withColumn("off",
           graft.functions.DetMix.lehmerMix(col("w_total")) % col("w_total"))
         .filter(expr(s"${nb("cum")} > ${nb("(cum - n_tokens)")}"))
@@ -1098,8 +1101,7 @@ object TextAnalysis extends QueryPack {
     // performance choice only — the keyed paths are recompute-safe —
     // and it self-releases after the terminal action (ADVICE r11).
     graft.operators.Staged.scoped(
-      graft.queries.Extended.quartileBinsOf(docs, 4,
-          inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      graft.queries.Extended.quartileBinsOf(docs, 4)
         .select(col("doc_id"), col("quartile").as("phase"))
         .withColumn("shuffle_key",
           graft.functions.DetMix.lehmerMix(col("doc_id")))) { phased =>

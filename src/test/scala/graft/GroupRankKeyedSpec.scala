@@ -17,6 +17,13 @@ class GroupRankKeyedSpec extends SparkSpec {
     (1 to n).map(i => (s"g${i % 3}", i.toLong, (i * 37 % 19).toDouble))
       .toDF("g", "id", "score")
 
+  // Parquet-backed frames auto-derive a trusted under-envelope byte
+  // estimate since r15 and would take the WINDOW arm; the tests below
+  // that assert keyed-machinery behavior force the keyed form with an
+  // explicit 100 TB-shaped estimate (local frames stay keyed under the
+  // default — autoInputBytes distrusts LocalRelation by design).
+  private val forceKeyed = BigInt(1L) << 40
+
   test("RangeBucketExpr.bucket is lower_bound: strict-< search, ties low") {
     val bs = Array(1.0, 3.0, 3.5)
     assert(RangeBucketExpr.bucket(0.5, bs) === 0)
@@ -131,7 +138,8 @@ class GroupRankKeyedSpec extends SparkSpec {
     // bound the offsets frame is hint-broadcast; without one the hint
     // is dropped and AQE decides (asserted separately below)
     val ranked = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-      false, $"doc_id", "rk", partitions = 5, groupBound = 32)
+      false, $"doc_id", "rk", partitions = 5, groupBound = 32,
+      inputBytes = forceKeyed)
     val p = ranked.queryExecution.executedPlan.toString
     assert(!p.contains("Scan ExistingRDD"),
       s"keyed path must not localCheckpoint:\n$p")
@@ -275,7 +283,8 @@ class GroupRankKeyedSpec extends SparkSpec {
     // 20 sources in the data; promise 4 — the per-bucket guard must
     // raise during execution
     val lied = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-      false, $"doc_id", "rk", partitions = 5, groupBound = 4)
+      false, $"doc_id", "rk", partitions = 5, groupBound = 4,
+      inputBytes = forceKeyed)
     val e = intercept[Exception] { lied.count() }
     assert(e.getMessage.contains("groupBound") ||
       Option(e.getCause).exists(_.getMessage.contains("groupBound")),
@@ -288,7 +297,7 @@ class GroupRankKeyedSpec extends SparkSpec {
     val df = Tables.documents(spark, sf0001)
       .select($"doc_id", $"source", $"n_chars")
     val unhinted = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
-      false, $"doc_id", "rk", partitions = 5)
+      false, $"doc_id", "rk", partitions = 5, inputBytes = forceKeyed)
     // the logical plan must carry no ResolvedHint/UnresolvedHint on the
     // offsets side — the initial physical plan then has no forced
     // BroadcastExchange (AQE's runtime conversion is allowed and good)
@@ -313,7 +322,7 @@ class GroupRankKeyedSpec extends SparkSpec {
     // gate passed and hint-forced the join with an untrippable guard
     val huge = GroupRank.withGroupRankBy(df, Seq("source"), $"n_chars",
       false, $"doc_id", "rk", partitions = 2,
-      groupBound = Long.MaxValue / 2)
+      groupBound = Long.MaxValue / 2, inputBytes = forceKeyed)
     val lp = huge.queryExecution.optimizedPlan.toString
     assert(!lp.contains("ResolvedHint") && !lp.contains("broadcast"),
       s"an over-budget bound must drop the hint, not overflow past it:\n$lp")

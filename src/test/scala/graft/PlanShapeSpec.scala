@@ -334,13 +334,68 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("range_bucket"),
       s"above the envelope rows must place by the frozen-boundary " +
         s"binary search:\n$p")
-    // and an UNKNOWN estimate (the −1 default) must take the safe side
-    val pDefault = planOf(text.TextAnalysis.contiguousFill(binned,
+    // and an UNTRUSTED estimate must take the safe side: with the −1
+    // default the gate auto-derives off the input plan (r15), and a
+    // join-lineage frame — whose size estimate is an inflated product —
+    // must derive "unknown" and keep the keyed form
+    val joined = binned.join(
+      binned.select(col("doc_id"), col("n_tokens").as("nt2")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val pDefault = planOf(text.TextAnalysis.contiguousFill(joined,
       Seq("source"), col("doc_id"), col("doc_id"), col("n_tokens"),
       groupBound = 64))
     assert(collapsedStratumWindow.findFirstIn(pDefault).isEmpty &&
       pDefault.contains("range_bucket"),
-      s"no estimate must mean the keyed form:\n$pDefault")
+      s"an untrusted auto-derived estimate must mean the keyed form:\n$pDefault")
+  }
+
+  test("auto-derived gate estimate (r15): clean file-scan callers plan " +
+    "the window arm with no hand-threaded estimate; quality_topq and " +
+    "token_budget — the callers that used to fall keyed silently — " +
+    "now take the cheap arm under the envelope") {
+    for ((name, q, winOrder) <- Seq(
+        ("quality_topq", text.TextAnalysis.qualityTopQ(spark, sf0001), "ttr"),
+        ("token_budget", text.TextAnalysis.tokenBudget(spark, sf0001), "shuffle_key"),
+        ("split_stratified", text.TextAnalysis.splitStratified(spark, sf0001), "shuffle_key"))) {
+      val p = planOf(q)
+      assert(!p.contains("range_bucket"),
+        s"$name under the envelope must auto-derive and take the " +
+          s"window arm, not the keyed bucket machinery:\n$p")
+      assert(s"""\\], \\[(lang|source)#\\d+\\], \\[$winOrder#""".r
+        .findFirstIn(p).isDefined,
+        s"$name must plan the gated per-stratum window:\n$p")
+    }
+  }
+
+  test("auto-derived gate estimate distrusts toy and junk lineage: " +
+    "local frames and joins keep the keyed form under the −1 default") {
+    import operators.GroupRank
+    val local = Seq((1L, "a", 5L), (2L, "a", 3L), (3L, "b", 9L))
+      .toDF("id", "g", "v")
+    assert(GroupRank.autoInputBytes(local) == BigInt(-1),
+      "a LocalRelation must not be trusted (the keyed specs rely on it)")
+    val scan = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    assert(GroupRank.autoInputBytes(scan) >= 0,
+      "a projected parquet scan must be trusted")
+    assert(GroupRank.autoInputBytes(
+        scan.join(scan.select(col("doc_id"), col("n_chars").as("c2")),
+          "doc_id")) == BigInt(-1),
+      "join lineage must not be trusted")
+    assert(GroupRank.autoInputBytes(scan.repartition(4)) == BigInt(-1),
+      "repartition lineage must not be trusted")
+    // a Staged (persisted) clean scan stays trusted THROUGH the cache,
+    // and derives the same bytes the caller used to hand-thread
+    val est = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+    val staged = operators.Staged.stage(
+      Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("source"), col("n_chars")))
+    try {
+      val auto = GroupRank.autoInputBytes(staged)
+      assert(auto == est,
+        s"staged clean scan must derive the pre-staging estimate " +
+          s"($est), got $auto")
+    } finally staged.unpersist(blocking = true)
   }
 
   test("pack_best_fit / pack_tradeoff: the length-desc keyed rank " +
