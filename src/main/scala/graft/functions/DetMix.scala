@@ -30,4 +30,24 @@ object DetMix {
   /** `((key mod M) · g mod M) · g mod M` as a codegen'd column. */
   def lehmerMix(key: Column): Column =
     (key % Modulus) * Multiplier % Modulus * Multiplier % Modulus
+
+  /** 62-bit mix for DERIVING VALUES AGAINST MODULI PAST 2³¹ (ADVICE
+    * r14: [[graft.text.TextAnalysis.samplePps]]'s per-source phase is
+    * `mix mod W`, and with [[lehmerMix]]'s ≤ 2³¹−2 range a token mass
+    * W ≫ 2³¹ would collapse the phase toward 0 — degenerating Madow
+    * boundary placement to the phase-0 grid). Two decorrelated Lehmer
+    * streams over the key's LOW and HIGH 31-bit halves, concatenated
+    * base-M: the result spans [0, M²−1] ≈ [0, 2⁶²) and uses the full
+    * information of a 62-bit key, every product stays ≤ (M−1)·M
+    * ≈ 4.6e18 — far inside a signed long, so no wraparound for either
+    * engine to disagree on (DuckDB errors on BIGINT overflow; ANSI
+    * Spark would too). The high half is offset by 1 so keys under 2³¹
+    * do not pin the low stream at the mix(0) = 0 fixed point. Same
+    * contract as [[lehmerMix]]: key ≥ 0 (and < 2⁶² — beyond any token
+    * mass this engine addresses); seedless, engine-neutral — the
+    * DuckDB oracles inline the identical shift/mask/multiply chain. */
+  def lehmerMix62(key: Column): Column =
+    lehmerMix(key.bitwiseAND(org.apache.spark.sql.functions.lit(Modulus))) *
+      Modulus +
+      lehmerMix(org.apache.spark.sql.functions.shiftright(key, 31) + 1L)
 }

@@ -1037,7 +1037,10 @@ object TextAnalysis extends QueryPack {
     * accumulate token mass, and pick the doc whose mass interval
     * contains a selection boundary. Boundaries carry a deterministic
     * per-source PHASE: `b_i = (i·W + o) div n + 1` for i = 0..n−1 with
-    * `o = lehmerMix(W) mod W` — the integer-exact form of Madow's
+    * `o = lehmerMix62(W) mod W` (the 62-bit mix — ADVICE r14: the
+    * 31-bit mix collapsed the phase toward 0 once a source's token
+    * mass passed 2³¹, degenerating boundary placement to the phase-0
+    * grid) — the integer-exact form of Madow's
     * random-start `(i+u)·W/n`, which is what makes inclusion
     * probability ∝ n_tokens for EVERY doc; the naive phase-0
     * `i·W/n (i=1..n)` rule puts boundary n exactly at cum = W, so the
@@ -1056,13 +1059,20 @@ object TextAnalysis extends QueryPack {
     * fits the keyed totalOut contract). Staged like [[tokenBudget]]:
     * the keyed arm's counts+rank passes must not re-tokenize the
     * corpus. */
-  def samplePps(spark: SparkSession, d: String): DataFrame = {
-    val mix = graft.functions.DetMix.lehmerMix(col("doc_id"))
-    val n = PpsPerSource
-    val narrow = Tables.documents(spark, d)
+  def samplePps(spark: SparkSession, d: String): DataFrame =
+    samplePpsOf(Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        mix.as("mix"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** Same over any `(doc_id, source, n_tokens)` frame — exposed so the
+    * spec can pin the wide-W phase (per-source token masses past 2³¹,
+    * where the 62-bit mix matters) that no text-backed fixture can
+    * reach, and so a sweep can force the keyed arm at amplified
+    * scale. */
+  private[graft] def samplePpsOf(withTokens: DataFrame): DataFrame = {
+    val n = PpsPerSource
+    val narrow = withTokens.withColumn("mix",
+      graft.functions.DetMix.lehmerMix(col("doc_id")))
     // boundaries <= c, as exact integer SQL over (c, off, w_total)
     def nb(c: String) = s"(CASE WHEN $c * $n <= off THEN CAST(0 AS BIGINT) " +
       s"ELSE least(CAST($n AS BIGINT), (($c * $n - off - 1) div w_total) + 1) END)"
@@ -1072,7 +1082,7 @@ object TextAnalysis extends QueryPack {
           col("doc_id"), col("n_tokens"), "cum",
           totalOut = Some("w_total"), groupBound = 64)
         .withColumn("off",
-          graft.functions.DetMix.lehmerMix(col("w_total")) % col("w_total"))
+          graft.functions.DetMix.lehmerMix62(col("w_total")) % col("w_total"))
         .filter(expr(s"${nb("cum")} > ${nb("(cum - n_tokens)")}"))
         .withColumn("pick_idx", expr(nb("cum")))
         .select("source", "doc_id", "n_tokens", "cum", "w_total", "pick_idx")
@@ -2134,7 +2144,10 @@ object TextAnalysis extends QueryPack {
          |  FROM t),
          |p AS (
          |  SELECT *,
-         |         (w_total % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+         |         (((w_total & 2147483647) % 2147483647) * 48271
+         |            % 2147483647 * 48271 % 2147483647 * 2147483647
+         |          + (((w_total >> 31) + 1) % 2147483647) * 48271
+         |            % 2147483647 * 48271 % 2147483647)
          |           % w_total AS off
          |  FROM r)
          |SELECT source, doc_id, n_tokens, cum, w_total,
