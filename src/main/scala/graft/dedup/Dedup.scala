@@ -1008,6 +1008,135 @@ object Dedup extends QueryPack {
       .orderBy("source_a", "source_b")
   }
 
+  /** DIRECTED set algebra over the same per-source KMV sketches —
+    * difference and union, completing the Theta-sketch program
+    * (VERDICT r14 #2): `est_novel_a ≈ |A ∖ B|` is the operator a
+    * data-mixture builder actually reaches for ("how much of source X
+    * is NOT already in my training mix"), and `est_union ≈ |A ∪ B|`
+    * prices the combined corpus. Estimator (DataSketches a-not-b
+    * semantics, public): below θ_pair = min(θ_a, θ_b) both retained
+    * samples are uniform θ_pair-rate samples of their sets, so with
+    * `n_a = |sample_a < θ_pair|`, `n_b` likewise and `n_samp` their
+    * intersection count, `(n_a − n_samp)/θ_pair` estimates |A ∖ B| and
+    * `(n_a + n_b − n_samp)/θ_pair` estimates |A ∪ B| — inclusion-
+    * exclusion holds EXACTLY on the sample counts by construction.
+    * `novelty_frac` is the sample-consistent |A∖B|/|A| ratio
+    * (null when no A-sample survives below θ_pair — possible only
+    * when θ_b ≪ θ_a at extreme asymmetry). Scale shape identical to
+    * [[kmvOverlapOfHashes]]: one corpus pass into k-long sketch
+    * states, then ALL pair algebra over S·k retained-hash rows with
+    * the S² grid broadcast — model-sized at any corpus size. ORDERED
+    * pairs (a ≠ b): difference is directional. Rows-only by design
+    * (xxhash64 is not DuckDB-expressible);
+    * [[sourceNoveltyKmvVerified]] is the hash-checked gate. */
+  private[graft] def kmvNoveltyOfHashes(ss: DataFrame,
+      k: Int = KmvK): DataFrame = {
+    graft.functions.KmvSketchAgg.register(ss.sparkSession, k)
+    val sum = kmvSummary(
+      ss.groupBy("source").agg(expr("kmv_sketch(shingle)").as("sk")), k)
+      .localCheckpoint()
+    val a = sum.select(col("source").as("source_a"), col("kth").as("kth_a"),
+      col("theta").as("theta_a"), col("est_distinct").as("est_a"))
+    val b = sum.select(col("source").as("source_b"), col("kth").as("kth_b"),
+      col("theta").as("theta_b"), col("est_distinct").as("est_b"))
+    val grid = a.crossJoin(broadcast(b)) // S² ordered pair rows: model-sized
+      .filter(col("source_a") =!= col("source_b"))
+      .withColumn("kth_pair",
+        when(col("kth_a").isNull, col("kth_b"))
+          .when(col("kth_b").isNull, col("kth_a"))
+          .otherwise(when(xorMin(col("kth_a")) <= xorMin(col("kth_b")),
+            col("kth_a")).otherwise(col("kth_b"))))
+      .withColumn("theta_pair", least(col("theta_a"), col("theta_b")))
+    val pairKth = broadcast(grid.select("source_a", "source_b", "kth_pair"))
+    val ra = sum.select(col("source").as("source_a"),
+      explode(col("retained")).as("h"))
+    val rb = sum.select(col("source").as("source_b"),
+      explode(col("retained")).as("h"))
+    def underPair(c: Column) =
+      col("kth_pair").isNull || xorMin(c) < xorMin(col("kth_pair"))
+    // per-(pair, side) sample counts below θ_pair: S·k retained rows ×
+    // (S−1) pair partners — still model-sized
+    val belowA = ra.join(pairKth, Seq("source_a"))
+      .filter(underPair(col("h")))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_a"))
+    val belowB = rb.join(pairKth, Seq("source_b"))
+      .filter(underPair(col("h")))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_b"))
+    val shared = ra.join(rb, "h")
+      .filter(col("source_a") =!= col("source_b"))
+      .join(pairKth, Seq("source_a", "source_b"))
+      .filter(underPair(col("h")))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_samp"))
+    grid.join(belowA, Seq("source_a", "source_b"), "left")
+      .join(belowB, Seq("source_a", "source_b"), "left")
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("n_samp", coalesce(col("n_samp"), lit(0L)))
+      .withColumn("est_novel_a",
+        (col("n_a") - col("n_samp")).cast("double") / col("theta_pair"))
+      .withColumn("est_union",
+        (col("n_a") + col("n_b") - col("n_samp")).cast("double") /
+          col("theta_pair"))
+      .withColumn("novelty_frac",
+        when(col("n_a") > 0,
+          (col("n_a") - col("n_samp")).cast("double") / col("n_a")))
+      .select("source_a", "source_b", "theta_pair", "est_a", "est_b",
+        "est_novel_a", "est_union", "novelty_frac")
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceNoveltyKmvOf(docs: DataFrame, k: Int = KmvK): DataFrame =
+    kmvNoveltyOfHashes(sourceShingleHashes(docs), k)
+
+  def sourceNoveltyKmv(spark: SparkSession, d: String): DataFrame =
+    sourceNoveltyKmvOf(Tables.documents(spark, d))
+
+  /** Hash-checked gate for [[sourceNoveltyKmv]], the same 6σ-bound
+    * program as [[sourceOverlapKmvVerified]]: exact |A∖B| and |A∪B|
+    * recomputed brute-force from the shingle strings, the estimates
+    * bound by binomial thinning at rate θ_pair —
+    * `|est − exact| ≤ 6·√(exact·(1/θ_pair − 1)) + 8` for both columns
+    * (the below-θ_pair count of a W-sized set is Binomial(W, θ_pair),
+    * σ_est = √(W·(1/θ−1)); +8 absorbs the small-count floor). FULL
+    * ordered grid including disjoint pairs, so a phantom regression on
+    * any pair hash-fails a boolean. */
+  def sourceNoveltyKmvVerified(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val est = sourceNoveltyKmvOf(docs, KmvK)
+    val ss = hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct()
+    val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.select(col("source").as("source_a"), col("shingle"))
+      .join(ss.select(col("source").as("source_b"), col("shingle")), "shingle")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_shared"))
+    def bound(exact: Column) =
+      lit(6.0) * sqrt(greatest(exact, lit(1L)).cast("double") *
+        greatest(lit(1.0) / col("theta_pair") - lit(1.0), lit(0.0))) + lit(8.0)
+    sz.select(col("source").as("source_a"), col("n").as("exact_a"))
+      .crossJoin(broadcast(
+        sz.select(col("source").as("source_b"), col("n").as("exact_b"))))
+      .filter(col("source_a") =!= col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_shared", coalesce(col("exact_shared"), lit(0L)))
+      .withColumn("exact_novel_a", col("exact_a") - col("exact_shared"))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_shared"))
+      .join(est, Seq("source_a", "source_b"))
+      .withColumn("novel_within_bound",
+        abs(col("est_novel_a") - col("exact_novel_a")) <=
+          bound(col("exact_novel_a")))
+      .withColumn("union_within_bound",
+        abs(col("est_union") - col("exact_union")) <=
+          bound(col("exact_union")))
+      .select("source_a", "source_b", "exact_a", "exact_b",
+        "exact_novel_a", "exact_union",
+        "novel_within_bound", "union_within_bound")
+      .orderBy("source_a", "source_b")
+  }
+
   // ---------- decontamination ----------
 
   /** Benchmark decontamination — the eval-overlap check a training
@@ -1503,6 +1632,8 @@ object Dedup extends QueryPack {
     "source_overlap" -> sourceOverlap,
     "source_overlap_kmv" -> sourceOverlapKmv,
     "source_overlap_kmv_verified" -> sourceOverlapKmvVerified,
+    "source_novelty_kmv" -> sourceNoveltyKmv,
+    "source_novelty_kmv_verified" -> sourceNoveltyKmvVerified,
     "span_scrub" -> spanScrub,
     "dedup_incremental" -> dedupIncremental,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
@@ -1893,6 +2024,37 @@ object Dedup extends QueryPack {
         |       COALESCE(exact_shared, CAST(0 AS BIGINT)) AS exact_shared,
         |       true AS sizes_within_bound,
         |       true AS shared_within_bound
+        |FROM grid LEFT JOIN inter USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+    // the novelty gate: same program, ORDERED pairs, difference/union
+    // recomputed exactly from the shingle strings
+    "source_novelty_kmv_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS exact_shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source <> b.source
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |         x.n AS exact_a, y.n AS exact_b
+        |  FROM sz x JOIN sz y ON x.source <> y.source)
+        |SELECT source_a, source_b, exact_a, exact_b,
+        |       exact_a - COALESCE(exact_shared, CAST(0 AS BIGINT))
+        |         AS exact_novel_a,
+        |       exact_a + exact_b - COALESCE(exact_shared, CAST(0 AS BIGINT))
+        |         AS exact_union,
+        |       true AS novel_within_bound,
+        |       true AS union_within_bound
         |FROM grid LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →

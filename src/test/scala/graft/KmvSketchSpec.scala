@@ -109,6 +109,73 @@ class KmvSketchSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("novelty gate row (r15): every boolean true at sf0.001 and sf0.01, " +
+    "full ordered grid") {
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = Dedup.sourceNoveltyKmvVerified(spark, d).collect()
+      val s = Tables.documents(spark, d).select("source").distinct().count()
+      assert(rows.length == s * (s - 1), s"ordered grid incomplete at $d")
+      assert(rows.forall(_.getAs[Boolean]("novel_within_bound")),
+        s"novel bound failed at $d")
+      assert(rows.forall(_.getAs[Boolean]("union_within_bound")),
+        s"union bound failed at $d")
+    }
+  }
+
+  test("novelty exact mode: unsaturated sketches give EXACT difference, " +
+    "union, and novelty fraction") {
+    // 3 sources over a tiny hash universe — every sketch holds its full
+    // distinct set (k = 512 ≫ 40), so θ_pair = 1 and the estimators
+    // must degrade to exact set algebra
+    val sA = (0L until 30L).map(("sA", _))
+    val sB = (15L until 40L).map(("sB", _)) // |B| = 25, A∩B = 15
+    val sC = (100L until 110L).map(("sC", _)) // disjoint from both
+    val ss = (sA ++ sB ++ sC).toDF("source", "shingle")
+    val got = Dedup.kmvNoveltyOfHashes(ss).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Double]("est_novel_a"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    assert(got(("sA", "sB")) == ((15.0, 40.0, 15.0 / 30.0)))
+    assert(got(("sB", "sA")) == ((10.0, 40.0, 10.0 / 25.0)))
+    assert(got(("sA", "sC")) == ((30.0, 40.0, 1.0)))
+    assert(got(("sC", "sB")) == ((10.0, 35.0, 1.0)))
+    assert(got.size == 6, "ordered grid must hold all 6 pairs")
+  }
+
+  test("novelty estimator laws under saturation: union symmetric, " +
+    "inclusion-exclusion consistent with the overlap estimator, " +
+    "deterministic under recomputation") {
+    // big enough that every sketch saturates (k = 512 < 5000 distinct)
+    val S = 4
+    val stream = spark.range(80000L).select(
+      concat(lit("s"), col("id") % S).as("source"),
+      // 1/4 shared pool, 3/4 per-source private (the sweep's recipe)
+      when(expr("(id div 4) % 4") === 0, expr("(id div 16) % 5000"))
+        .otherwise(lit(5000L) + (col("id") % S + 1) * 5000L +
+          expr("(id div 16) % 5000")).as("key"))
+      .select(col("source"), xxhash64(col("key")).as("shingle"))
+    val rows = Dedup.kmvNoveltyOfHashes(stream).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Double]("est_novel_a"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("theta_pair"))).toMap
+    assert(rows.size == S * (S - 1))
+    for (((a, b), (novelAb, unionAb, thetaAb)) <- rows) {
+      val (novelBa, unionBa, thetaBa) = rows((b, a))
+      assert(unionAb == unionBa, s"union must be symmetric for ($a,$b)")
+      assert(thetaAb == thetaBa)
+      // |A∖B| + |A∩B| = |A| holds EXACTLY on the sample counts, so
+      // novel_a + shared must equal n_a/θ — recover shared from the
+      // two directed rows: union = novel_a + novel_b + shared
+      val shared = unionAb - novelAb - novelBa
+      assert(shared >= 0.0, s"negative implied intersection for ($a,$b)")
+    }
+    val again = Dedup.kmvNoveltyOfHashes(stream).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("est_novel_a")).toMap
+    assert(rows.map { case (k, v) => k -> v._1 } == again,
+      "novelty estimates must be recompute-deterministic")
+  }
+
   test("sketch union law: merge of disjoint-source sketches = sketch of union") {
     val k = 64
     val rng = new scala.util.Random(11)
