@@ -1067,9 +1067,12 @@ object TextAnalysis extends QueryPack {
   /** Same over any `(doc_id, source, n_tokens)` frame — exposed so the
     * spec can pin the wide-W phase (per-source token masses past 2³¹,
     * where the 62-bit mix matters) that no text-backed fixture can
-    * reach, and so a sweep can force the keyed arm at amplified
-    * scale. */
-  private[graft] def samplePpsOf(withTokens: DataFrame): DataFrame = {
+    * reach, and so the ScaleR16 `ppskeyed` sweep can A/B the keyed arm
+    * (the auto-derived default over an amplified join-lineage frame)
+    * against the window arm (`inputBytes` forced under the
+    * envelope). */
+  private[graft] def samplePpsOf(withTokens: DataFrame,
+      inputBytes: BigInt = BigInt(-1)): DataFrame = {
     val n = PpsPerSource
     val narrow = withTokens.withColumn("mix",
       graft.functions.DetMix.lehmerMix(col("doc_id")))
@@ -1080,7 +1083,8 @@ object TextAnalysis extends QueryPack {
       graft.operators.GroupRank.withRunningSumBy(
           docs, Seq("source"), col("mix"), primaryDesc = false,
           col("doc_id"), col("n_tokens"), "cum",
-          totalOut = Some("w_total"), groupBound = 64)
+          totalOut = Some("w_total"), groupBound = 64,
+          inputBytes = inputBytes)
         .withColumn("off",
           graft.functions.DetMix.lehmerMix62(col("w_total")) % col("w_total"))
         .filter(expr(s"${nb("cum")} > ${nb("(cum - n_tokens)")}"))

@@ -33,6 +33,80 @@ class MineBitextSpec extends SparkSpec {
     }
   }
 
+  test("starved-shortlist determinism (VERDICT r14 #6): an endpoint " +
+    "with fewer than BitextKnn candidates has a null kNN mean, its " +
+    "margins are null, and it drops at the cut — property vs an " +
+    "independent fold across the starvation boundary") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = Similarity.BitextKnn
+    def fold(cands: Seq[(Long, Long, Double)]): List[(Long, Long, Double)] = {
+      def mean(xs: Seq[Double]): Option[Double] =
+        if (xs.size < k) None
+        else Some(xs.take(k).reduceLeft(_ + _) * (1.0 / k))
+      val fwd = cands.groupBy(_._1).map { case (s, cs) =>
+        s -> mean(cs.sortBy(t => (-t._3, t._2)).map(_._3)) }
+      val bwd = cands.groupBy(_._2).map { case (t, cs) =>
+        t -> mean(cs.sortBy(c => (-c._3, c._1)).map(_._3)) }
+      cands.groupBy(_._1).toList.flatMap { case (s, cs) =>
+        val margins = cs.flatMap { case (_, t, c) =>
+          for (f <- fwd(s); b <- bwd(t)) yield (t, c / ((f + b) * 0.5))
+        }
+        margins.sortBy(m => (-m._2, m._1)).headOption
+          .filter(_._2 > Similarity.BitextMargin)
+          .map(best => (s, best._1, best._2))
+      }.sortBy(_._1)
+    }
+    // one pinned case first: src 0 fully-connected (4 targets), src 2
+    // starved at width 2, src 4 starved at width 3, src 6 exactly at
+    // the k = 4 boundary; tgt 9 starved in the bwd direction
+    val pinned = Seq[(Long, Long, Double)](
+      (0L, 1L, 0.9), (0L, 3L, 0.5), (0L, 5L, 0.4), (0L, 7L, 0.3),
+      (2L, 1L, 0.8), (2L, 3L, 0.7),
+      (4L, 1L, 0.9), (4L, 3L, 0.2), (4L, 5L, 0.1),
+      (6L, 1L, 0.95), (6L, 3L, 0.6), (6L, 5L, 0.5), (6L, 7L, 0.2),
+      (0L, 9L, 0.85), (6L, 9L, 0.7))
+    val gotPinned = Similarity.bitextMarginTail(
+        pinned.toDF("src_id", "tgt_id", "cos_sim")).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).toList.sortBy(_._1)
+    assert(gotPinned == fold(pinned))
+    assert(!gotPinned.exists(r => r._1 == 2L || r._1 == 4L),
+      "starved sources (width < k) must drop entirely")
+
+    val gen = for {
+      nSrc <- Gen.choose(2, 6)
+      nTgt <- Gen.choose(2, 7)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      density <- Gen.choose(25, 90)
+    } yield (nSrc, nTgt, seed, density)
+    var starvedSeen = 0
+    val prop = Prop.forAll(gen) { case (nSrc, nTgt, seed, density) =>
+      val rng = new scala.util.Random(seed)
+      // coarse score grid FORCES ties, so tie-order determinism is
+      // exercised, not dodged; widths 0..7 straddle the k = 4 boundary
+      val cands = for {
+        s <- 0 until nSrc; t <- 0 until nTgt
+        if rng.nextInt(100) < density
+      } yield (s.toLong * 2, t.toLong * 2 + 1,
+        (rng.nextInt(1500) - 400) / 1000.0)
+      if (cands.isEmpty) true
+      else {
+        if (cands.groupBy(_._1).exists(_._2.size < k) ||
+            cands.groupBy(_._2).exists(_._2.size < k)) starvedSeen += 1
+        val got = Similarity.bitextMarginTail(
+            cands.toDF("src_id", "tgt_id", "cos_sim")).collect()
+          .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+            r.getAs[Double]("margin"))).toList.sortBy(_._1)
+        got == fold(cands)
+      }
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+    assert(starvedSeen >= 5,
+      s"generator must actually cross the starvation boundary ($starvedSeen)")
+  }
+
   test("margin math matches an independent Scala fold on a synthetic corpus") {
     // 6 sources, 8 targets, deterministic integer-grid vectors
     val dim = 8
