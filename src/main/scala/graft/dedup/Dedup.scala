@@ -1092,6 +1092,97 @@ object Dedup extends QueryPack {
   def sourceNoveltyKmv(spark: SparkSession, d: String): DataFrame =
     sourceNoveltyKmvOf(Tables.documents(spark, d))
 
+  /** Mix membership policy for the registered [[mixCoverageKmv]]: the
+    * lexicographically FIRST HALF of the source axis stands in for
+    * "the sources already in my training mix" — deterministic, and
+    * mirrored verbatim by the DuckDB gate (ROW_NUMBER ≤ n div 2 over
+    * the sorted distinct sources). */
+  private[graft] def mixSources(docs: DataFrame): Set[String] = {
+    val srcs = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)) // #sources rows — model-sized
+    srcs.take(srcs.length / 2).toSet
+  }
+
+  /** MIX COVERAGE — the question a mixture builder actually asks of a
+    * candidate source: how much of source X is already covered by the
+    * UNION of everything in my training mix, and how much is novel?
+    * The union never needs its own pass: relabeling every mix source
+    * to one pseudo-source before the sketch aggregate makes the
+    * per-group KMV state the union sketch directly (the k smallest of
+    * a union = the k smallest of the members' pooled values — the
+    * sketch-union law KmvSketchSpec pins), and the directed-difference
+    * estimator [[kmvNoveltyOfHashes]] does the rest. Output per
+    * candidate (non-mix) source: distinct/mix-size/novel/union
+    * estimates and the sample-consistent `coverage_frac`
+    * (= 1 − novelty fraction; null only when no candidate sample
+    * survives below θ_pair). Scale shape unchanged from the novelty
+    * estimator — one corpus pass, S·k pair algebra. Rows-only
+    * (xxhash64); [[mixCoverageKmvVerified]] is the hash-checked
+    * gate. */
+  def mixCoverageKmv(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    mixCoverageKmvOf(docs, mixSources(docs))
+  }
+
+  private[graft] def mixCoverageKmvOf(docs: DataFrame, mix: Set[String],
+      k: Int = KmvK): DataFrame = {
+    require(mix.nonEmpty, "mix_coverage_kmv needs a nonempty mix")
+    val relabeled = sourceShingleHashes(docs)
+      .withColumn("source",
+        when(col("source").isInCollection(mix), lit("__mix"))
+          .otherwise(col("source")))
+    kmvNoveltyOfHashes(relabeled, k)
+      .filter(col("source_b") === "__mix")
+      .select(col("source_a").as("source"), col("theta_pair"),
+        col("est_a").as("est_distinct"), col("est_b").as("est_mix"),
+        col("est_novel_a").as("est_novel"), col("est_union"),
+        (lit(1.0) - col("novelty_frac")).as("coverage_frac"))
+      .orderBy("source")
+  }
+
+  /** Hash-checked gate for [[mixCoverageKmv]] — the novelty gate's
+    * bound program applied to the candidate-vs-mix-union rows: exact
+    * |A|, |M|, |A∖M|, |A∪M| recomputed brute-force from the shingle
+    * strings under the SAME mix policy, difference and union estimates
+    * bound by binomial thinning at θ_pair. */
+  def mixCoverageKmvVerified(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val mix = mixSources(docs)
+    val est = mixCoverageKmvOf(docs, mix)
+    val ss = hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("source",
+        when(col("source").isInCollection(mix), lit("__mix"))
+          .otherwise(col("source")))
+      .select("source", "shingle").distinct()
+    val mixSet = ss.filter(col("source") === "__mix")
+      .select("shingle")
+    val cand = ss.filter(col("source") =!= "__mix")
+    val mixN = mixSet.count()
+    val inter = cand.join(mixSet, Seq("shingle"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("exact_shared"))
+    def bound(exact: Column) =
+      lit(6.0) * sqrt(greatest(exact, lit(1L)).cast("double") *
+        greatest(lit(1.0) / col("theta_pair") - lit(1.0), lit(0.0))) + lit(8.0)
+    cand.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      .join(inter, Seq("source"), "left")
+      .withColumn("exact_shared", coalesce(col("exact_shared"), lit(0L)))
+      .withColumn("exact_mix", lit(mixN))
+      .withColumn("exact_novel", col("exact_distinct") - col("exact_shared"))
+      .withColumn("exact_union",
+        col("exact_distinct") + col("exact_mix") - col("exact_shared"))
+      .join(est, Seq("source"))
+      .withColumn("novel_within_bound",
+        abs(col("est_novel") - col("exact_novel")) <=
+          bound(col("exact_novel")))
+      .withColumn("union_within_bound",
+        abs(col("est_union") - col("exact_union")) <=
+          bound(col("exact_union")))
+      .select("source", "exact_distinct", "exact_mix", "exact_novel",
+        "exact_union", "novel_within_bound", "union_within_bound")
+      .orderBy("source")
+  }
+
   /** Hash-checked gate for [[sourceNoveltyKmv]], the same 6σ-bound
     * program as [[sourceOverlapKmvVerified]]: exact |A∖B| and |A∪B|
     * recomputed brute-force from the shingle strings, the estimates
@@ -1634,6 +1725,8 @@ object Dedup extends QueryPack {
     "source_overlap_kmv_verified" -> sourceOverlapKmvVerified,
     "source_novelty_kmv" -> sourceNoveltyKmv,
     "source_novelty_kmv_verified" -> sourceNoveltyKmvVerified,
+    "mix_coverage_kmv" -> mixCoverageKmv,
+    "mix_coverage_kmv_verified" -> mixCoverageKmvVerified,
     "span_scrub" -> spanScrub,
     "dedup_incremental" -> dedupIncremental,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
@@ -2057,6 +2150,43 @@ object Dedup extends QueryPack {
         |       true AS union_within_bound
         |FROM grid LEFT JOIN inter USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+    // the mix-coverage gate: the SAME first-half-of-sorted-sources mix
+    // policy, exact candidate-vs-mix-union set algebra from the
+    // shingle strings
+    "mix_coverage_kmv_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |srcs AS (
+        |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sh AS (
+        |  SELECT DISTINCT
+        |         CASE WHEN s.rn <= s.n // 2 THEN '__mix'
+        |              ELSE toks.source END AS source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks JOIN srcs s ON toks.source = s.source),
+        |mixn AS (SELECT count(*) AS m FROM sh WHERE source = '__mix'),
+        |cand AS (SELECT source, shingle FROM sh WHERE source <> '__mix'),
+        |sz AS (SELECT source, count(*) AS exact_distinct FROM cand GROUP BY source),
+        |inter AS (
+        |  SELECT c.source, CAST(count(*) AS BIGINT) AS exact_shared
+        |  FROM cand c
+        |  WHERE EXISTS (SELECT 1 FROM sh m
+        |                WHERE m.source = '__mix' AND m.shingle = c.shingle)
+        |  GROUP BY c.source)
+        |SELECT sz.source, exact_distinct, m AS exact_mix,
+        |       exact_distinct - COALESCE(exact_shared, CAST(0 AS BIGINT))
+        |         AS exact_novel,
+        |       exact_distinct + m
+        |         - COALESCE(exact_shared, CAST(0 AS BIGINT)) AS exact_union,
+        |       true AS novel_within_bound,
+        |       true AS union_within_bound
+        |FROM sz CROSS JOIN mixn
+        |LEFT JOIN inter USING (source)
+        |ORDER BY source""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum
     // string-gram mirror of the hashed-gram scrub (equal barring 64-bit

@@ -238,33 +238,80 @@ object Similarity extends QueryPack {
     * and cosine scoring must not replay 3× (r14-session-2 review). */
   private[graft] def bitextMarginTail(scoredIn: DataFrame): DataFrame =
     graft.operators.Staged.scoped(scoredIn) { scored =>
-      // mean of the k best cosines per key, left-folded in fixed rank
-      // order then scaled by 1/k, both derived from [[BitextKnn]] so
-      // the fold and the oracle's cannot drift from the heap size —
-      // the doubles stay bit-identical to the oracle's
-      def knnMean(keyCol: String, tieCol: String, outName: String): DataFrame = {
-        val top = graft.plans.TopKPerKey(scored, Seq(keyCol),
-          Seq(col("cos_sim").desc, col(tieCol).asc), k = BitextKnn)
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col("cos_sim").desc, col(tieCol).asc)
-        def at(i: Int) = max(when(col("rk") === i, col("cos_sim")))
-        top.withColumn("rk", row_number().over(w)) // ≤ keys×k rows
-          .groupBy(keyCol)
-          .agg(((1 to BitextKnn).map(at).reduceLeft(_ + _) *
-            lit(1.0 / BitextKnn)).as(outName))
-      }
-
-      val mar = scored
-        .join(knnMean("src_id", "tgt_id", "fwd"), "src_id")
-        .join(knnMean("tgt_id", "src_id", "bwd"), "tgt_id")
-        .withColumn("margin",
-          col("cos_sim") / ((col("fwd") + col("bwd")) * lit(0.5)))
-        .select("src_id", "tgt_id", "cos_sim", "margin")
-      graft.plans.TopKPerKey(mar, Seq("src_id"),
+      graft.plans.TopKPerKey(bitextMargins(scored), Seq("src_id"),
         Seq(col("margin").desc, col("tgt_id").asc), k = 1)
         .filter(col("margin") > lit(BitextMargin))
         .orderBy("src_id")
     }
+
+  /** The ratio-margin frame over an already-staged scored frame —
+    * shared by the per-source tail above and the bidirectional
+    * [[bitextMutualTail]]. Mean of the k best cosines per key,
+    * left-folded in fixed rank order then scaled by 1/k, both derived
+    * from [[BitextKnn]] so the fold and the oracle's cannot drift from
+    * the heap size — the doubles stay bit-identical to the oracle's. */
+  private def bitextMargins(scored: DataFrame): DataFrame = {
+    def knnMean(keyCol: String, tieCol: String, outName: String): DataFrame = {
+      val top = graft.plans.TopKPerKey(scored, Seq(keyCol),
+        Seq(col("cos_sim").desc, col(tieCol).asc), k = BitextKnn)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("cos_sim").desc, col(tieCol).asc)
+      def at(i: Int) = max(when(col("rk") === i, col("cos_sim")))
+      top.withColumn("rk", row_number().over(w)) // ≤ keys×k rows
+        .groupBy(keyCol)
+        .agg(((1 to BitextKnn).map(at).reduceLeft(_ + _) *
+          lit(1.0 / BitextKnn)).as(outName))
+    }
+    scored
+      .join(knnMean("src_id", "tgt_id", "fwd"), "src_id")
+      .join(knnMean("tgt_id", "src_id", "bwd"), "tgt_id")
+      .withColumn("margin",
+        col("cos_sim") / ((col("fwd") + col("bwd")) * lit(0.5)))
+      .select("src_id", "tgt_id", "cos_sim", "margin")
+  }
+
+  /** BIDIRECTIONAL max-margin mining — the consistency ("intersection")
+    * criterion of Artetxe & Schwenk 2019 §3.2 that CCMatrix ships: a
+    * pair survives only when each endpoint is the OTHER's best margin —
+    * y = argmax margin(x, ·) AND x = argmax margin(·, y) — which kills
+    * the asymmetric hubs the per-source rule keeps (a popular target
+    * mined by many sources keeps at most the one source it reciprocates,
+    * so the mined set is a partial MATCHING, not a fan-in). Same margin
+    * frame as [[mineBitext]] (shared [[bitextMargins]], so the doubles
+    * cannot drift between the two rules), both argmax cuts through the
+    * bounded-heap [[graft.plans.TopKPerKey]], consistency as an id-only
+    * left-semi join — no new corpus shape. The margin frame feeds two
+    * cuts, so it is staged alongside the scored frame (both
+    * self-release after the terminal action). Fully deterministic
+    * (id-ordered ties at both cuts) ⇒ hash-checked against the DuckDB
+    * mirror. */
+  def mineBitextMutual(spark: SparkSession, d: String): DataFrame = {
+    val e = vecs(spark, d)
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("av"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("bv"))
+    bitextMutualTail(b.join(broadcast(a))
+      .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
+      .select("src_id", "tgt_id", "cos_sim"))
+  }
+
+  /** The bidirectional selection over ANY scored candidate frame —
+    * the same seam shape as [[bitextMarginTail]]. */
+  private[graft] def bitextMutualTail(scoredIn: DataFrame): DataFrame = {
+    val scored = graft.operators.Staged.stage(scoredIn)
+    val mar = graft.operators.Staged.stage(bitextMargins(scored))
+    val bestPerSrc = graft.plans.TopKPerKey(mar, Seq("src_id"),
+      Seq(col("margin").desc, col("tgt_id").asc), k = 1)
+    val bestPerTgt = graft.plans.TopKPerKey(mar, Seq("tgt_id"),
+      Seq(col("margin").desc, col("src_id").asc), k = 1)
+    val out = bestPerSrc
+      .join(bestPerTgt.select("src_id", "tgt_id"),
+        Seq("src_id", "tgt_id"), "left_semi")
+      .filter(col("margin") > lit(BitextMargin))
+      .orderBy("src_id")
+    graft.operators.Staged.releaseAfter(out, scored, mar)
+  }
 
   /** Recall floor for [[mineBitextIvfVerified]] — measured-minus-margin,
     * the ANN-floor policy (VERDICT r14 #1; the 0.5 first cut was
@@ -1748,6 +1795,7 @@ object Similarity extends QueryPack {
     "ann_mrl" -> annMrl,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_bitext" -> mineBitext,
+    "mine_bitext_mutual" -> mineBitextMutual,
     "mine_bitext_ivf" -> mineBitextIvf,
     "mine_bitext_ivf_verified" -> mineBitextIvfVerified,
     "ann_lsh" -> annLsh,
@@ -1781,7 +1829,10 @@ object Similarity extends QueryPack {
     * Bit-exact against the Spark side: the same sequential-fold
     * cosine, the same rank-pivot fixed-order kNN means, the same
     * ((f+b)*0.5) margin denominator. */
-  private lazy val bitextSql: String = {
+  /** The shared CTE chain through the margin frame — one body, so the
+    * per-source and bidirectional oracles cannot drift on the
+    * margins. */
+  private lazy val bitextMarCtes: String = {
     val cs = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
     // the same BitextKnn-derived left fold and 1/k factor as knnMean
     def mean4(part: String): String = {
@@ -1809,7 +1860,11 @@ object Similarity extends QueryPack {
        |mar AS (
        |  SELECT s.src_id, s.tgt_id, s.cos_sim,
        |         s.cos_sim / ((f.fwd + w.bwd) * 0.5) AS margin
-       |  FROM sims s JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)),
+       |  FROM sims s JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id))""".stripMargin
+  }
+
+  private lazy val bitextSql: String =
+    s"""$bitextMarCtes,
        |best AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
        |                               ORDER BY margin DESC, tgt_id) AS brk
@@ -1817,7 +1872,21 @@ object Similarity extends QueryPack {
        |SELECT src_id, tgt_id, cos_sim, margin FROM best
        |WHERE brk = 1 AND margin > $BitextMargin
        |ORDER BY src_id""".stripMargin
-  }
+
+  /** The bidirectional rule over the same margin CTEs: both argmax
+    * window ranks must be 1. */
+  private lazy val bitextMutualSql: String =
+    s"""$bitextMarCtes,
+       |bi AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY margin DESC, tgt_id) AS brk,
+       |    ROW_NUMBER() OVER (PARTITION BY tgt_id
+       |                       ORDER BY margin DESC, src_id) AS crk
+       |  FROM mar)
+       |SELECT src_id, tgt_id, cos_sim, margin FROM bi
+       |WHERE brk = 1 AND crk = 1 AND margin > $BitextMargin
+       |ORDER BY src_id""".stripMargin
 
   /** The LSH bucket computation as DuckDB SQL, built from the SAME
     * plane matrix the Spark expression carries — shortest-roundtrip
@@ -2246,6 +2315,7 @@ object Similarity extends QueryPack {
          |FROM sims WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "mine_bitext" -> bitextSql,
+    "mine_bitext_mutual" -> bitextMutualSql,
     // the recall gate recounts the EXACT miner's pairs (the shortlist
     // side cannot run in SQL — k-means); the boolean is the gate
     "mine_bitext_ivf_verified" ->

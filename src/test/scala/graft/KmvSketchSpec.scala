@@ -142,6 +142,36 @@ class KmvSketchSpec extends SparkSpec {
     assert(got.size == 6, "ordered grid must hold all 6 pairs")
   }
 
+  test("mix coverage (r15): exact on unsaturated sketches — relabel " +
+    "union IS set union — and gate booleans true at sf0.001/sf0.01") {
+    // tiny universe, k >> distinct: everything exact, so coverage is
+    // literal set algebra against the union of the two mix sources
+    val m1 = (0L until 20L).map(("mA", _))
+    val m2 = (10L until 30L).map(("mB", _)) // union mix = 0..29 (30)
+    val c1 = (20L until 40L).map(("sC", _)) // 10 covered, 10 novel
+    val c2 = (100L until 105L).map(("sD", _)) // disjoint from mix
+    val docsLike = (m1 ++ m2 ++ c1 ++ c2).toDF("source", "shingle")
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(
+          col("source").isin("mA", "mB"), "__mix")
+          .otherwise(col("source")))
+    val got = Dedup.kmvNoveltyOfHashes(docsLike).collect()
+      .filter(_.getAs[String]("source_b") == "__mix")
+      .map(r => r.getAs[String]("source_a") ->
+        (r.getAs[Double]("est_novel_a"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    assert(got("sC") == ((10.0, 40.0, 0.5)))
+    assert(got("sD") == ((5.0, 35.0, 1.0)))
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = Dedup.mixCoverageKmvVerified(spark, d).collect()
+      assert(rows.length == 10, s"expected 10 candidate sources at $d")
+      assert(rows.forall(_.getAs[Boolean]("novel_within_bound")),
+        s"novel bound failed at $d")
+      assert(rows.forall(_.getAs[Boolean]("union_within_bound")),
+        s"union bound failed at $d")
+    }
+  }
+
   test("novelty estimator laws under saturation: union symmetric, " +
     "inclusion-exclusion consistent with the overlap estimator, " +
     "deterministic under recomputation") {

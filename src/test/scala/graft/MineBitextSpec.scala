@@ -33,6 +33,27 @@ class MineBitextSpec extends SparkSpec {
     }
   }
 
+  test("mutual (bidirectional) rule: the mined set is exactly " +
+    "best-per-source ∩ best-per-target, a partial matching, and a " +
+    "subset of the per-source rule's output") {
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val perSrc = Similarity.mineBitext(spark, d).collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+      val mutual = Similarity.mineBitextMutual(spark, d).collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+          r.getAs[Double]("margin")))
+      val pairs = mutual.map(t => (t._1, t._2)).toSet
+      assert(pairs.subsetOf(perSrc),
+        s"mutual must be a subset of the per-source rule at $d")
+      assert(pairs.nonEmpty, s"mutual mined nothing at $d")
+      // a partial matching: every src and every tgt at most once
+      assert(mutual.map(_._1).distinct.length == mutual.length)
+      assert(mutual.map(_._2).distinct.length == mutual.length)
+      assert(mutual.forall(_._3 > Similarity.BitextMargin))
+      info(s"$d: per_source=${perSrc.size} mutual=${pairs.size}")
+    }
+  }
+
   test("starved-shortlist determinism (VERDICT r14 #6): an endpoint " +
     "with fewer than BitextKnn candidates has a null kNN mean, its " +
     "margins are null, and it drops at the cut — property vs an " +
@@ -149,5 +170,21 @@ class MineBitextSpec extends SparkSpec {
       if (best._2 > Similarity.BitextMargin) Some((x._1, best._1, best._2)) else None
     }.toList
     assert(mined == expected)
+
+    // the bidirectional rule on the same corpus: argmax BOTH ways
+    val minedMutual = Similarity.mineBitextMutual(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).toList
+    val margin = sims.map(t =>
+      (t._1, t._2, t._3 / ((fwd(t._1) + bwd(t._2)) * 0.5)))
+    val bestBySrc = margin.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).head).toMap
+    val bestByTgt = margin.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).head).toMap
+    val expectedMutual = bestBySrc.values.toList
+      .filter(t => bestByTgt(t._2) == t)
+      .filter(_._3 > Similarity.BitextMargin)
+      .sortBy(_._1)
+    assert(minedMutual == expectedMutual)
   }
 }
