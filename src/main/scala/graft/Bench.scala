@@ -156,8 +156,32 @@ object Bench {
       rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
     }
 
+    // Wall-clock budget (VERDICT r15 #1): the r15 driver run hit rc=124
+    // because passes 3/4 have no time bound — a mid-run host stall makes
+    // the re-runs *longer* exactly when time is scarcest (pass 3 re-ran
+    // 56 rows and alone burned ~750 s). Passes 3/4 are convergence
+    // refinements, not correctness: min-of-2 is a degraded-but-parseable
+    // result, a timeout is nothing. So the re-run phase gets a budget of
+    // 1.5× the measured two-pass wall (total run ≤ ~2.5× two-pass wall,
+    // the r14-healthy ratio), checked before EVERY re-run query so a
+    // stall mid-pass-3 stops the pass instead of riding it out.
+    // SPARK_GRAFT_BENCH_BUDGET_SEC overrides the re-run budget if the
+    // driver ever wants a hard cap.
+    val measuredStart = System.nanoTime()
     val pass1 = fullPass(1)
     val pass2 = fullPass(2)
+    val twoPassWall = (System.nanoTime() - measuredStart) / 1e9
+    val rerunBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(1.5 * twoPassWall)
+    val rerunStart = System.nanoTime()
+    def rerunElapsed: Double = (System.nanoTime() - rerunStart) / 1e9
+    var rerunsSkipped = 0
+    // a bounded `once`: runs the query only while the re-run phase is
+    // inside budget; over budget it returns None and counts the skip
+    def onceBudgeted(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Boolean)] =
+      if (rerunElapsed > rerunBudget) { rerunsSkipped += 1; None }
+      else Some(once(name, fn))
 
     def best(samples: Seq[(Double, Boolean)]): (Double, Boolean) = {
       val oks = samples.collect { case (t, true) => t }
@@ -177,10 +201,10 @@ object Bench {
     val pass3: Map[String, (Double, Boolean)] =
       if (slow.isEmpty) Map.empty
       else {
-        val rows = slow.map { case (name, fn) =>
-          val (t, ok) = once(name, fn); (name, t, ok)
+        val rows = slow.flatMap { case (name, fn) =>
+          onceBudgeted(name, fn).map { case (t, ok) => (name, t, ok) }
         }
-        writePass(3, rows)
+        if (rows.nonEmpty) writePass(3, rows)
         rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
       }
 
@@ -204,12 +228,15 @@ object Bench {
     val pass4: Map[String, (Double, Boolean)] =
       if (noisy.isEmpty) Map.empty
       else {
-        val rows = noisy.map { case (name, fn) =>
-          val (t, ok) = once(name, fn); (name, t, ok)
+        val rows = noisy.flatMap { case (name, fn) =>
+          onceBudgeted(name, fn).map { case (t, ok) => (name, t, ok) }
         }
-        writePass(4, rows)
+        if (rows.nonEmpty) writePass(4, rows)
         rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
       }
+    if (rerunsSkipped > 0)
+      System.err.println(s"[bench] re-run budget ${rerunBudget}s exhausted: " +
+        s"$rerunsSkipped pass-3/4 re-runs skipped (result degrades to min-of-fewer samples)")
 
     val results = names.map { case (name, _) =>
       val (t, ok) = best(samples3(name) ++ pass4.get(name))
@@ -224,7 +251,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sjio = sentinelsIO.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","sentinel":$sj,"sentinel_io":$sjio,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","two_pass_wall_sec":$twoPassWall,"rerun_budget_sec":$rerunBudget,"reruns_skipped":$rerunsSkipped,"sentinel":$sj,"sentinel_io":$sjio,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout can truncate the (long) per-query tail —
     // persist the complete line as a machine-readable artifact too, both

@@ -1030,11 +1030,26 @@ object Dedup extends QueryPack {
     * (xxhash64 is not DuckDB-expressible);
     * [[sourceNoveltyKmvVerified]] is the hash-checked gate. */
   private[graft] def kmvNoveltyOfHashes(ss: DataFrame,
-      k: Int = KmvK): DataFrame = {
+      k: Int = KmvK): DataFrame =
+    kmvNoveltyOfSummaries(kmvSourceSummaries(ss, k), k)
+
+  /** The per-source sketch pass — ONE corpus scan into k-long KMV
+    * states, summarized and materialized (localCheckpoint), so every
+    * downstream consumer (pair algebra, mix policy, union re-sketch)
+    * reads the model-sized S-row summary instead of rescanning the
+    * corpus. */
+  private[graft] def kmvSourceSummaries(ss: DataFrame, k: Int = KmvK): DataFrame = {
     graft.functions.KmvSketchAgg.register(ss.sparkSession, k)
-    val sum = kmvSummary(
+    kmvSummary(
       ss.groupBy("source").agg(expr("kmv_sketch(shingle)").as("sk")), k)
       .localCheckpoint()
+  }
+
+  /** The ordered-pair difference/union algebra over an already-
+    * materialized summary frame — everything here touches only S·k
+    * retained-hash rows and the broadcast S² grid. */
+  private[graft] def kmvNoveltyOfSummaries(sum: DataFrame,
+      k: Int = KmvK): DataFrame = {
     val a = sum.select(col("source").as("source_a"), col("kth").as("kth_a"),
       col("theta").as("theta_a"), col("est_distinct").as("est_a"))
     val b = sum.select(col("source").as("source_b"), col("kth").as("kth_b"),
@@ -1096,7 +1111,9 @@ object Dedup extends QueryPack {
     * lexicographically FIRST HALF of the source axis stands in for
     * "the sources already in my training mix" — deterministic, and
     * mirrored verbatim by the DuckDB gate (ROW_NUMBER ≤ n div 2 over
-    * the sorted distinct sources). */
+    * the sorted distinct sources). Used only by the VERIFIED gate's
+    * exact recompute; the registered estimator derives the same set
+    * from its own sketch summaries without a second corpus scan. */
   private[graft] def mixSources(docs: DataFrame): Set[String] = {
     val srcs = docs.select("source").distinct().orderBy("source")
       .collect().map(_.getString(0)) // #sources rows — model-sized
@@ -1106,38 +1123,83 @@ object Dedup extends QueryPack {
   /** MIX COVERAGE — the question a mixture builder actually asks of a
     * candidate source: how much of source X is already covered by the
     * UNION of everything in my training mix, and how much is novel?
-    * The union never needs its own pass: relabeling every mix source
-    * to one pseudo-source before the sketch aggregate makes the
-    * per-group KMV state the union sketch directly (the k smallest of
-    * a union = the k smallest of the members' pooled values — the
-    * sketch-union law KmvSketchSpec pins), and the directed-difference
-    * estimator [[kmvNoveltyOfHashes]] does the rest. Output per
+    * The union never needs its own corpus pass: the k smallest of a
+    * union = the k smallest of the members' pooled sketch values (the
+    * sketch-union law KmvSketchSpec pins), so the mix-union sketch is
+    * re-sketched from the mix members' pooled `sk` arrays — S·k rows,
+    * model-sized — and the directed-difference estimator
+    * [[kmvNoveltyOfSummaries]] does the rest. ONE corpus scan total
+    * (VERDICT r15 #5): the per-source summaries are materialized by
+    * [[kmvSourceSummaries]], and both the mix policy (first half of
+    * the sorted source axis, the DuckDB-mirrored rule) and the union
+    * sketch are derived from that model-sized summary frame, never
+    * from the corpus again. A corpus with fewer than two sources has
+    * an empty mix and returns an EMPTY frame (ADVICE r15: the old
+    * `require` crashed while the oracle returned rows); the mix
+    * pseudo-source's internal label is chosen to collide with no real
+    * source name and never appears in the output. Output per
     * candidate (non-mix) source: distinct/mix-size/novel/union
     * estimates and the sample-consistent `coverage_frac`
     * (= 1 − novelty fraction; null only when no candidate sample
-    * survives below θ_pair). Scale shape unchanged from the novelty
-    * estimator — one corpus pass, S·k pair algebra. Rows-only
-    * (xxhash64); [[mixCoverageKmvVerified]] is the hash-checked
-    * gate. */
-  def mixCoverageKmv(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    mixCoverageKmvOf(docs, mixSources(docs))
+    * survives below θ_pair). Rows-only (xxhash64);
+    * [[mixCoverageKmvVerified]] is the hash-checked gate. */
+  def mixCoverageKmv(spark: SparkSession, d: String): DataFrame =
+    mixCoverageKmvOf(Tables.documents(spark, d))
+
+  private[graft] def mixCoverageKmvOf(docs: DataFrame,
+      k: Int = KmvK): DataFrame = {
+    val sum = kmvSourceSummaries(sourceShingleHashes(docs), k)
+    // model-sized collect from the CHECKPOINTED summaries — the mix
+    // policy costs one S-row job, not a corpus rescan
+    val srcs = sum.select("source").collect().map(_.getString(0)).sorted
+    val mix = srcs.take(srcs.length / 2).toSet
+    val out = if (mix.isEmpty) {
+      // degenerate corpus (< 2 sources): nothing to cover against
+      sum.sparkSession.emptyDataFrame
+        .withColumn("source", lit("").cast("string"))
+        .withColumn("theta_pair", lit(0.0))
+        .withColumn("est_distinct", lit(0.0))
+        .withColumn("est_mix", lit(0.0))
+        .withColumn("est_novel", lit(0.0))
+        .withColumn("est_union", lit(0.0))
+        .withColumn("coverage_frac", lit(0.0))
+        .limit(0)
+    } else {
+      // internal label for the mix union row — deterministically
+      // distinct from every real source, so a source literally named
+      // "__mix" stays an ordinary candidate (ADVICE r15)
+      val mixLabel = Iterator.iterate("__mix")(_ + "#")
+        .find(l => !srcs.contains(l)).get
+      val mixSum = kmvUnionSummary(sum, mix, mixLabel, k)
+      val candSum = sum.filter(!col("source").isInCollection(mix))
+      kmvNoveltyOfSummaries(candSum.unionByName(mixSum), k)
+        .filter(col("source_b") === mixLabel)
+        .select(col("source_a").as("source"), col("theta_pair"),
+          col("est_a").as("est_distinct"), col("est_b").as("est_mix"),
+          col("est_novel_a").as("est_novel"), col("est_union"),
+          (lit(1.0) - col("novelty_frac")).as("coverage_frac"))
+        .orderBy("source")
+    }
+    out
   }
 
-  private[graft] def mixCoverageKmvOf(docs: DataFrame, mix: Set[String],
-      k: Int = KmvK): DataFrame = {
-    require(mix.nonEmpty, "mix_coverage_kmv needs a nonempty mix")
-    val relabeled = sourceShingleHashes(docs)
-      .withColumn("source",
-        when(col("source").isInCollection(mix), lit("__mix"))
-          .otherwise(col("source")))
-    kmvNoveltyOfHashes(relabeled, k)
-      .filter(col("source_b") === "__mix")
-      .select(col("source_a").as("source"), col("theta_pair"),
-        col("est_a").as("est_distinct"), col("est_b").as("est_mix"),
-        col("est_novel_a").as("est_novel"), col("est_union"),
-        (lit(1.0) - col("novelty_frac")).as("coverage_frac"))
-      .orderBy("source")
+  /** Union of member sketches WITHOUT touching the raw stream — the
+    * sketch-union law (KmvSketchSpec): the union's i-th smallest
+    * distinct value (i ≤ k) is within its member's k smallest, so
+    * re-sketching the members' pooled `sk` arrays (NOT `retained`,
+    * which drops each member's kth value — the union's k-th smallest
+    * may BE a member's kth) yields exactly the sketch a
+    * relabel-before-aggregate pass over the raw stream would have
+    * built. Input is the model-sized summary frame; output is one
+    * summary row labeled `label`. */
+  private[graft] def kmvUnionSummary(sum: DataFrame, members: Set[String],
+      label: String, k: Int = KmvK): DataFrame = {
+    graft.functions.KmvSketchAgg.register(sum.sparkSession, k)
+    kmvSummary(
+      sum.filter(col("source").isInCollection(members))
+        .select(explode(col("sk")).as("shingle"))
+        .groupBy(lit(label).as("source"))
+        .agg(expr("kmv_sketch(shingle)").as("sk")), k)
   }
 
   /** Hash-checked gate for [[mixCoverageKmv]] — the novelty gate's
@@ -1148,16 +1210,15 @@ object Dedup extends QueryPack {
   def mixCoverageKmvVerified(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val mix = mixSources(docs)
-    val est = mixCoverageKmvOf(docs, mix)
+    val est = mixCoverageKmvOf(docs)
+    // membership filtering, no sentinel relabel — a source named
+    // "__mix" is just another candidate (ADVICE r15)
     val ss = hashedShingles(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
-      .withColumn("source",
-        when(col("source").isInCollection(mix), lit("__mix"))
-          .otherwise(col("source")))
       .select("source", "shingle").distinct()
-    val mixSet = ss.filter(col("source") === "__mix")
-      .select("shingle")
-    val cand = ss.filter(col("source") =!= "__mix")
+    val mixSet = ss.filter(col("source").isInCollection(mix))
+      .select("shingle").distinct()
+    val cand = ss.filter(!col("source").isInCollection(mix))
     val mixN = mixSet.count()
     val inter = cand.join(mixSet, Seq("shingle"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("exact_shared"))
@@ -2152,30 +2213,32 @@ object Dedup extends QueryPack {
         |ORDER BY source_a, source_b""".stripMargin,
     // the mix-coverage gate: the SAME first-half-of-sorted-sources mix
     // policy, exact candidate-vs-mix-union set algebra from the
-    // shingle strings
+    // shingle strings. Mix membership is a FLAG, never a sentinel
+    // relabel (ADVICE r15: a source named '__mix' must stay a
+    // candidate), and an empty mix (< 2 sources) yields ZERO rows —
+    // mirroring the engine's empty-frame return on degenerate corpora.
     "mix_coverage_kmv_verified" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
         |srcs AS (
-        |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn,
-        |         COUNT(*) OVER () AS n
+        |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) <=
+        |           COUNT(*) OVER () // 2 AS in_mix
         |  FROM (SELECT DISTINCT source FROM documents)),
         |sh AS (
-        |  SELECT DISTINCT
-        |         CASE WHEN s.rn <= s.n // 2 THEN '__mix'
-        |              ELSE toks.source END AS source,
+        |  SELECT DISTINCT toks.source, s.in_mix,
         |         unnest(list_transform(generate_series(1, len(t) - 2),
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
         |  FROM toks JOIN srcs s ON toks.source = s.source),
-        |mixn AS (SELECT count(*) AS m FROM sh WHERE source = '__mix'),
-        |cand AS (SELECT source, shingle FROM sh WHERE source <> '__mix'),
+        |mixsh AS (SELECT DISTINCT shingle FROM sh WHERE in_mix),
+        |mixn AS (SELECT count(*) AS m FROM mixsh),
+        |hasmix AS (SELECT count(*) AS nm FROM srcs WHERE in_mix),
+        |cand AS (SELECT source, shingle FROM sh WHERE NOT in_mix),
         |sz AS (SELECT source, count(*) AS exact_distinct FROM cand GROUP BY source),
         |inter AS (
         |  SELECT c.source, CAST(count(*) AS BIGINT) AS exact_shared
         |  FROM cand c
-        |  WHERE EXISTS (SELECT 1 FROM sh m
-        |                WHERE m.source = '__mix' AND m.shingle = c.shingle)
+        |  WHERE EXISTS (SELECT 1 FROM mixsh m WHERE m.shingle = c.shingle)
         |  GROUP BY c.source)
         |SELECT sz.source, exact_distinct, m AS exact_mix,
         |       exact_distinct - COALESCE(exact_shared, CAST(0 AS BIGINT))
@@ -2184,8 +2247,9 @@ object Dedup extends QueryPack {
         |         - COALESCE(exact_shared, CAST(0 AS BIGINT)) AS exact_union,
         |       true AS novel_within_bound,
         |       true AS union_within_bound
-        |FROM sz CROSS JOIN mixn
+        |FROM sz CROSS JOIN mixn CROSS JOIN hasmix
         |LEFT JOIN inter USING (source)
+        |WHERE nm > 0
         |ORDER BY source""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum

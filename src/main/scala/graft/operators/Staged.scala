@@ -124,6 +124,36 @@ object Staged {
     releaseAfter(out, staged)
   }
 
+  /** Two-frame [[scoped]] (ADVICE r15): stage `first`, derive and stage
+    * a SECOND frame from the staged first (the dependent-stage shape —
+    * e.g. a margin frame computed over a staged scored frame, each with
+    * multiple downstream consumers), then build the consuming query
+    * from both. Any throw during derivation or construction unpersists
+    * everything already staged before propagating, exactly like
+    * [[scoped]]; on success both frames ride one [[releaseAfter]]
+    * listener. Use this over bare [[stage]] + [[releaseAfter]] whenever
+    * two dependent frames need staging. */
+  def scoped2(first: DataFrame)(derive: DataFrame => DataFrame)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val a = stage(first)
+    val b =
+      try stage(derive(a))
+      catch {
+        case t: Throwable =>
+          a.unpersist(blocking = false)
+          throw t
+      }
+    val out =
+      try build(a, b)
+      catch {
+        case t: Throwable =>
+          a.unpersist(blocking = false)
+          b.unpersist(blocking = false)
+          throw t
+      }
+    releaseAfter(out, a, b)
+  }
+
   /** Arm auto-release: unpersist every `staged` frame (and drop the
     * listener) after the first completed action whose analyzed plan
     * contains `result`'s (matched by semanticHash — O(1) retained

@@ -216,14 +216,21 @@ object Similarity extends QueryPack {
 
   /** The exact miner over ANY (vec_id, v) frame — the ScaleR16 sweep's
     * A/B reference arm. */
-  private[graft] def mineBitextExactOf(e: DataFrame): DataFrame = {
+  private[graft] def mineBitextExactOf(e: DataFrame): DataFrame =
+    bitextMarginTail(bitextExactScoredOf(e))
+
+  /** The all-pairs SCORED frame — the exact miners' shared front (and
+    * the A/B sweeps' reference arm): every even↔odd cosine via a
+    * broadcast cross. The measured cliff (789 s at 64 k vectors); the
+    * shortlist front [[bitextIvfScoredOf]] is the scale path. */
+  private[graft] def bitextExactScoredOf(e: DataFrame): DataFrame = {
     val a = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("src_id"), col("v").as("av"))
     val b = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("tgt_id"), col("v").as("bv"))
-    bitextMarginTail(b.join(broadcast(a))
+    b.join(broadcast(a))
       .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
-      .select("src_id", "tgt_id", "cos_sim"))
+      .select("src_id", "tgt_id", "cos_sim")
   }
 
   /** Margin scoring + best-pair selection over ANY scored
@@ -285,33 +292,27 @@ object Similarity extends QueryPack {
     * self-release after the terminal action). Fully deterministic
     * (id-ordered ties at both cuts) ⇒ hash-checked against the DuckDB
     * mirror. */
-  def mineBitextMutual(spark: SparkSession, d: String): DataFrame = {
-    val e = vecs(spark, d)
-    val a = e.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("src_id"), col("v").as("av"))
-    val b = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("tgt_id"), col("v").as("bv"))
-    bitextMutualTail(b.join(broadcast(a))
-      .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
-      .select("src_id", "tgt_id", "cos_sim"))
-  }
+  def mineBitextMutual(spark: SparkSession, d: String): DataFrame =
+    bitextMutualTail(bitextExactScoredOf(vecs(spark, d)))
 
   /** The bidirectional selection over ANY scored candidate frame —
-    * the same seam shape as [[bitextMarginTail]]. */
-  private[graft] def bitextMutualTail(scoredIn: DataFrame): DataFrame = {
-    val scored = graft.operators.Staged.stage(scoredIn)
-    val mar = graft.operators.Staged.stage(bitextMargins(scored))
-    val bestPerSrc = graft.plans.TopKPerKey(mar, Seq("src_id"),
-      Seq(col("margin").desc, col("tgt_id").asc), k = 1)
-    val bestPerTgt = graft.plans.TopKPerKey(mar, Seq("tgt_id"),
-      Seq(col("margin").desc, col("src_id").asc), k = 1)
-    val out = bestPerSrc
-      .join(bestPerTgt.select("src_id", "tgt_id"),
-        Seq("src_id", "tgt_id"), "left_semi")
-      .filter(col("margin") > lit(BitextMargin))
-      .orderBy("src_id")
-    graft.operators.Staged.releaseAfter(out, scored, mar)
-  }
+    * the same seam shape as [[bitextMarginTail]]. Both dependent
+    * stages (scored feeds the margin frame 3×; the margin frame feeds
+    * both argmax cuts) ride one exception-safe [[graft.operators.Staged.scoped2]]
+    * scope (ADVICE r15: bare stage+releaseAfter leaked both persists
+    * if construction threw). */
+  private[graft] def bitextMutualTail(scoredIn: DataFrame): DataFrame =
+    graft.operators.Staged.scoped2(scoredIn)(bitextMargins) { (_, mar) =>
+      val bestPerSrc = graft.plans.TopKPerKey(mar, Seq("src_id"),
+        Seq(col("margin").desc, col("tgt_id").asc), k = 1)
+      val bestPerTgt = graft.plans.TopKPerKey(mar, Seq("tgt_id"),
+        Seq(col("margin").desc, col("src_id").asc), k = 1)
+      bestPerSrc
+        .join(bestPerTgt.select("src_id", "tgt_id"),
+          Seq("src_id", "tgt_id"), "left_semi")
+        .filter(col("margin") > lit(BitextMargin))
+        .orderBy("src_id")
+    }
 
   /** Recall floor for [[mineBitextIvfVerified]] — measured-minus-margin,
     * the ANN-floor policy (VERDICT r14 #1; the 0.5 first cut was
@@ -348,18 +349,51 @@ object Similarity extends QueryPack {
     * at occupancy-constant nlist ∝ corpus (the registered sf-scale
     * form above fixes nlist = 16). */
   private[graft] def mineBitextIvfOf(spark: SparkSession, all: DataFrame,
+      nlist: Int, softAssign: Int): DataFrame =
+    bitextMarginTail(bitextIvfScoredOf(spark, all, nlist, softAssign))
+
+  /** The IVF-shortlist SCORED candidate frame — the shared front of
+    * both shortlist miners ([[mineBitextIvfOf]] per-source,
+    * [[mineBitextMutualIvfOf]] bidirectional): same-cell soft-assigned
+    * pairs restricted to cross-side orientation, cosine-scored via id
+    * equi-joins back to the vectors. Per-cell occupancy² pair work,
+    * never |A|·|B|. */
+  private[graft] def bitextIvfScoredOf(spark: SparkSession, all: DataFrame,
       nlist: Int, softAssign: Int): DataFrame = {
     val cand = ivfCandidatesOf(spark, all, nlist, softAssign)
       .filter((col("vec_a") % 2) =!= (col("vec_b") % 2))
       .select(
         when(col("vec_a") % 2 === 0, col("vec_a")).otherwise(col("vec_b")).as("src_id"),
         when(col("vec_a") % 2 === 0, col("vec_b")).otherwise(col("vec_a")).as("tgt_id"))
-    bitextMarginTail(cand
+    cand
       .join(all.select(col("vec_id").as("src_id"), col("v").as("av")), "src_id")
       .join(all.select(col("vec_id").as("tgt_id"), col("v").as("bv")), "tgt_id")
       .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
-      .select("src_id", "tgt_id", "cos_sim"))
+      .select("src_id", "tgt_id", "cos_sim")
   }
+
+  /** [[mineBitextMutual]] with the scored pairs coming from the IVF
+    * shortlist instead of the all-pairs broadcast cross — the
+    * registered scale path for the bidirectional rule (VERDICT r15 #2:
+    * the mutual rule is the operator CCMatrix actually ships, and its
+    * only registered plan was the measured-cliff cross — 789 s at 64 k
+    * vectors in the ScaleR16 `bitext` sweep vs 307 s for the
+    * shortlist). Pure seam composition: [[bitextIvfScoredOf]]'s
+    * candidates through [[bitextMutualTail]] — margins, both argmax
+    * cuts, and the consistency semi-join are byte-identical to the
+    * exact form's tail. Both directions must survive the shortlist for
+    * a pair to be mined, so recall vs exact-mutual can sit below the
+    * per-source rule's — [[mineBitextMutualIvfVerified]] measures that
+    * gap against its own floor. Rows-only itself (k-means isn't
+    * oracle-able). */
+  def mineBitextMutualIvf(spark: SparkSession, d: String): DataFrame =
+    mineBitextMutualIvfOf(spark, vecs(spark, d), nlist = 16, softAssign = 3)
+
+  /** The bidirectional shortlist miner over ANY (vec_id, v) frame with
+    * explicit quantizer geometry — the ScaleR16 sweep seam. */
+  private[graft] def mineBitextMutualIvfOf(spark: SparkSession, all: DataFrame,
+      nlist: Int, softAssign: Int): DataFrame =
+    bitextMutualTail(bitextIvfScoredOf(spark, all, nlist, softAssign))
 
   /** Hash-checked recall gate for [[mineBitextIvf]] against the exact
     * [[mineBitext]] (which IS SQL-expressible, so `n_exact` is
@@ -378,6 +412,38 @@ object Similarity extends QueryPack {
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .select(lit(BitextIvfFloor).as("floor"), col("n_exact"),
         (col("n_found") >= col("n_exact") * lit(BitextIvfFloor)).as("meets_floor"))
+  }
+
+  /** Recall floor for [[mineBitextMutualIvfVerified]] — measured-minus-
+    * margin like [[BitextIvfFloor]], but pinned from the MUTUAL rule's
+    * own measurements (a pair must survive the shortlist in BOTH
+    * directions, so its recall is not derivable from the per-source
+    * rule's): 0.791 at sf0.001 (110/139 exact-mutual pairs) and 0.808
+    * at sf0.01 (122/151) under the registered nlist = 16 geometry
+    * (deterministic — MineBitextSpec prints both), and ≥0.99
+    * planted-pair recall at the ScaleR16 `bitextmu` octaves
+    * (occupancy-constant nlist = 16·mult, SCALE.md §r16). Floor 0.7
+    * sits 0.09 under the measured minimum — the same measured-minus-
+    * margin distance as [[BitextIvfFloor]]: a shortlist regression
+    * that halves recall hash-fails the gate, while cell-boundary
+    * jitter on a handful of pairs cannot. */
+  private[graft] val BitextMutualIvfFloor = 0.7
+
+  /** Hash-checked recall gate for [[mineBitextMutualIvf]] against the
+    * exact [[mineBitextMutual]] (SQL-expressible — `n_exact` is
+    * oracle-recomputed by the DuckDB mirror): the shortlist form must
+    * recover at least [[BitextMutualIvfFloor]] of the exactly-mined
+    * mutual pairs. Same contract as [[mineBitextIvfVerified]]. */
+  def mineBitextMutualIvfVerified(spark: SparkSession, d: String): DataFrame = {
+    val exact = graft.operators.Materialize(
+      mineBitextMutual(spark, d).select("src_id", "tgt_id"))
+    val found = exact.join(
+      mineBitextMutualIvf(spark, d).select("src_id", "tgt_id"),
+      Seq("src_id", "tgt_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(lit(BitextMutualIvfFloor).as("floor"), col("n_exact"),
+        (col("n_found") >= col("n_exact") * lit(BitextMutualIvfFloor)).as("meets_floor"))
   }
 
   /** Matryoshka two-stage retrieval: rank candidates on the PREFIX of
@@ -1798,6 +1864,8 @@ object Similarity extends QueryPack {
     "mine_bitext_mutual" -> mineBitextMutual,
     "mine_bitext_ivf" -> mineBitextIvf,
     "mine_bitext_ivf_verified" -> mineBitextIvfVerified,
+    "mine_bitext_mutual_ivf" -> mineBitextMutualIvf,
+    "mine_bitext_mutual_ivf_verified" -> mineBitextMutualIvfVerified,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
@@ -2323,6 +2391,13 @@ object Similarity extends QueryPack {
          |       CAST(count(*) AS BIGINT) AS n_exact,
          |       true AS meets_floor
          |FROM ($bitextSql)""".stripMargin,
+    // same gate shape for the bidirectional rule: n_exact recounts the
+    // exact MUTUAL pair set (SQL-expressible), the boolean is the gate
+    "mine_bitext_mutual_ivf_verified" ->
+      s"""SELECT CAST($BitextMutualIvfFloor AS DOUBLE) AS floor,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       true AS meets_floor
+         |FROM ($bitextMutualSql)""".stripMargin,
     "ann_mrl" -> {
       // stage 1 on the 16-dim prefix (DuckDB list slices are 1-based
       // inclusive, matching Spark's slice(v, 1, 16)), stage 2 the

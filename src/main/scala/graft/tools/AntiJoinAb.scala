@@ -38,7 +38,7 @@ object AntiJoinAb {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val metrics = new ScaleR8.StageMetrics(spark)
+    val metrics = new StageMetrics(spark)
 
     val probe = Tables.customer(spark, d).select("c_custkey").localCheckpoint()
     val base = Tables.orders(spark, d).select("o_custkey")

@@ -172,6 +172,104 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("union-by-pooled-sketch law (VERDICT r15 #5): re-sketching the " +
+    "members' pooled sk arrays equals relabel-before-aggregate, " +
+    "SATURATED sketches included") {
+    val S = 3
+    val stream = spark.range(60000L).select(
+      concat(lit("s"), col("id") % S).as("source"),
+      when(expr("(id div 3) % 2") === 0, expr("(id div 6) % 4000"))
+        .otherwise(lit(4000L) + (col("id") % S + 1) * 4000L +
+          expr("(id div 6) % 4000")).as("key"))
+      .select(col("source"), xxhash64(col("key")).as("shingle"))
+    val members = Set("s0", "s1")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getAs[String]("source_b") == "__u")
+      .map(r => r.getAs[String]("source_a") ->
+        (r.getAs[Double]("est_b"), r.getAs[Double]("est_novel_a"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("theta_pair"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    // path A: relabel the RAW stream before the sketch aggregate
+    val viaRelabel = rowsOf(Dedup.kmvNoveltyOfHashes(
+      stream.withColumn("source",
+        when(col("source").isInCollection(members), "__u")
+          .otherwise(col("source")))))
+    // path B: per-source sketches once, union POST-aggregate from the
+    // pooled sk arrays — the single-corpus-scan path mixCoverageKmv runs
+    val sum = Dedup.kmvSourceSummaries(stream)
+    val viaPool = rowsOf(Dedup.kmvNoveltyOfSummaries(
+      sum.filter(!col("source").isInCollection(members))
+        .unionByName(Dedup.kmvUnionSummary(sum, members, "__u"))))
+    assert(viaPool.nonEmpty && viaPool == viaRelabel,
+      s"pooled-sk union must be BIT-identical to raw relabel:\n$viaPool\nvs\n$viaRelabel")
+  }
+
+  test("mix coverage degenerate + sentinel laws (ADVICE r15): a " +
+    "single-source corpus yields an EMPTY frame on both the query and " +
+    "its gate, and a source literally named __mix stays a candidate") {
+    val tmp1 = tmpDir("mixdeg")
+    Seq((0L, "a b c d e", "only")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp1/documents.parquet")
+    val empty = Dedup.mixCoverageKmv(spark, tmp1)
+    assert(empty.columns.toSeq == Seq("source", "theta_pair",
+      "est_distinct", "est_mix", "est_novel", "est_union", "coverage_frac"))
+    assert(empty.collect().isEmpty, "empty mix must yield an empty frame, not a crash")
+    assert(Dedup.mixCoverageKmvVerified(spark, tmp1).collect().isEmpty)
+
+    // sorted sources: AAA, BBB, ZZZ, __mix ('Z' < '_') → mix = {AAA, BBB};
+    // "__mix" is a REAL source in the candidate half and must not merge
+    // with the internal union label
+    def text(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    val tmp2 = tmpDir("mixcol")
+    Seq(
+      (0L, text(0, 30), "AAA"),
+      (1L, text(15, 40), "BBB"),
+      (2L, text(20, 50), "ZZZ"),
+      (3L, text(0, 10), "__mix"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val rows = Dedup.mixCoverageKmv(spark, tmp2).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("ZZZ", "__mix"))
+    val m = rows.map(r => r.getAs[String]("source") -> r).toMap
+    // unsaturated sketches → exact set algebra: __mix's 8 trigrams are
+    // all inside AAA's; ZZZ has 28 trigrams, 18 covered by the mix union
+    assert(m("__mix").getAs[Double]("est_novel") == 0.0)
+    assert(m("__mix").getAs[Double]("coverage_frac") == 1.0)
+    assert(m("ZZZ").getAs[Double]("est_novel") == 10.0)
+    assert(m("ZZZ").getAs[Double]("coverage_frac") == 1.0 - 10.0 / 28.0)
+    val ver = Dedup.mixCoverageKmvVerified(spark, tmp2).collect()
+    assert(ver.map(_.getAs[String]("source")).sorted.toSeq ==
+      Seq("ZZZ", "__mix").sorted)
+    assert(ver.forall(r => r.getAs[Boolean]("novel_within_bound") &&
+      r.getAs[Boolean]("union_within_bound")))
+  }
+
+  test("novelty_frac NULL corner (VERDICT r15 #4): extreme theta " +
+    "asymmetry can leave no A-sample below theta_pair — the frac is " +
+    "NULL, est_novel_a is 0, and the union estimate still stands") {
+    // B: 200k distinct uniform hashes → θ_b ≈ k/200k; A: 5 values at
+    // the TOP of the unsigned order, so none survives below θ_pair
+    val a = Seq(-1L, -2L, -3L, -4L, -5L).map(("sA", _))
+    val b = spark.range(200000L)
+      .select(lit("sB").as("source"), xxhash64(col("id")).as("shingle"))
+    val got = a.toDF("source", "shingle").unionByName(b)
+    val rows = Dedup.kmvNoveltyOfHashes(got).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r)
+      .toMap
+    val ab = rows(("sA", "sB"))
+    assert(ab.isNullAt(ab.fieldIndex("novelty_frac")),
+      "no surviving A-sample must yield NULL novelty_frac, not 0.0")
+    assert(ab.getAs[Double]("est_novel_a") == 0.0)
+    val union = ab.getAs[Double]("est_union")
+    assert(math.abs(union - 200000.0) < 200000 * 0.2,
+      s"union estimate must still track |B|: $union")
+    // the reverse direction is untouched by the corner: B's novelty vs
+    // the 5-element A is ~1
+    val ba = rows(("sB", "sA"))
+    assert(!ba.isNullAt(ba.fieldIndex("novelty_frac")))
+    assert(ba.getAs[Double]("novelty_frac") > 0.99)
+  }
+
   test("novelty estimator laws under saturation: union symmetric, " +
     "inclusion-exclusion consistent with the overlap estimator, " +
     "deterministic under recomputation") {

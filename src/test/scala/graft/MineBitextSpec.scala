@@ -33,6 +33,30 @@ class MineBitextSpec extends SparkSpec {
     }
   }
 
+  test("mutual ivf shortlist miner: subset/matching laws hold, gate " +
+    "true, recall printed against its floor") {
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = Similarity.mineBitextMutual(spark, d)
+        .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.mineBitextMutualIvf(spark, d).collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+          r.getAs[Double]("margin")))
+      // the shortlist form still obeys the mutual laws: a partial
+      // matching, margins above threshold
+      assert(ivf.map(_._1).distinct.length == ivf.length)
+      assert(ivf.map(_._2).distinct.length == ivf.length)
+      assert(ivf.forall(_._3 > Similarity.BitextMargin))
+      val pairs = ivf.map(t => (t._1, t._2)).toSet
+      val recall = (exact & pairs).size.toDouble / exact.size
+      info(s"$d: exact_mutual=${exact.size} ivf_mutual=${pairs.size} recall=$recall")
+      assert(recall >= Similarity.BitextMutualIvfFloor,
+        s"mutual recall $recall under floor at $d")
+      val gate = Similarity.mineBitextMutualIvfVerified(spark, d).collect()(0)
+      assert(gate.getAs[Boolean]("meets_floor"))
+      assert(gate.getAs[Long]("n_exact") == exact.size.toLong)
+    }
+  }
+
   test("mutual (bidirectional) rule: the mined set is exactly " +
     "best-per-source ∩ best-per-target, a partial matching, and a " +
     "subset of the per-source rule's output") {
