@@ -414,15 +414,53 @@ object Similarity extends QueryPack {
         (col("n_found") >= col("n_exact") * lit(BitextIvfFloor)).as("meets_floor"))
   }
 
+  /** Implementation-choice gate for [[mineBitextMutualAuto]] — the
+    * measured crossover of the bidirectional rule's two arms (`Scale
+    * bitextmu`, planted-pair corpora, local[32]): at 16 k vectors the
+    * exact broadcast cross still wins (11.2 s vs the shortlist's
+    * 14.2 s — the k-means training pass dominates small corpora); at
+    * 32 k the shortlist wins 2.7× (43.3 s vs 116.7 s) and the cross's
+    * |A|·|B| growth only widens it (789 s at 64 k, r15). 20 000 sits
+    * between the two measured points. Gates only WHICH candidate
+    * front runs — the mutual tail (and thus the mined-pair semantics
+    * below the shortlist approximation) is shared. */
+  private[graft] val BitextMutualCrossover: Long = 20000L
+
+  /** Size-gated single entry point for bidirectional mining — the
+    * arm-choice policy as a registered operator (the
+    * `semantic_dedup_ivf_auto` idiom): below [[BitextMutualCrossover]]
+    * vectors the exact cross, at or above it the IVF shortlist at
+    * occupancy-constant geometry (nlist = max(16, n/125) — the sweep's
+    * 16·mult at n = 2000·mult, 125 vectors/cell). At every driver SF
+    * the corpus sits under the crossover, so the registered row takes
+    * the exact arm and hash-checks against the exact-mutual DuckDB
+    * mirror; MineBitextSpec pins the arm flip around the cutover on
+    * both sides. */
+  def mineBitextMutualAuto(spark: SparkSession, d: String): DataFrame =
+    mineBitextMutualAutoOf(spark, vecs(spark, d))
+
+  /** The auto form over ANY (vec_id, v) frame with an overridable
+    * cutover (spec seam — the arm flip is testable on toy frames). */
+  private[graft] def mineBitextMutualAutoOf(spark: SparkSession,
+      all: DataFrame, cutover: Long = BitextMutualCrossover): DataFrame = {
+    val n = all.count() // one corpus-count action: the gate input
+    if (n < cutover) bitextMutualTail(bitextExactScoredOf(all))
+    else mineBitextMutualIvfOf(spark, all,
+      nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt,
+      softAssign = 3)
+  }
+
   /** Recall floor for [[mineBitextMutualIvfVerified]] — measured-minus-
     * margin like [[BitextIvfFloor]], but pinned from the MUTUAL rule's
     * own measurements (a pair must survive the shortlist in BOTH
     * directions, so its recall is not derivable from the per-source
     * rule's): 0.791 at sf0.001 (110/139 exact-mutual pairs) and 0.808
     * at sf0.01 (122/151) under the registered nlist = 16 geometry
-    * (deterministic — MineBitextSpec prints both), and ≥0.99
-    * planted-pair recall at the ScaleR16 `bitextmu` octaves
-    * (occupancy-constant nlist = 16·mult, SCALE.md §r16). Floor 0.7
+    * (deterministic — MineBitextSpec prints both), and
+    * 0.9991–0.9998 recall vs exact-mutual at the `Scale bitextmu`
+    * octaves (planted-pair corpora to 32 k vectors, occupancy-constant
+    * nlist = 16·mult — where exact-mutual costs 116.7 s vs the
+    * shortlist's 43.3 s; SCALE.md §r16). Floor 0.7
     * sits 0.09 under the measured minimum — the same measured-minus-
     * margin distance as [[BitextIvfFloor]]: a shortlist regression
     * that halves recall hash-fails the gate, while cell-boundary
@@ -1866,6 +1904,7 @@ object Similarity extends QueryPack {
     "mine_bitext_ivf_verified" -> mineBitextIvfVerified,
     "mine_bitext_mutual_ivf" -> mineBitextMutualIvf,
     "mine_bitext_mutual_ivf_verified" -> mineBitextMutualIvfVerified,
+    "mine_bitext_mutual_auto" -> mineBitextMutualAuto,
     "ann_lsh" -> annLsh,
     "ann_lsh_mp" -> annLshMultiProbe,
     "ann_ivf" -> annIvf,
@@ -2384,6 +2423,9 @@ object Similarity extends QueryPack {
     },
     "mine_bitext" -> bitextSql,
     "mine_bitext_mutual" -> bitextMutualSql,
+    // the auto form takes the exact arm below BitextMutualCrossover —
+    // every driver SF — so its oracle IS the exact-mutual mirror
+    "mine_bitext_mutual_auto" -> bitextMutualSql,
     // the recall gate recounts the EXACT miner's pairs (the shortlist
     // side cannot run in SQL — k-means); the boolean is the gate
     "mine_bitext_ivf_verified" ->

@@ -57,6 +57,25 @@ class MineBitextSpec extends SparkSpec {
     }
   }
 
+  test("mutual auto gate: below the cutover the exact arm runs (row-" +
+    "identical to mine_bitext_mutual, hash-checkable), at/above it " +
+    "the IVF shortlist arm (row-identical to the explicit-geometry " +
+    "form)") {
+    val all = Similarity.vecs(spark, sf0001) // 20 vectors
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).toList
+    // default cutover (20000) on a 20-vector corpus → exact arm
+    val auto = rows(Similarity.mineBitextMutualAutoOf(spark, all))
+    assert(auto == rows(Similarity.mineBitextMutual(spark, sf0001)))
+    // forced-tiny cutover → IVF arm with nlist = max(16, n/125) = 16
+    val autoIvf = rows(Similarity.mineBitextMutualAutoOf(spark, all,
+      cutover = 10L))
+    assert(autoIvf == rows(
+      Similarity.mineBitextMutualIvfOf(spark, all, nlist = 16, softAssign = 3)))
+    assert(autoIvf.nonEmpty)
+  }
+
   test("mutual (bidirectional) rule: the mined set is exactly " +
     "best-per-source ∩ best-per-target, a partial matching, and a " +
     "subset of the per-source rule's output") {
