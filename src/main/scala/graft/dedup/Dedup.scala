@@ -1170,7 +1170,11 @@ object Dedup extends QueryPack {
       // "__mix" stays an ordinary candidate (ADVICE r15)
       val mixLabel = Iterator.iterate("__mix")(_ + "#")
         .find(l => !srcs.contains(l)).get
-      val mixSum = kmvUnionSummary(sum, mix, mixLabel, k)
+      // the union summary row is consumed 4× by the pair algebra
+      // (a/b sides + both retained explosions) — materialize the
+      // model-sized row once rather than re-running its sketch agg
+      // per consumer (bench: 0.4 s of pure job-overhead otherwise)
+      val mixSum = kmvUnionSummary(sum, mix, mixLabel, k).localCheckpoint()
       val candSum = sum.filter(!col("source").isInCollection(mix))
       kmvNoveltyOfSummaries(candSum.unionByName(mixSum), k)
         .filter(col("source_b") === mixLabel)

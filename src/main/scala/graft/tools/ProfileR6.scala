@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Round-6 profiler, mode-dispatched like [[ProfileR5]]:
+/** Round-6 profiler, mode-dispatched (the r5 profiler idiom):
   *
   *   sbt "runMain graft.tools.ProfileR6 <mode> [sfDir]"
   *
