@@ -1206,6 +1206,97 @@ object Dedup extends QueryPack {
         .agg(expr("kmv_sketch(shingle)").as("sk")), k)
   }
 
+  /** COVERAGE CURVE — the corpus-growth / dedup-saturation question:
+    * as sources are added in a fixed order, how fast does the union's
+    * distinct mass grow, and how much NOVEL mass does each source
+    * bring? (The curve a mixture builder reads to see where new data
+    * stops paying.) Order is the lexicographic source axis —
+    * deterministic and mirrored verbatim by the gate's oracle. All S
+    * prefix-union sketches come from ONE corpus pass: each source's
+    * retained `sk` values are tagged with the source's rank r and
+    * exploded to every prefix k ≥ r, then one `kmv_sketch` aggregate
+    * per prefix re-sketches the pooled values — the union law again,
+    * over ≤ S²·k/2 model-sized rows at ANY corpus size. Output per
+    * rank: the added source, the union estimate, and its marginal
+    * (difference of adjacent union estimates — the lag window runs
+    * over S rows). Rows-only (xxhash64);
+    * [[coverageCurveKmvVerified]] is the hash-checked gate. */
+  def coverageCurveKmv(spark: SparkSession, d: String): DataFrame =
+    coverageCurveKmvOf(Tables.documents(spark, d))
+
+  private[graft] def coverageCurveKmvOf(docs: DataFrame,
+      k: Int = KmvK): DataFrame =
+    coverageCurveOfHashes(sourceShingleHashes(docs), k)
+
+  /** The curve over ANY (source, shingle BIGINT-hash) stream — the
+    * unit-law seam, like [[kmvNoveltyOfHashes]]. */
+  private[graft] def coverageCurveOfHashes(ss: DataFrame,
+      k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sum = kmvSourceSummaries(ss, k)
+    val ranked = sum
+      .withColumn("rnk",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .localCheckpoint() // S rows: model-sized
+    graft.functions.KmvSketchAgg.register(ss.sparkSession, k)
+    val prefixes = kmvSummary(
+      ranked.select(col("rnk"), col("n_src"), explode(col("sk")).as("h"))
+        .select(explode(expr("sequence(rnk, n_src)")).as("k"), col("h"))
+        .groupBy("k").agg(expr("kmv_sketch(h)").as("sk")), k)
+      .select(col("k"), col("est_distinct").as("est_union"))
+    val wk = org.apache.spark.sql.expressions.Window.orderBy("k") // S rows
+    prefixes
+      .join(ranked.select(col("rnk").as("k"), col("source")), "k")
+      .withColumn("est_marginal",
+        col("est_union") - coalesce(lag(col("est_union"), 1).over(wk), lit(0.0)))
+      .select("k", "source", "est_union", "est_marginal")
+      .orderBy("k")
+  }
+
+  /** Hash-checked gate for [[coverageCurveKmv]]: exact union and
+    * marginal masses recomputed from the shingle strings via the
+    * min-rank trick (exact_union(k) = Σ_{r ≤ k} #shingles whose
+    * MINIMUM source rank is r — one distinct pass + one S-row cumsum,
+    * never S unions), estimates bound by the per-source KMV law
+    * (|est − exact| ≤ exact·6/√(k−2) + 8; the marginal — a difference
+    * of two union estimates — gets the triangle sum of both bounds).
+    * The DuckDB oracle mirrors the min-rank program verbatim. */
+  def coverageCurveKmvVerified(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    import org.apache.spark.sql.expressions.Window
+    val est = coverageCurveKmvOf(docs)
+    val ss = hashedShingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "shingle").distinct()
+    val ranks = ss.select("source").distinct()
+      .withColumn("rnk",
+        row_number().over(Window.orderBy("source")).cast("long")) // S rows
+    val minRank = ss.join(ranks, "source")
+      .groupBy("shingle").agg(min(col("rnk")).as("mr"))
+      .groupBy("mr").agg(count(lit(1)).as("c"))
+    val wk = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val relBound = 6.0 / math.sqrt((KmvK - 2).toDouble)
+    ranks.select(col("rnk").as("k"), col("source"))
+      .join(minRank.select(col("mr").as("k"), col("c")), Seq("k"), "left")
+      .withColumn("exact_marginal", coalesce(col("c"), lit(0L)))
+      .withColumn("exact_union", sum(col("exact_marginal")).over(wk))
+      .join(est, Seq("k", "source"))
+      .withColumn("union_within_bound",
+        abs(col("est_union") - col("exact_union")) <=
+          col("exact_union") * lit(relBound) + lit(8.0))
+      .withColumn("marginal_within_bound",
+        abs(col("est_marginal") - col("exact_marginal")) <=
+          (col("exact_union") +
+            coalesce(lag(col("exact_union"), 1).over(Window.orderBy("k")),
+              lit(0L))) * lit(relBound) + lit(16.0))
+      .select("k", "source", "exact_union", "exact_marginal",
+        "union_within_bound", "marginal_within_bound")
+      .orderBy("k")
+  }
+
   /** Hash-checked gate for [[mixCoverageKmv]] — the novelty gate's
     * bound program applied to the candidate-vs-mix-union rows: exact
     * |A|, |M|, |A∖M|, |A∪M| recomputed brute-force from the shingle
@@ -1792,6 +1883,8 @@ object Dedup extends QueryPack {
     "source_novelty_kmv_verified" -> sourceNoveltyKmvVerified,
     "mix_coverage_kmv" -> mixCoverageKmv,
     "mix_coverage_kmv_verified" -> mixCoverageKmvVerified,
+    "coverage_curve_kmv" -> coverageCurveKmv,
+    "coverage_curve_kmv_verified" -> coverageCurveKmvVerified,
     "span_scrub" -> spanScrub,
     "dedup_incremental" -> dedupIncremental,
     "dedup_corpus" -> ((s: SparkSession, d: String) =>
@@ -2255,6 +2348,35 @@ object Dedup extends QueryPack {
         |LEFT JOIN inter USING (source)
         |WHERE nm > 0
         |ORDER BY source""".stripMargin,
+    // the coverage-curve gate: the min-rank program — exact_union(k)
+    // = cumulative count of shingles whose MINIMUM source rank is ≤ k
+    // over the lexicographic source axis (string shingles vs the
+    // engine's 64-bit hashes: equal barring the family's 2^-64
+    // collision caveat)
+    "coverage_curve_kmv_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
+        |srcs AS (
+        |  SELECT source,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS rnk
+        |  FROM (SELECT DISTINCT source FROM sh)),
+        |m AS (SELECT shingle, MIN(rnk) AS mr
+        |      FROM sh JOIN srcs USING (source) GROUP BY shingle),
+        |cnt AS (SELECT mr, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY mr)
+        |SELECT s.rnk AS k, s.source,
+        |       CAST(SUM(COALESCE(c, 0)) OVER (ORDER BY s.rnk) AS BIGINT)
+        |         AS exact_union,
+        |       COALESCE(c, CAST(0 AS BIGINT)) AS exact_marginal,
+        |       true AS union_within_bound,
+        |       true AS marginal_within_bound
+        |FROM srcs s LEFT JOIN cnt ON cnt.mr = s.rnk
+        |ORDER BY k""".stripMargin,
     // full composition: exact survivors → near-dup closure over them →
     // keep docs that are their own component minimum
     // string-gram mirror of the hashed-gram scrub (equal barring 64-bit

@@ -270,6 +270,35 @@ class KmvSketchSpec extends SparkSpec {
     assert(ba.getAs[Double]("novelty_frac") > 0.99)
   }
 
+  test("coverage curve (r16): exact on unsaturated sketches — the " +
+    "lexicographic prefix unions ARE set unions — and gate booleans " +
+    "true at sf0.001/sf0.01") {
+    val sA = (0L until 30L).map(("sA", _))
+    val sB = (15L until 40L).map(("sB", _)) // adds 10 novel (30..39) → union 40
+    val sC = (100L until 110L).map(("sC", _)) // adds 10 novel → union 50
+    val got = Dedup.coverageCurveOfHashes(
+        (sA ++ sB ++ sC).toDF("source", "shingle")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("source"),
+        r.getAs[Double]("est_union"), r.getAs[Double]("est_marginal")))
+      .toList
+    assert(got == List(
+      (1L, "sA", 30.0, 30.0),
+      (2L, "sB", 40.0, 10.0),
+      (3L, "sC", 50.0, 10.0)))
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = Dedup.coverageCurveKmvVerified(spark, d).collect()
+      assert(rows.length == 20, s"expected 20 curve points at $d")
+      assert(rows.forall(_.getAs[Boolean]("union_within_bound")),
+        s"union bound failed at $d")
+      assert(rows.forall(_.getAs[Boolean]("marginal_within_bound")),
+        s"marginal bound failed at $d")
+      // the curve is a cumulative union: exact_union non-decreasing,
+      // last point = the whole corpus's distinct mass
+      val unions = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("exact_union"))
+      assert(unions.zip(unions.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("novelty estimator laws under saturation: union symmetric, " +
     "inclusion-exclusion consistent with the overlap estimator, " +
     "deterministic under recomputation") {
