@@ -28,7 +28,25 @@ import org.apache.spark.sql.SparkSession
   * Every pass writes its own round-stamped artifact
   * (target/bench_pass{P}_{stamp}.json) so no rep is ever overwritten —
   * the r7 post-mortem had to argue from a number whose evidence the
-  * next run had destroyed. */
+  * next run had destroyed.
+  *
+  * Whole-run degradation (VERDICT r16 #1): two driver rounds in a row
+  * died rc=124 with NO parseable total because the final line was only
+  * emitted after pass 4 — r15's stall hit the re-run passes (bounded
+  * since: 1.5× the two-pass wall, checked before every re-run), r16's
+  * hit mandatory passes 1–2, a region that budget never inspected. Two
+  * fixes: (a) after EVERY pass the full-line artifact is re-written
+  * from the samples so far (stat `min_of_N_passes_partial`), so even a
+  * SIGTERM mid-pass-2 leaves `bench_full.json` holding a parsed
+  * min-of-1 total; (b) the run carries a WHOLE-RUN wall budget —
+  * SPARK_GRAFT_BENCH_BUDGET_SEC if the driver set one, else 3× the
+  * measured warmup wall (warmup is itself a full suite pass at sf0.01
+  * plus first-compile cost, so a healthy warmup+pass-1 lands well
+  * under 3× warmup; the r16 stall — pass 1 alone 4.5× the healthy band
+  * — would have tripped it) — checked after pass 1: over budget, the
+  * run finalizes from pass 1 instead of starting pass 2. Passes 3/4
+  * keep their r15 re-run budget, additionally clipped to whatever the
+  * whole-run budget has left. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,6 +55,17 @@ object Bench {
     // one, else wall-clock millis — either way unique per invocation
     val stamp = sys.env.getOrElse("SPARK_GRAFT_ROUND",
       System.currentTimeMillis.toString)
+    // parse the budget override BEFORE any work (ADVICE r16: an
+    // unguarded .toDouble after passes 1/2 threw away the whole run on
+    // a malformed value — fail soft and loud, up front)
+    val envBudget: Option[Double] = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap { s =>
+        val v = s.toDoubleOption.filter(_ > 0.0)
+        if (v.isEmpty) System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_BUDGET_SEC='$s' is not a positive " +
+            "number — ignored, defaults apply")
+        v
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,6 +130,7 @@ object Bench {
     // enough rows that the generated loops cross the C2 JIT threshold
     // during warmup, not mid-measurement. A missing warmup dir degrades
     // to a cold-start measurement (failures are swallowed per query).
+    val runStart = System.nanoTime()
     val warmDir = "/root/testdata/sf0.01"
     sentinel() // JIT-warm the sentinels' own codegen too
     sentinelIO()
@@ -108,6 +138,18 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val warmupWall = (System.nanoTime() - runStart) / 1e9
+    // Whole-run wall budget (VERDICT r16 #1b). Default: 3× the warmup
+    // wall. The warmup is itself one full suite pass (at sf0.01, plus
+    // all first-compile cost), so a healthy measured pass runs FASTER
+    // than warmup and warmup+pass-1 sits near 2× warmup — while the
+    // r16 driver stall (pass 1 alone 1208 s vs a ~270 s healthy band)
+    // lands warmup+pass-1 far past 3× warmup unless the warmup itself
+    // stalled equally, in which case the per-pass provisional artifacts
+    // are the backstop.
+    val wholeBudget = envBudget.getOrElse(3.0 * warmupWall)
+    def runElapsed: Double = (System.nanoTime() - runStart) / 1e9
+
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sentinelsIO = scala.collection.mutable.LinkedHashMap[String, Double]()
 
@@ -125,6 +167,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    def writeArtifact(fname: String, line: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get(fname)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] artifact write failed ($fname): $e") }
+
     def writePass(p: Int, rows: Seq[(String, Double, Boolean)]): Unit = {
       val qs = rows.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
         .mkString("{", ",", "}")
@@ -138,41 +188,91 @@ object Bench {
       // artifact ALSO lands in the git-tracked bench_artifacts/, where
       // the end-of-round commit preserves it
       for (fname <- Seq(s"target/bench_pass${p}_$stamp.json",
-                        s"bench_artifacts/bench_pass${p}_$stamp.json")) {
-        try {
-          val out = java.nio.file.Paths.get(fname)
-          java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] pass-$p artifact write failed: $e") }
-      }
+                        s"bench_artifacts/bench_pass${p}_$stamp.json"))
+        writeArtifact(fname, line)
     }
 
-    def fullPass(p: Int): Map[String, (Double, Boolean)] = {
+    // all samples observed so far, per query — the provisional emitter
+    // reads this after every pass, so the stable-name artifact is
+    // parseable from the moment pass 1 completes
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Boolean)]]()
+    names.foreach { case (n, _) => samples(n) = Vector.empty }
+
+    def best(ss: Seq[(Double, Boolean)]): (Double, Boolean) = {
+      val oks = ss.collect { case (t, true) => t }
+      if (oks.nonEmpty) (oks.min, true)
+      // all failed: carry the first elapsed so the -1 row still records cost
+      else (ss.head._1, false)
+    }
+
+    /** Re-derive the full result line from every sample so far and
+      * (re)write the stable-name + round-stamped artifacts. Called
+      * after EVERY pass (VERDICT r16 #1a): a run killed at any point
+      * past pass 1 still leaves a parsed total on disk. The final call
+      * (after pass 4) also prints the line — the driver contract. */
+    def emitFull(stat: String, twoPassWall: Double, rerunBudget: Double,
+        rerunsSkipped: Int, print: Boolean): Unit = {
+      val results = names.map { case (name, _) =>
+        val ss = samples(name)
+        if (ss.isEmpty) (name, -1.0, false)
+        else { val (t, ok) = best(ss); (name, if (ok) t else -1.0, ok) }
+      }
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      val sj = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val sjio = sentinelsIO.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","stamp":"$stamp","warmup_wall_sec":$warmupWall,"whole_budget_sec":$wholeBudget,"two_pass_wall_sec":$twoPassWall,"rerun_budget_sec":$rerunBudget,"reruns_skipped":$rerunsSkipped,"sentinel":$sj,"sentinel_io":$sjio,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      if (print) println(line)
+      // the driver's captured stdout can truncate the (long) per-query
+      // tail — persist the complete line as a machine-readable artifact
+      // too, both at the stable name (driver contract; overwritten by
+      // each later, strictly-better pass) and round-stamped (post-mortem
+      // evidence that survives the next run)
+      for (fname <- Seq("target/bench_full.json", s"target/bench_full_$stamp.json",
+                        s"bench_artifacts/bench_full_$stamp.json"))
+        writeArtifact(fname, line)
+    }
+
+    def fullPass(p: Int): Unit = {
       val rows = names.map { case (name, fn) =>
         val (t, ok) = once(name, fn); (name, t, ok)
       }
       writePass(p, rows)
-      rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
+      rows.foreach { case (n, t, ok) => samples(n) :+= ((t, ok)) }
     }
 
-    // Wall-clock budget (VERDICT r15 #1): the r15 driver run hit rc=124
-    // because passes 3/4 have no time bound — a mid-run host stall makes
-    // the re-runs *longer* exactly when time is scarcest (pass 3 re-ran
-    // 56 rows and alone burned ~750 s). Passes 3/4 are convergence
-    // refinements, not correctness: min-of-2 is a degraded-but-parseable
-    // result, a timeout is nothing. So the re-run phase gets a budget of
-    // 1.5× the measured two-pass wall (total run ≤ ~2.5× two-pass wall,
-    // the r14-healthy ratio), checked before EVERY re-run query so a
-    // stall mid-pass-3 stops the pass instead of riding it out.
-    // SPARK_GRAFT_BENCH_BUDGET_SEC overrides the re-run budget if the
-    // driver ever wants a hard cap.
     val measuredStart = System.nanoTime()
-    val pass1 = fullPass(1)
-    val pass2 = fullPass(2)
+    fullPass(1)
+    emitFull("min_of_1_passes_partial", -1.0, -1.0, 0, print = false)
+    if (runElapsed > wholeBudget) {
+      // the stall hit warmup/pass 1 (the r16 signature — a region the
+      // r15 re-run budget never inspected): a min-of-1 total NOW beats
+      // a perfect total the driver's timeout will never see
+      System.err.println(f"[bench] whole-run budget $wholeBudget%.0f s " +
+        f"exceeded after pass 1 ($runElapsed%.0f s) — finalizing from " +
+        "pass 1, skipping passes 2-4")
+      emitFull("min_of_1_passes_budget_stop", -1.0, -1.0, 0, print = true)
+      spark.stop()
+      return
+    }
+    fullPass(2)
     val twoPassWall = (System.nanoTime() - measuredStart) / 1e9
-    val rerunBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .map(_.toDouble).getOrElse(1.5 * twoPassWall)
+    emitFull("min_of_2_passes_partial", twoPassWall, -1.0, 0, print = false)
+
+    // Re-run budget (VERDICT r15 #1): passes 3/4 are convergence
+    // refinements, not correctness — min-of-2 is a degraded-but-
+    // parseable result, a timeout is nothing. 1.5× the measured
+    // two-pass wall (total run ≤ ~2.5× two-pass wall, the r14-healthy
+    // ratio), clipped to whatever the whole-run budget has left, and
+    // checked before EVERY re-run query so a stall mid-pass-3 stops
+    // the pass instead of riding it out.
+    val rerunBudget = math.max(0.0,
+      math.min(1.5 * twoPassWall, wholeBudget - runElapsed))
     val rerunStart = System.nanoTime()
     def rerunElapsed: Double = (System.nanoTime() - rerunStart) / 1e9
     var rerunsSkipped = 0
@@ -183,30 +283,22 @@ object Bench {
       if (rerunElapsed > rerunBudget) { rerunsSkipped += 1; None }
       else Some(once(name, fn))
 
-    def best(samples: Seq[(Double, Boolean)]): (Double, Boolean) = {
-      val oks = samples.collect { case (t, true) => t }
-      if (oks.nonEmpty) (oks.min, true)
-      // all failed: carry the first elapsed so the -1 row still records cost
-      else (samples.head._1, false)
+    def partialPass(p: Int, which: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
+      val rows = which.flatMap { case (name, fn) =>
+        onceBudgeted(name, fn).map { case (t, ok) => (name, t, ok) }
+      }
+      if (rows.nonEmpty) writePass(p, rows)
+      rows.foreach { case (n, t, ok) => samples(n) :+= ((t, ok)) }
     }
-
-    val best2 = names.map { case (name, _) =>
-      name -> best(Seq(pass1(name), pass2(name)))
-    }.toMap
 
     // third partial pass for the slow band: these rows dominate the
     // total and the judge's attention, so they get one more chance to
     // shed a stall that happened to cover both full passes' visit
-    val slow = names.filter { case (name, _) => best2(name)._1 > 2.0 && best2(name)._2 }
-    val pass3: Map[String, (Double, Boolean)] =
-      if (slow.isEmpty) Map.empty
-      else {
-        val rows = slow.flatMap { case (name, fn) =>
-          onceBudgeted(name, fn).map { case (t, ok) => (name, t, ok) }
-        }
-        if (rows.nonEmpty) writePass(3, rows)
-        rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
-      }
+    partialPass(3, names.filter { case (name, _) =>
+      val (t, ok) = best(samples(name)); ok && t > 2.0
+    })
+    emitFull("min_of_3_passes_partial", twoPassWall, rerunBudget,
+      rerunsSkipped, print = false)
 
     // fourth partial pass (VERDICT r8 #6): a row whose samples still
     // disagree by >20% hasn't converged — its min may yet be the noisy
@@ -214,58 +306,21 @@ object Bench {
     // rows). One more sample for the non-trivial disagreers; sub-0.5 s
     // rows are excluded because their jitter is absolute-millisecond
     // noise that cannot move the headline total.
-    def spread(samples: Seq[(Double, Boolean)]): Double = {
-      val oks = samples.collect { case (t, true) => t }
+    def spread(ss: Seq[(Double, Boolean)]): Double = {
+      val oks = ss.collect { case (t, true) => t }
       if (oks.size < 2) 0.0 else (oks.max - oks.min) / oks.min
     }
-    def samples3(name: String): Seq[(Double, Boolean)] =
-      Seq(pass1(name), pass2(name)) ++ pass3.get(name)
-    val noisy = names.filter { case (name, _) =>
-      val s = samples3(name)
-      val (t, ok) = best(s)
-      ok && t > 0.5 && spread(s) > 0.2
-    }
-    val pass4: Map[String, (Double, Boolean)] =
-      if (noisy.isEmpty) Map.empty
-      else {
-        val rows = noisy.flatMap { case (name, fn) =>
-          onceBudgeted(name, fn).map { case (t, ok) => (name, t, ok) }
-        }
-        if (rows.nonEmpty) writePass(4, rows)
-        rows.map { case (n, t, ok) => n -> ((t, ok)) }.toMap
-      }
+    partialPass(4, names.filter { case (name, _) =>
+      val ss = samples(name)
+      val (t, ok) = best(ss)
+      ok && t > 0.5 && spread(ss) > 0.2
+    })
     if (rerunsSkipped > 0)
       System.err.println(s"[bench] re-run budget ${rerunBudget}s exhausted: " +
         s"$rerunsSkipped pass-3/4 re-runs skipped (result degrades to min-of-fewer samples)")
 
-    val results = names.map { case (name, _) =>
-      val (t, ok) = best(samples3(name) ++ pass4.get(name))
-      (name, if (ok) t else -1.0, ok)
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val sj = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sjio = sentinelsIO.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_interleaved_passes","stamp":"$stamp","two_pass_wall_sec":$twoPassWall,"rerun_budget_sec":$rerunBudget,"reruns_skipped":$rerunsSkipped,"sentinel":$sj,"sentinel_io":$sjio,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's captured stdout can truncate the (long) per-query tail —
-    // persist the complete line as a machine-readable artifact too, both
-    // at the stable name (driver contract) and round-stamped (post-mortem
-    // evidence that survives the next run)
-    for (fname <- Seq("target/bench_full.json", s"target/bench_full_$stamp.json",
-                      s"bench_artifacts/bench_full_$stamp.json")) {
-      try {
-        val out = java.nio.file.Paths.get(fname)
-        java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] artifact write failed: $e") }
-    }
+    emitFull("min_of_interleaved_passes", twoPassWall, rerunBudget,
+      rerunsSkipped, print = true)
     spark.stop()
   }
 }

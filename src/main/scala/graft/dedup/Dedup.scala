@@ -884,7 +884,7 @@ object Dedup extends QueryPack {
     * convention: a saturated sketch's k-th smallest value IS θ and is
     * excluded from the retained sample (`est = (k−1)/θ`); an
     * unsaturated sketch is exact (θ = 1, sample = the distinct set). */
-  private def kmvSummary(sketches: DataFrame, k: Int): DataFrame =
+  private[graft] def kmvSummary(sketches: DataFrame, k: Int): DataFrame =
     sketches
       .withColumn("kth",
         when(size(col("sk")) === k, element_at(col("sk"), k)))
@@ -1111,11 +1111,18 @@ object Dedup extends QueryPack {
     * lexicographically FIRST HALF of the source axis stands in for
     * "the sources already in my training mix" — deterministic, and
     * mirrored verbatim by the DuckDB gate (ROW_NUMBER ≤ n div 2 over
-    * the sorted distinct sources). Used only by the VERIFIED gate's
-    * exact recompute; the registered estimator derives the same set
-    * from its own sketch summaries without a second corpus scan. */
-  private[graft] def mixSources(docs: DataFrame): Set[String] = {
-    val srcs = docs.select("source").distinct().orderBy("source")
+    * the sorted distinct sources). The axis is the SHINGLE-BEARING
+    * sources (the sources the sketch summaries actually see — same
+    * axis as [[coverageCurveKmv]]), sorted by the ENGINE's binary
+    * UTF-8 collation, and all three consumers — estimator, gate,
+    * oracle — derive it identically (ADVICE r16: the estimator used
+    * to halve the shingle-bearing axis under Java UTF-16 `.sorted`
+    * while gate and oracle halved ALL document sources, so an
+    * all-short-doc source or a non-BMP name shifted the mix under one
+    * but not the others). Input is the (source, shingle) stream, not
+    * the documents frame, for exactly that reason. */
+  private[graft] def mixSources(ss: DataFrame): Set[String] = {
+    val srcs = ss.select("source").distinct().orderBy("source")
       .collect().map(_.getString(0)) // #sources rows — model-sized
     srcs.take(srcs.length / 2).toSet
   }
@@ -1147,11 +1154,22 @@ object Dedup extends QueryPack {
     mixCoverageKmvOf(Tables.documents(spark, d))
 
   private[graft] def mixCoverageKmvOf(docs: DataFrame,
+      k: Int = KmvK): DataFrame =
+    mixCoverageOfHashes(sourceShingleHashes(docs), k)
+
+  /** The mix-coverage estimator over ANY (source, shingle BIGINT-hash)
+    * stream — the unit-law seam, like [[kmvNoveltyOfHashes]] (and the
+    * seam the `Scale mixcov` octave sweep drives with closed-form
+    * synthetic streams). */
+  private[graft] def mixCoverageOfHashes(ss: DataFrame,
       k: Int = KmvK): DataFrame = {
-    val sum = kmvSourceSummaries(sourceShingleHashes(docs), k)
+    val sum = kmvSourceSummaries(ss, k)
     // model-sized collect from the CHECKPOINTED summaries — the mix
-    // policy costs one S-row job, not a corpus rescan
-    val srcs = sum.select("source").collect().map(_.getString(0)).sorted
+    // policy costs one S-row job, not a corpus rescan. Sorted by the
+    // ENGINE (binary UTF-8 collation), never Scala's UTF-16 `.sorted`,
+    // so the halving agrees with the gate/oracle axis (ADVICE r16)
+    val srcs = sum.select("source").orderBy("source")
+      .collect().map(_.getString(0))
     val mix = srcs.take(srcs.length / 2).toSet
     val out = if (mix.isEmpty) {
       // degenerate corpus (< 2 sources): nothing to cover against
@@ -1212,11 +1230,14 @@ object Dedup extends QueryPack {
     * bring? (The curve a mixture builder reads to see where new data
     * stops paying.) Order is the lexicographic source axis —
     * deterministic and mirrored verbatim by the gate's oracle. All S
-    * prefix-union sketches come from ONE corpus pass: each source's
-    * retained `sk` values are tagged with the source's rank r and
-    * exploded to every prefix k ≥ r, then one `kmv_sketch` aggregate
-    * per prefix re-sketches the pooled values — the union law again,
-    * over ≤ S²·k/2 model-sized rows at ANY corpus size. Output per
+    * prefix-union sketches come from ONE corpus pass, re-sketched
+    * from the per-source summaries' pooled `sk` arrays (the union
+    * law) under a size-gated plan (VERDICT r16 #3): rank-explode
+    * (S²·k/2 rows, one job) at small S, segment-halving dyadic
+    * unions (O(S·k·log₂S) rows) above [[CurveDyadicCrossover]] —
+    * bit-identical curves either way, so the gate and oracle are
+    * arm-blind. Model-sized at ANY corpus size AND any source count.
+    * Output per
     * rank: the added source, the union estimate, and its marginal
     * (difference of adjacent union estimates — the lag window runs
     * over S rows). Rows-only (xxhash64);
@@ -1228,23 +1249,36 @@ object Dedup extends QueryPack {
       k: Int = KmvK): DataFrame =
     coverageCurveOfHashes(sourceShingleHashes(docs), k)
 
+  /** Size gate for the curve's prefix-union plan (VERDICT r16 #3): at
+    * or below this many sources the single-job rank-explode (S²·k/2
+    * pooled rows) is the cheap arm — one wide-but-model-sized
+    * aggregate, no extra job scheduling; above it the quadratic row
+    * count is the scale-killer the r16 verdict flagged (~2.6×10¹⁰
+    * rows at 10⁴ sources) and the DYADIC plan takes over at
+    * O(S·k·log₂S) rows across ⌈log₂S⌉ model-sized jobs — the `Scale
+    * curve` octaves (SCALE.md §r17) A/B the arms at growing S with
+    * closed-form truth. Gates only WHICH plan builds the prefix
+    * sketches — the
+    * pooled value SETS per prefix are equal, kmv_sketch dedups, so
+    * the output curve is bit-identical under either arm (law pinned
+    * in KmvSketchSpec both sides of the cutover). */
+  private[graft] val CurveDyadicCrossover: Long = 64L
+
   /** The curve over ANY (source, shingle BIGINT-hash) stream — the
     * unit-law seam, like [[kmvNoveltyOfHashes]]. */
   private[graft] def coverageCurveOfHashes(ss: DataFrame,
-      k: Int = KmvK): DataFrame = {
+      k: Int = KmvK, crossover: Long = CurveDyadicCrossover): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sum = kmvSourceSummaries(ss, k)
     val ranked = sum
       .withColumn("rnk",
         row_number().over(Window.orderBy("source")).cast("long"))
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .localCheckpoint() // S rows: model-sized
+    val nSrc = ranked.count() // S-row job on the checkpoint, never the corpus
     graft.functions.KmvSketchAgg.register(ss.sparkSession, k)
     val prefixes = kmvSummary(
-      ranked.select(col("rnk"), col("n_src"), explode(col("sk")).as("h"))
-        .select(explode(expr("sequence(rnk, n_src)")).as("k"), col("h"))
-        .groupBy("k").agg(expr("kmv_sketch(h)").as("sk")), k)
+      if (nSrc <= crossover) prefixSketchesExplode(ranked, nSrc)
+      else prefixSketchesDyadic(ranked, nSrc), k)
       .select(col("k"), col("est_distinct").as("est_union"))
     val wk = org.apache.spark.sql.expressions.Window.orderBy("k") // S rows
     prefixes
@@ -1253,6 +1287,67 @@ object Dedup extends QueryPack {
         col("est_union") - coalesce(lag(col("est_union"), 1).over(wk), lit(0.0)))
       .select("k", "source", "est_union", "est_marginal")
       .orderBy("k")
+  }
+
+  /** Small-S prefix-sketch arm: every source's retained `sk` values
+    * exploded to every prefix ≥ its rank, one `kmv_sketch` per prefix
+    * — S²·k/2 pooled rows in a single job. Quadratic in S, which is
+    * exactly why [[CurveDyadicCrossover]] bounds it. */
+  private def prefixSketchesExplode(ranked: DataFrame, nSrc: Long): DataFrame =
+    ranked.select(col("rnk"), explode(col("sk")).as("h"))
+      .select(explode(expr(s"sequence(rnk, ${nSrc}L)")).as("k"), col("h"))
+      .groupBy("k").agg(expr("kmv_sketch(h)").as("sk"))
+
+  /** Large-S prefix-sketch arm (VERDICT r16 #3): segment-halving
+    * unions. Level j holds one sketch per aligned dyadic range
+    * ((m−1)·2ʲ, m·2ʲ] of the source-rank axis, each level re-sketched
+    * from the previous level's pooled `sk` arrays (the union law —
+    * exact, like [[kmvUnionSummary]], and composable: a union of
+    * exact union-sketches is the exact sketch of the union). A prefix
+    * (0, p] then decomposes into the ⌈log₂S⌉ aligned ranges given by
+    * p's binary digits — the standard Fenwick prefix cover, computed
+    * driver-side as S·log₂S (p, width, m) tuples, model-sized — and
+    * one `kmv_sketch` per prefix over the covers' pooled values
+    * finishes. Total pooled rows O(S·k·log₂S) across ⌈log₂S⌉+1
+    * model-sized jobs (each level is localCheckpoint'd: it feeds both
+    * the next level and the cover join). The pooled value SET per
+    * prefix equals the explode arm's, so the sketches — and the
+    * emitted curve — are bit-identical. */
+  private def prefixSketchesDyadic(ranked: DataFrame, nSrc: Long): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    // levels(j): (width = 2^j, one row per range index m with its sketch)
+    val levels = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]()
+    var cur = ranked.select(col("rnk").as("m"), col("sk")) // checkpointed above
+    var width = 1L
+    levels += ((width, cur))
+    while (width < nSrc) {
+      cur = cur.select(expr("(m + 1) div 2").as("m"), explode(col("sk")).as("h"))
+        .groupBy("m").agg(expr("kmv_sketch(h)").as("sk"))
+        .localCheckpoint() // ≤ ⌈S/2ʲ⌉ rows of k longs: model-sized
+      width *= 2
+      levels += ((width, cur))
+    }
+    val tagged = levels.map { case (w, df) =>
+      df.select(lit(w).as("w"), col("m"), col("sk"))
+    }.reduce(_ unionByName _)
+    // binary prefix decomposition, driver-side: p = Σ 2^{j_t} descending
+    // ⇒ ranges (end−2^{j_t}, end] are aligned because every earlier term
+    // is a larger power of two
+    val cover = (1L to nSrc).flatMap { p =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var end = 0L
+      var j = 62
+      while (j >= 0) {
+        val w = 1L << j
+        if ((p & w) != 0L) { end += w; out += ((p, w, end / w)) }
+        j -= 1
+      }
+      out
+    }.toDF("k", "w", "m")
+    tagged.join(broadcast(cover), Seq("w", "m"))
+      .select(col("k"), explode(col("sk")).as("h"))
+      .groupBy("k").agg(expr("kmv_sketch(h)").as("sk"))
   }
 
   /** Hash-checked gate for [[coverageCurveKmv]]: exact union and
@@ -1304,13 +1399,15 @@ object Dedup extends QueryPack {
     * bound by binomial thinning at θ_pair. */
   def mixCoverageKmvVerified(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val mix = mixSources(docs)
     val est = mixCoverageKmvOf(docs)
     // membership filtering, no sentinel relabel — a source named
     // "__mix" is just another candidate (ADVICE r15)
     val ss = hashedShingles(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select("source", "shingle").distinct()
+    // mix derived from the SAME shingle-bearing axis as the estimator
+    // and the oracle (ADVICE r16)
+    val mix = mixSources(ss)
     val mixSet = ss.filter(col("source").isInCollection(mix))
       .select("shingle").distinct()
     val cand = ss.filter(!col("source").isInCollection(mix))
@@ -2310,7 +2407,11 @@ object Dedup extends QueryPack {
         |ORDER BY source_a, source_b""".stripMargin,
     // the mix-coverage gate: the SAME first-half-of-sorted-sources mix
     // policy, exact candidate-vs-mix-union set algebra from the
-    // shingle strings. Mix membership is a FLAG, never a sentinel
+    // shingle strings. The source axis is the SHINGLE-BEARING sources
+    // (ADVICE r16: the estimator's summaries only ever see those, so
+    // the oracle must halve the same axis — an all-short-doc source
+    // must not shift the mix), sorted by DuckDB's binary collation =
+    // the engine's. Mix membership is a FLAG, never a sentinel
     // relabel (ADVICE r15: a source named '__mix' must stay a
     // candidate), and an empty mix (< 2 sources) yields ZERO rows —
     // mirroring the engine's empty-frame return on degenerate corpora.
@@ -2318,15 +2419,18 @@ object Dedup extends QueryPack {
       """WITH toks AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks),
         |srcs AS (
         |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) <=
         |           COUNT(*) OVER () // 2 AS in_mix
-        |  FROM (SELECT DISTINCT source FROM documents)),
+        |  FROM (SELECT DISTINCT source FROM sh0)),
         |sh AS (
-        |  SELECT DISTINCT toks.source, s.in_mix,
-        |         unnest(list_transform(generate_series(1, len(t) - 2),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |  FROM toks JOIN srcs s ON toks.source = s.source),
+        |  SELECT sh0.source, s.in_mix, sh0.shingle
+        |  FROM sh0 JOIN srcs s ON sh0.source = s.source),
         |mixsh AS (SELECT DISTINCT shingle FROM sh WHERE in_mix),
         |mixn AS (SELECT count(*) AS m FROM mixsh),
         |hasmix AS (SELECT count(*) AS nm FROM srcs WHERE in_mix),

@@ -349,8 +349,8 @@ object Similarity extends QueryPack {
     * at occupancy-constant nlist ∝ corpus (the registered sf-scale
     * form above fixes nlist = 16). */
   private[graft] def mineBitextIvfOf(spark: SparkSession, all: DataFrame,
-      nlist: Int, softAssign: Int): DataFrame =
-    bitextMarginTail(bitextIvfScoredOf(spark, all, nlist, softAssign))
+      nlist: Int, softAssign: Int, nKnown: Long = -1L): DataFrame =
+    bitextMarginTail(bitextIvfScoredOf(spark, all, nlist, softAssign, nKnown))
 
   /** The IVF-shortlist SCORED candidate frame — the shared front of
     * both shortlist miners ([[mineBitextIvfOf]] per-source,
@@ -359,8 +359,8 @@ object Similarity extends QueryPack {
     * equi-joins back to the vectors. Per-cell occupancy² pair work,
     * never |A|·|B|. */
   private[graft] def bitextIvfScoredOf(spark: SparkSession, all: DataFrame,
-      nlist: Int, softAssign: Int): DataFrame = {
-    val cand = ivfCandidatesOf(spark, all, nlist, softAssign)
+      nlist: Int, softAssign: Int, nKnown: Long = -1L): DataFrame = {
+    val cand = ivfCandidatesOf(spark, all, nlist, softAssign, nKnown)
       .filter((col("vec_a") % 2) =!= (col("vec_b") % 2))
       .select(
         when(col("vec_a") % 2 === 0, col("vec_a")).otherwise(col("vec_b")).as("src_id"),
@@ -392,8 +392,8 @@ object Similarity extends QueryPack {
   /** The bidirectional shortlist miner over ANY (vec_id, v) frame with
     * explicit quantizer geometry — the ScaleR16 sweep seam. */
   private[graft] def mineBitextMutualIvfOf(spark: SparkSession, all: DataFrame,
-      nlist: Int, softAssign: Int): DataFrame =
-    bitextMutualTail(bitextIvfScoredOf(spark, all, nlist, softAssign))
+      nlist: Int, softAssign: Int, nKnown: Long = -1L): DataFrame =
+    bitextMutualTail(bitextIvfScoredOf(spark, all, nlist, softAssign, nKnown))
 
   /** Hash-checked recall gate for [[mineBitextIvf]] against the exact
     * [[mineBitext]] (which IS SQL-expressible, so `n_exact` is
@@ -447,7 +447,45 @@ object Similarity extends QueryPack {
     if (n < cutover) bitextMutualTail(bitextExactScoredOf(all))
     else mineBitextMutualIvfOf(spark, all,
       nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt,
-      softAssign = 3)
+      softAssign = 3, nKnown = n) // n already counted ⇒ capped training
+  }
+
+  /** Implementation-choice gate for [[mineBitextAuto]] — the measured
+    * crossover of the PER-SOURCE rule's two arms (`Scale bitext`,
+    * planted-pair corpora, local[32], occupancy-constant nlist =
+    * 16·mult): at 16 k vectors the exact broadcast cross still wins
+    * (9.9 s vs the shortlist's 18.8 s — k-means training dominates
+    * small corpora); at 32 k the shortlist wins (SCALE.md §r17's
+    * re-read of the A/B) and the cross's |A|·|B| growth only widens
+    * it (789 s vs 307 s at 64 k, r15). 24 000 sits between the two
+    * measured points. Same policy shape as
+    * [[BitextMutualCrossover]] (whose own A/B flips slightly earlier —
+    * the mutual tail re-reads the margin frame twice, shifting the
+    * constant); gates only WHICH candidate front runs. */
+  private[graft] val BitextCrossover: Long = 24000L
+
+  /** Size-gated single entry point for the PER-SOURCE margin rule —
+    * completing the auto-policy idiom across the bitext family
+    * (VERDICT r16 #2): below [[BitextCrossover]] vectors the exact
+    * all-pairs cross, at or above it the IVF shortlist at
+    * occupancy-constant geometry (nlist = max(16, n/125), the sweep's
+    * 16·mult at n = 2000·mult) with the capped training sample. At
+    * every driver SF the corpus sits under the crossover, so the
+    * registered row takes the exact arm and hash-checks against the
+    * exact per-source DuckDB mirror; MineBitextSpec pins the arm flip
+    * around the cutover on both sides. */
+  def mineBitextAuto(spark: SparkSession, d: String): DataFrame =
+    mineBitextAutoOf(spark, vecs(spark, d))
+
+  /** The auto form over ANY (vec_id, v) frame with an overridable
+    * cutover (spec seam — the arm flip is testable on toy frames). */
+  private[graft] def mineBitextAutoOf(spark: SparkSession,
+      all: DataFrame, cutover: Long = BitextCrossover): DataFrame = {
+    val n = all.count() // one corpus-count action: the gate input
+    if (n < cutover) bitextMarginTail(bitextExactScoredOf(all))
+    else mineBitextIvfOf(spark, all,
+      nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt,
+      softAssign = 3, nKnown = n)
   }
 
   /** Recall floor for [[mineBitextMutualIvfVerified]] — measured-minus-
@@ -688,6 +726,33 @@ object Similarity extends QueryPack {
         .collect().toSeq.toDF("cid", "cv")
     }
   }
+
+  /** Absolute cap on the flat coarse quantizer's k-means TRAINING
+    * sample, applied when the caller already knows the corpus size
+    * (VERDICT r16 #4). Why: each Lloyd iteration materializes
+    * n_train × nlist scored rows, so with occupancy-constant
+    * nlist ∝ n the uncapped training pass is Θ(n²) — the dominant
+    * super-linear term in the r16 `bitextivf` octaves (1.45× per
+    * doubling). An ABSOLUTE cap makes training Θ(cap·nlist) = Θ(n),
+    * the same train-on-sample discipline FAISS and the two-level
+    * [[HierQuantizer]] already follow ([[HierQuantizer.SubTrainCap]]).
+    * 2¹⁵ keeps ≥ 16 training points per cell up to nlist = 2048
+    * (n = 256 k at the sweep's 125/cell geometry — the measured
+    * range); the `Scale bitextivf` A/B (SCALE.md §r17) measures the
+    * capped arm's time and planted recall against the uncapped one.
+    * Below the cap the sample IS the corpus and the capped path calls
+    * [[trainCentroids]] verbatim — bit-identical at every driver SF. */
+  private[graft] val IvfTrainCap = 1L << 15
+
+  /** [[trainCentroids]] on a deterministically sampled ≈`cap` subset
+    * when `n` exceeds the cap (Lehmer-mix bucket filter — the repo's
+    * one sampling primitive), the full corpus verbatim otherwise. */
+  private[graft] def trainCentroidsCapped(spark: SparkSession, all: DataFrame,
+      n: Long, nlist: Int, iters: Int, cap: Long = IvfTrainCap): DataFrame =
+    if (n <= cap) trainCentroids(spark, all, nlist, iters)
+    else trainCentroids(spark,
+      all.filter(graft.functions.DetMix.lehmerMix(col("vec_id")) % lit(n / cap) === 0),
+      nlist, iters)
 
   /** IVF-style ANN: a k-means coarse quantizer ([[trainCentroids]], 2
     * Lloyd iterations) partitions vectors into `nlist` inverted lists; a
@@ -1604,8 +1669,8 @@ object Similarity extends QueryPack {
     * keyed by vec_id, so it hash-partitions without skew at any
     * corpus size. */
   private[graft] def ivfCandidatesOf(spark: SparkSession, all: DataFrame,
-      nlist: Int, softAssign: Int = 2): DataFrame =
-    ivfCandidatesAmong(spark, all, all, nlist, softAssign)
+      nlist: Int, softAssign: Int = 2, nKnown: Long = -1L): DataFrame =
+    ivfCandidatesAmong(spark, all, all, nlist, softAssign, nKnown)
 
   /** Same-coarse-list pairs restricted to a subset: the quantizer
     * still TRAINS on the full corpus (the production geometry under
@@ -1613,9 +1678,17 @@ object Similarity extends QueryPack {
     * what the sampled gates need: full-model candidates, probe-bounded
     * pair work. `sub == all` gives the unrestricted form. */
   private[graft] def ivfCandidatesAmong(spark: SparkSession, all: DataFrame,
-      sub: DataFrame, nlist: Int, softAssign: Int): DataFrame = {
+      sub: DataFrame, nlist: Int, softAssign: Int,
+      nKnown: Long = -1L): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = trainCentroids(spark, all, nlist, iters = 2)
+    // callers that already hold the corpus count (the auto policies,
+    // the octave sweeps) get the capped training sample (VERDICT r16
+    // #4); a -1 sentinel keeps every fixed-geometry registered path on
+    // the full-corpus plan it always had — no extra count() job, no
+    // hash movement
+    val centroids =
+      if (nKnown > 0L) trainCentroidsCapped(spark, all, nKnown, nlist, iters = 2)
+      else trainCentroids(spark, all, nlist, iters = 2)
     val assigned = nearestLists(centroids, sub.select("vec_id", "v"), "v", softAssign, "list_id")
       .select("vec_id", "list_id")
     assigned.select(col("vec_id").as("vec_a"), col("list_id"))
@@ -1899,6 +1972,7 @@ object Similarity extends QueryPack {
     "ann_mrl" -> annMrl,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_bitext" -> mineBitext,
+    "mine_bitext_auto" -> mineBitextAuto,
     "mine_bitext_mutual" -> mineBitextMutual,
     "mine_bitext_ivf" -> mineBitextIvf,
     "mine_bitext_ivf_verified" -> mineBitextIvfVerified,
@@ -2422,6 +2496,9 @@ object Similarity extends QueryPack {
          |FROM sims WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "mine_bitext" -> bitextSql,
+    // the auto policy takes the exact arm below the crossover — every
+    // driver SF — so its mirror IS the exact per-source statement
+    "mine_bitext_auto" -> bitextSql,
     "mine_bitext_mutual" -> bitextMutualSql,
     // the auto form takes the exact arm below BitextMutualCrossover —
     // every driver SF — so its oracle IS the exact-mutual mirror

@@ -660,6 +660,75 @@ object StreamingAnalytics {
       }
   }
 
+  // ---------- streaming KMV sketch maintenance (VERDICT r16 #6) ----------
+
+  /** One (source, 64-bit shingle hash) stream element — the same
+    * shape [[graft.dedup.Dedup.kmvSourceSummaries]] aggregates in
+    * batch. */
+  case class KmvIn(source: String, shingle: Long)
+
+  /** Per-source sketch state: the retained k-minimum values in
+    * unsigned ascending order (exactly [[graft.functions.KmvState]]'s
+    * eval representation — re-adding them reconstructs the state, and
+    * the snapshot column is bit-comparable against the batch
+    * aggregate's `sk`), plus an update counter so a sink holding every
+    * emitted snapshot can select the latest per source. */
+  case class KmvSnap(source: String, upd: Long, sk: Array[Long])
+
+  /** Incremental per-source KMV/Theta sketch maintenance — the
+    * streaming consumer of the batch Theta algebra (VERDICT r16 #6):
+    * the mixture builder's live question is "how much of the data
+    * arriving from source X is NOVEL against my corpus", and the
+    * batch operators (`source_novelty_kmv`, `mix_coverage_kmv`,
+    * `coverage_curve_kmv`) all consume per-source sketch SUMMARIES —
+    * so a streaming state that maintains those same sketches makes
+    * every one of them a live query over the snapshot, with no new
+    * estimator code. State per source is the retained k values (k
+    * longs — model-sized; the state axis is sources, bounded like
+    * [[tokenBudgetStream]]'s), updated by replaying them into a
+    * [[graft.functions.KmvState]] and adding the batch's hashes. A
+    * KMV sketch is a commutative, idempotent monoid over value SETS —
+    * insertion order, batch boundaries, and duplicate re-delivery all
+    * land on the identical k-minimum state — so the emitted snapshot
+    * is BIT-identical to what the batch `kmv_sketch` aggregate
+    * computes over the union of every batch so far (the union law
+    * KmvSketchSpec pins; the streaming parity spec re-pins it across
+    * micro-batch boundaries). Append mode with an `upd` counter: the
+    * latest snapshot per source is max(upd), and a restart replays
+    * from the checkpointed state exactly like every other stateful
+    * operator here. */
+  def kmvSketchStream(ss: Dataset[KmvIn],
+      k: Int = graft.dedup.Dedup.KmvK): Dataset[KmvSnap] = {
+    val spark = ss.sparkSession
+    import spark.implicits._
+    ss.groupByKey(_.source)
+      .flatMapGroupsWithState[KmvSnap, KmvSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[KmvIn], state: GroupState[KmvSnap]) =>
+          val st = new graft.functions.KmvState(k)
+          val prev = state.getOption
+          prev.foreach(_.sk.foreach(st.add))
+          rows.foreach(r => st.add(r.shingle))
+          val snap = KmvSnap(source, prev.map(_.upd).getOrElse(0L) + 1L,
+            st.sorted)
+          state.update(snap)
+          Iterator.single(snap)
+      }
+  }
+
+  /** The batch pair algebra over a (source, sk) snapshot frame — the
+    * SAME directed difference/union estimator the registered
+    * `source_novelty_kmv` runs ([[graft.dedup.Dedup.kmvNoveltyOfSummaries]]),
+    * applied to [[kmvSketchStream]]'s latest snapshots: novelty of
+    * arriving data as a live query. The snapshot frame is S rows of k
+    * longs (model-sized), so this is driver-cheap at any corpus
+    * scale. */
+  def kmvNoveltyOfSnapshot(snaps: DataFrame,
+      k: Int = graft.dedup.Dedup.KmvK): DataFrame =
+    graft.dedup.Dedup.kmvNoveltyOfSummaries(
+      graft.dedup.Dedup.kmvSummary(snaps.select("source", "sk"), k)
+        .localCheckpoint(), k)
+
   /** Streaming sessionization with custom state. Event-time timeout
     * closes idle sessions once the watermark passes start+gap. */
   def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionOut] = {

@@ -41,6 +41,22 @@ import graft.tools.Amplify.{bytesPolicy, mults, timed}
   *  - `ppskeyed` — `sample_pps` through the keyed running-sum arm
   *    (the 100 TB plan shape) at amplified octaves, fold-equality
   *    against the forced-window arm. Carried from r15.
+  *  - `curve` (VERDICT r16 #3) — the coverage curve's two prefix-plan
+  *    arms (rank-explode S²·k/2 vs dyadic S·k·log₂S) at growing
+  *    SOURCE counts with closed-form truth (priv·p + shared per
+  *    prefix), asserting bit-identical curves where both arms run and
+  *    KMV bounds everywhere. Octave = the source count S.
+  *  - `mixcov` (VERDICT r16 #5) — the single-scan `mix_coverage`
+  *    estimator at equal-mass octaves (kmvStream truth: novel =
+  *    1000·mult, union = 12000·mult per candidate) plus one skewed
+  *    round (skewStream truth), asserting the 6σ bounds and
+  *    reporting sketch time (expected FLAT in the mult: the rewrite's
+  *    +3 model-sized jobs are constant while the saved corpus scan
+  *    grows).
+  *  - `bitextivf` additionally A/Bs the CAPPED k-means training
+  *    sample (VERDICT r16 #4, `IvfTrainCap` via `nKnown`) against the
+  *    uncapped trainer, same planted-recall floor on both arms;
+  *    SCALE_ARMS=capped|uncapped|both (default both) bounds the cost.
   *
   * `sbt "runMain graft.tools.Scale <mode>"`; octaves via
   * SCALE_MULTS (comma-separated). Unknown modes fail loud. Results
@@ -61,7 +77,8 @@ object Scale {
     val modes: Map[String, (SparkSession, String) => Unit] = Map(
       "novelty" -> novelty, "noveltyskew" -> noveltySkew,
       "bitext" -> bitext, "bitextivf" -> bitextIvfOnly,
-      "bitextmu" -> bitextMutual, "ppskeyed" -> ppsKeyed)
+      "bitextmu" -> bitextMutual, "ppskeyed" -> ppsKeyed,
+      "curve" -> curve, "mixcov" -> mixCov)
     val which = args.headOption.getOrElse("novelty")
     require(modes.contains(which),
       s"unknown mode '$which' — expected ${modes.keys.toSeq.sorted.mkString("|")}")
@@ -278,6 +295,7 @@ object Scale {
   private def bitextIvfOnly(spark: SparkSession, d: String): Unit = {
     import graft.similarity.Similarity
     Similarity.mineBitextIvf(spark, d).collect() // warmup
+    val arms = sys.env.getOrElse("SCALE_ARMS", "both")
     for (mult <- mults("SCALE_MULTS", Seq(64, 128))) {
       val n = 2000L * mult
       val concepts = n / 2
@@ -285,20 +303,182 @@ object Scale {
       val all = plantedVecs(spark, mult)
       all.persist()
       all.count()
-      val (ivf, tIvf) = timed(
-        Similarity.mineBitextIvfOf(spark, all,
-          nlist = 16 * mult, softAssign = 3).collect())
-      val ivfPairs = pairSet(ivf)
-      val plantedFound = ivfPairs.count { case (s, t) => t == s + 1 }
-      val plantedRecall = plantedFound.toDouble / concepts
-      println(f"[scale-bitextivf] mult=$mult%4d vecs=$n%9d parts=$parts%5d " +
-        f"concepts=$concepts%8d ivf_pairs=${ivfPairs.size}%8d " +
-        f"planted_found=$plantedFound%8d ivf_s=$tIvf%8.2f " +
-        f"planted_recall=$plantedRecall%6.4f " +
-        f"floor=${Similarity.BitextIvfFloor}%4.2f")
-      require(plantedRecall >= Similarity.BitextIvfFloor,
-        f"planted recall $plantedRecall%.4f under the floor at mult=$mult")
+      // (arm label, nKnown): -1 = the r15/r16 uncapped trainer, n =
+      // the capped training sample (VERDICT r16 #4 — IvfTrainCap)
+      val armList = arms match {
+        case "capped"   => Seq(("capped", n))
+        case "uncapped" => Seq(("uncapped", -1L))
+        case _          => Seq(("uncapped", -1L), ("capped", n))
+      }
+      for ((arm, nKnown) <- armList) {
+        val (ivf, tIvf) = timed(
+          Similarity.mineBitextIvfOf(spark, all,
+            nlist = 16 * mult, softAssign = 3, nKnown = nKnown).collect())
+        val ivfPairs = pairSet(ivf)
+        val plantedFound = ivfPairs.count { case (s, t) => t == s + 1 }
+        val plantedRecall = plantedFound.toDouble / concepts
+        println(f"[scale-bitextivf] mult=$mult%4d vecs=$n%9d parts=$parts%5d " +
+          f"arm=$arm%-8s concepts=$concepts%8d ivf_pairs=${ivfPairs.size}%8d " +
+          f"planted_found=$plantedFound%8d ivf_s=$tIvf%8.2f " +
+          f"planted_recall=$plantedRecall%6.4f " +
+          f"floor=${Similarity.BitextIvfFloor}%4.2f")
+        require(plantedRecall >= Similarity.BitextIvfFloor,
+          f"planted recall $plantedRecall%.4f under the floor at mult=$mult ($arm)")
+      }
       all.unpersist()
+    }
+  }
+
+  // --------------------------------------------------------- curve --
+
+  /** Curve stream with closed-form truth: S sources (zero-padded names
+    * so lexicographic rank = numeric id), each holding `priv` private
+    * keys plus a `shared` pool common to ALL sources ⇒
+    * exact_union(p) = p·priv + shared; marginal(1) = priv + shared,
+    * marginal(p>1) = priv. */
+  private def curveStream(spark: SparkSession, s: Int,
+      priv: Long, shared: Long): DataFrame = {
+    val privs = spark.range(s * priv).select(
+      expr(s"id div $priv").as("sid"),
+      (lit(shared) + col("id")).as("key"))
+    val pools = spark.range(s * shared).select(
+      expr(s"id div $shared").as("sid"), (col("id") % shared).as("key"))
+    privs.unionByName(pools).select(
+      concat(lit("src"), lpad(col("sid").cast("string"), 5, "0")).as("source"),
+      xxhash64(col("key")).as("shingle"))
+  }
+
+  /** Explode-vs-dyadic A/B for the coverage curve's prefix-union plan
+    * (VERDICT r16 #3) at growing SOURCE counts. The explode arm's
+    * S²·k/2 pooled rows are the bounded quantity under test; the
+    * dyadic arm must return the BIT-identical curve (asserted where
+    * both run — the union-law composition) in O(S·k·log₂S). Octave =
+    * S; SCALE_ARMS=dyadic skips the explode arm past its
+    * affordability cliff. */
+  private def curve(spark: SparkSession, d: String): Unit = {
+    import graft.dedup.Dedup
+    val priv = 2000L; val shared = 1000L
+    Dedup.coverageCurveKmv(spark, d).collect() // warmup: JIT + codegen
+    val relBound = 6.0 / math.sqrt(510.0) // KmvK = 512
+    for (s <- mults("SCALE_MULTS", Seq(128, 512, 2048))) {
+      val rows = s * (priv + shared)
+      val parts = bytesPolicy(spark, rows, 16L)
+      val stream = curveStream(spark, s, priv, shared)
+      stream.persist(); stream.count()
+      def check(label: String, got: Array[org.apache.spark.sql.Row],
+          t: Double): Unit = {
+        require(got.length == s, s"curve dropped prefixes at S=$s: ${got.length}")
+        var worst = 0.0
+        got.foreach { r =>
+          val p = r.getAs[Long]("k")
+          val exact = (p * priv + shared).toDouble
+          val est = r.getAs[Double]("est_union")
+          worst = math.max(worst,
+            math.abs(est - exact) / (exact * relBound + 8.0))
+          require(math.abs(est - exact) <= exact * relBound + 8.0,
+            s"union estimate out of bound at S=$s p=$p: $est vs $exact")
+        }
+        println(f"[scale-curve] S=$s%5d rows=$rows%9d parts=$parts%4d " +
+          f"arm=$label%-8s curve_s=$t%7.2f worst_bound_frac=$worst%5.3f")
+      }
+      val runExplode = sys.env.getOrElse("SCALE_ARMS", "both") != "dyadic"
+      val explodeRows: Option[List[(Long, String, Double, Double)]] =
+        if (!runExplode) None else {
+          val (got, t) = timed(Dedup.coverageCurveOfHashes(stream,
+            crossover = Long.MaxValue).collect()) // forced explode arm
+          check("explode", got, t)
+          Some(got.map(r => (r.getAs[Long]("k"), r.getAs[String]("source"),
+            r.getAs[Double]("est_union"), r.getAs[Double]("est_marginal"))).toList)
+        }
+      val (gotD, tD) = timed(Dedup.coverageCurveOfHashes(stream,
+        crossover = 0L).collect()) // forced dyadic arm
+      check("dyadic", gotD, tD)
+      val dyadicRows = gotD.map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("source"), r.getAs[Double]("est_union"),
+        r.getAs[Double]("est_marginal"))).toList
+      explodeRows.foreach { e =>
+        require(e == dyadicRows,
+          s"arms must return BIT-identical curves at S=$s")
+      }
+      stream.unpersist()
+    }
+  }
+
+  // -------------------------------------------------------- mixcov --
+
+  /** The single-scan mix-coverage estimator at octaves (VERDICT r16
+    * #5): equal-mass rounds over [[kmvStream]] (candidate truth:
+    * distinct 2000·mult, novel 1000·mult, mix union 11000·mult, union
+    * 12000·mult — the first-half-lexicographic mix holds the shared
+    * pool plus 10 disjoint private ranges) and one SKEWED round over
+    * [[skewStream]] (mix {src0, src1} ⇒ exact_mix = 1150·mult;
+    * candidates keep their full private mass as novelty). Asserts the
+    * 6σ thinning bounds on novel/union and the per-source KMV law on
+    * distinct/mix; sketch time is reported and expected FLAT — the
+    * r16 single-scan rewrite's +3 model-sized jobs are a constant
+    * while the corpus scan they replace grows with mult. */
+  private def mixCov(spark: SparkSession, d: String): Unit = {
+    import graft.dedup.Dedup
+    val S = 20
+    Dedup.mixCoverageKmv(spark, d).collect() // warmup
+    val relBound = 6.0 / math.sqrt(510.0) // KmvK = 512
+    for (mult <- mults("SCALE_MULTS", Seq(16, 256, 1024))) {
+      val rows = 80000L * mult
+      val parts = bytesPolicy(spark, rows, 32L)
+      val (est, tSketch) = timed(
+        Dedup.mixCoverageOfHashes(kmvStream(spark, mult, S)).collect())
+      require(est.length == S / 2,
+        s"expected ${S / 2} candidate rows at mult=$mult: ${est.length}")
+      var worstNovel = 0.0; var worstUnion = 0.0
+      est.foreach { r =>
+        val theta = r.getAs[Double]("theta_pair")
+        val exactNovel = 1000.0 * mult
+        val exactUnion = 12000.0 * mult
+        val novel = r.getAs[Double]("est_novel")
+        val union = r.getAs[Double]("est_union")
+        worstNovel = math.max(worstNovel,
+          math.abs(novel - exactNovel) / thetaBound(exactNovel, theta))
+        worstUnion = math.max(worstUnion,
+          math.abs(union - exactUnion) / thetaBound(exactUnion, theta))
+        require(math.abs(novel - exactNovel) <= thetaBound(exactNovel, theta),
+          s"mix novelty out of bound at mult=$mult: $novel vs $exactNovel")
+        require(math.abs(union - exactUnion) <= thetaBound(exactUnion, theta),
+          s"mix union out of bound at mult=$mult: $union vs $exactUnion")
+        require(math.abs(r.getAs[Double]("est_distinct") - 2000.0 * mult) <=
+          2000.0 * mult * relBound + 8.0, s"candidate distinct off at mult=$mult")
+        require(math.abs(r.getAs[Double]("est_mix") - 11000.0 * mult) <=
+          11000.0 * mult * relBound + 8.0, s"mix-union distinct off at mult=$mult")
+      }
+      println(f"[scale-mixcov] mult=$mult%5d rows=$rows%10d parts=$parts%4d " +
+        f"candidates=${est.length}%3d sketch_s=$tSketch%7.2f " +
+        f"worst_novel_bound_frac=$worstNovel%5.3f " +
+        f"worst_union_bound_frac=$worstUnion%5.3f")
+    }
+    // one skewed round: masses 100/1k/10k/100k per mult, pool 50·mult,
+    // mix = {src0, src1} under the lexicographic halving
+    for (mult <- mults("SCALE_MULTS_SKEW", Seq(64))) {
+      val p = 50L * mult
+      val (est, tSketch) = timed(
+        Dedup.mixCoverageOfHashes(skewStream(spark, mult)).collect())
+      require(est.length == 2, s"expected 2 skew candidates: ${est.length}")
+      est.foreach { r =>
+        val i = r.getAs[String]("source").stripPrefix("src").toInt
+        val m = SkewMasses(i) * mult
+        val exactMix = (SkewMasses(0) + SkewMasses(1)) * mult + p
+        val theta = r.getAs[Double]("theta_pair")
+        val novel = r.getAs[Double]("est_novel")
+        val union = r.getAs[Double]("est_union")
+        require(math.abs(novel - m.toDouble) <= thetaBound(m.toDouble, theta),
+          s"skew novelty out of bound at mult=$mult src$i: $novel vs $m")
+        require(math.abs(union - (m + exactMix - p).toDouble) <=
+          thetaBound((m + exactMix - p).toDouble, theta),
+          s"skew union out of bound at mult=$mult src$i")
+        require(math.abs(r.getAs[Double]("est_mix") - exactMix.toDouble) <=
+          exactMix * relBound + 8.0, s"skew mix-union off at mult=$mult")
+      }
+      println(f"[scale-mixcov-skew] mult=$mult%5d " +
+        f"masses=${SkewMasses.map(_ * mult).mkString("/")}%s pool=$p%d " +
+        f"sketch_s=$tSketch%7.2f all-bounds=green")
     }
   }
 

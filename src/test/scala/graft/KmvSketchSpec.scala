@@ -244,6 +244,97 @@ class KmvSketchSpec extends SparkSpec {
       r.getAs[Boolean]("union_within_bound")))
   }
 
+  test("mix source-axis law (ADVICE r16): estimator, gate, and oracle " +
+    "halve the SAME shingle-bearing axis under binary collation — an " +
+    "all-short-doc source cannot shift the mix, and a non-BMP source " +
+    "name sorts the engine way, not Java's UTF-16 way") {
+    def text(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    // "AAA" has only sub-3-token docs → absent from the shingle axis;
+    // the axis is {MMM, ZZZ} → mix = {MMM}, candidates = {ZZZ}. Under
+    // the old all-docs axis the gate would have picked mix = {AAA}
+    // (empty shingle set) and disagreed with the estimator.
+    val tmp1 = tmpDir("mixshort")
+    Seq(
+      (0L, "x y", "AAA"),
+      (1L, text(0, 30), "MMM"),
+      (2L, text(20, 50), "ZZZ"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp1/documents.parquet")
+    val est1 = Dedup.mixCoverageKmv(spark, tmp1).collect()
+    assert(est1.map(_.getAs[String]("source")).toSeq == Seq("ZZZ"))
+    // unsaturated → exact: ZZZ's 28 trigrams, 8 shared with MMM's 0..27
+    assert(est1(0).getAs[Double]("est_novel") == 20.0)
+    val ver1 = Dedup.mixCoverageKmvVerified(spark, tmp1).collect()
+    assert(ver1.map(_.getAs[String]("source")).toSeq == Seq("ZZZ"))
+    assert(ver1(0).getAs[Long]("exact_novel") == 20L)
+    assert(ver1(0).getAs[Boolean]("novel_within_bound") &&
+      ver1(0).getAs[Boolean]("union_within_bound"))
+
+    // two sources whose order FLIPS between UTF-16 code-unit sort and
+    // binary UTF-8 sort: U+FFFD (EF BF BD) < U+1F600 (F0 9F 98 80) in
+    // bytes, but the surrogate pair D83D DE00 < FFFD in UTF-16 — so
+    // Scala `.sorted` would put the emoji source in the mix while the
+    // engine puts U+FFFD there. Estimator and gate must agree on the
+    // ENGINE's choice.
+    val sRepl = "z�"; val sEmoji = "z😀"
+    assert(List(sRepl, sEmoji).sorted == List(sEmoji, sRepl),
+      "precondition: Java UTF-16 order must differ from binary here")
+    val tmp2 = tmpDir("mixbmp")
+    Seq(
+      (0L, text(0, 30), sRepl),
+      (1L, text(20, 50), sEmoji))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val est2 = Dedup.mixCoverageKmv(spark, tmp2).collect()
+    assert(est2.map(_.getAs[String]("source")).toSeq == Seq(sEmoji),
+      "mix must be the binary-collation first half {z\\uFFFD}")
+    assert(est2(0).getAs[Double]("est_novel") == 20.0)
+    val ver2 = Dedup.mixCoverageKmvVerified(spark, tmp2).collect()
+    assert(ver2.map(_.getAs[String]("source")).toSeq == Seq(sEmoji))
+    assert(ver2(0).getAs[Long]("exact_novel") == 20L)
+    assert(ver2(0).getAs[Boolean]("novel_within_bound") &&
+      ver2(0).getAs[Boolean]("union_within_bound"))
+  }
+
+  test("curve prefix-plan arms (VERDICT r16 #3): the dyadic " +
+    "segment-halving plan returns the BIT-identical curve to the " +
+    "rank-explode plan on both sides of the crossover") {
+    val sA = (0L until 30L).map(("sA", _))
+    val sB = (15L until 40L).map(("sB", _))
+    val sC = (100L until 110L).map(("sC", _))
+    val sD = (35L until 45L).map(("sD", _)) // 5 novel past sB's 40
+    val ss = (sA ++ sB ++ sC ++ sD).toDF("source", "shingle")
+    def rows(crossover: Long) =
+      Dedup.coverageCurveOfHashes(ss, crossover = crossover).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("source"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_marginal")))
+        .toList
+    val explode = rows(Long.MaxValue) // forced explode arm
+    val dyadic = rows(0L) // forced dyadic arm
+    assert(explode == dyadic, s"arms differ:\n$explode\nvs\n$dyadic")
+    // unsaturated ⇒ exact set unions: 30, +10, +10, +5
+    assert(explode == List(
+      (1L, "sA", 30.0, 30.0), (2L, "sB", 40.0, 10.0),
+      (3L, "sC", 50.0, 10.0), (4L, "sD", 55.0, 5.0)))
+    // and on SATURATED sketches (the estimation regime): same
+    // bit-identity — this is the union-law composition under test
+    val big = spark.range(30000L).select(
+      concat(lit("s"), col("id") % 5).as("source"),
+      xxhash64(when(expr("(id div 5) % 2") === 0, expr("id div 10"))
+        .otherwise((col("id") % 5 + 1) * lit(100000L) + expr("id div 10")))
+        .as("shingle"))
+    big.persist(); big.count()
+    def rowsBig(crossover: Long) =
+      Dedup.coverageCurveOfHashes(big, crossover = crossover).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("est_marginal"))).toList
+    val eBig = rowsBig(Long.MaxValue)
+    val dBig = rowsBig(0L)
+    big.unpersist()
+    assert(eBig == dBig, "saturated-sketch curves must be BIT-identical")
+    assert(eBig.length == 5)
+  }
+
   test("novelty_frac NULL corner (VERDICT r15 #4): extreme theta " +
     "asymmetry can leave no A-sample below theta_pair — the frac is " +
     "NULL, est_novel_a is 0, and the union estimate still stands") {

@@ -76,6 +76,49 @@ class MineBitextSpec extends SparkSpec {
     assert(autoIvf.nonEmpty)
   }
 
+  test("per-source auto gate (VERDICT r16 #2): below the cutover the " +
+    "exact arm runs (row-identical to mine_bitext, hash-checkable), " +
+    "at/above it the IVF shortlist arm (row-identical to the " +
+    "explicit-geometry form)") {
+    val all = Similarity.vecs(spark, sf0001) // 20 vectors
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).toList
+    // default cutover (24000) on a 20-vector corpus → exact arm
+    val auto = rows(Similarity.mineBitextAutoOf(spark, all))
+    assert(auto == rows(Similarity.mineBitext(spark, sf0001)))
+    // forced-tiny cutover → IVF arm with nlist = max(16, n/125) = 16;
+    // nKnown = 20 sits under IvfTrainCap, so the capped trainer is the
+    // verbatim full-corpus trainer and the rows match the explicit form
+    val autoIvf = rows(Similarity.mineBitextAutoOf(spark, all,
+      cutover = 10L))
+    assert(autoIvf == rows(
+      Similarity.mineBitextIvfOf(spark, all, nlist = 16, softAssign = 3)))
+    assert(autoIvf.nonEmpty)
+  }
+
+  test("capped k-means training (VERDICT r16 #4): over the cap the " +
+    "trainer samples ~cap vectors deterministically and still yields " +
+    "nlist usable centroids; at or under the cap it is the verbatim " +
+    "full-corpus trainer") {
+    val all = Similarity.vecs(spark, "/root/testdata/sf0.01")
+    val n = all.count()
+    // under the cap: bit-identical centroid frames
+    val full = Similarity.trainCentroids(spark, all, 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toList
+    val capped = Similarity.trainCentroidsCapped(spark, all, n, 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toList
+    assert(capped == full)
+    // over the cap (forced tiny): a real sample trains, the model still
+    // has centroids and assignment still covers every vector
+    val small = Similarity.trainCentroidsCapped(spark, all, n, 8,
+      iters = 2, cap = math.max(8L, n / 4))
+    val cents = small.collect()
+    assert(cents.nonEmpty && cents.length <= 8)
+    info(s"capped trainer at n=$n cap=${math.max(8L, n / 4)}: " +
+      s"${cents.length} centroids")
+  }
+
   test("mutual (bidirectional) rule: the mined set is exactly " +
     "best-per-source ∩ best-per-target, a partial matching, and a " +
     "subset of the per-source rule's output") {
