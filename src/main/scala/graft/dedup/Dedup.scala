@@ -1255,10 +1255,13 @@ object Dedup extends QueryPack {
     * aggregate, no extra job scheduling; above it the quadratic row
     * count is the scale-killer the r16 verdict flagged (~2.6×10¹⁰
     * rows at 10⁴ sources) and the DYADIC plan takes over at
-    * O(S·k·log₂S) rows across ⌈log₂S⌉ model-sized jobs — the `Scale
-    * curve` octaves (SCALE.md §r17) A/B the arms at growing S with
-    * closed-form truth. Gates only WHICH plan builds the prefix
-    * sketches — the
+    * O(S·k·log₂S) rows across ⌈log₂S⌉ model-sized jobs. Measured
+    * (`Scale curve`, SCALE.md §r17, within-process A/Bs): explode
+    * wins at S=32 (2.1 vs 3.4 s) and S=64 (1.2 vs 1.9 s), dyadic
+    * from S=128 (19.7 vs 23.2 s) and 1.7× at S=512 (36.6 vs 61.2 s);
+    * dyadic-only same-process S=512 → 2048 reads 7.1 → 5.8 s — flat
+    * in S, where the explode arm would pool 1.07 G rows. Gates only
+    * WHICH plan builds the prefix sketches — the
     * pooled value SETS per prefix are equal, kmv_sketch dedups, so
     * the output curve is bit-identical under either arm (law pinned
     * in KmvSketchSpec both sides of the cutover). */

@@ -359,8 +359,18 @@ object Similarity extends QueryPack {
     * equi-joins back to the vectors. Per-cell occupancy² pair work,
     * never |A|·|B|. */
   private[graft] def bitextIvfScoredOf(spark: SparkSession, all: DataFrame,
-      nlist: Int, softAssign: Int, nKnown: Long = -1L): DataFrame = {
-    val cand = ivfCandidatesOf(spark, all, nlist, softAssign, nKnown)
+      nlist: Int, softAssign: Int, nKnown: Long = -1L): DataFrame =
+    bitextScoredFrom(all, ivfCandidatesOf(spark, all, nlist, softAssign, nKnown))
+
+  /** Cross-side orientation + cosine scoring over ANY (vec_a, vec_b)
+    * candidate frame — the shared back half of every shortlist front
+    * (flat IVF and hier alike): same-side pairs dropped, pairs
+    * oriented even→odd, cosines via id equi-joins back to the
+    * vectors. */
+  private[graft] def bitextScoredFrom(all: DataFrame,
+      cand0: DataFrame): DataFrame = {
+    VectorFunctions.register(all.sparkSession)
+    val cand = cand0
       .filter((col("vec_a") % 2) =!= (col("vec_b") % 2))
       .select(
         when(col("vec_a") % 2 === 0, col("vec_a")).otherwise(col("vec_b")).as("src_id"),
@@ -371,6 +381,50 @@ object Similarity extends QueryPack {
       .withColumn("cos_sim", expr("cosine_sim(av, bv)"))
       .select("src_id", "tgt_id", "cos_sim")
   }
+
+  /** Hier-quantizer knobs for the bitext shortlist above
+    * [[BitextHierCrossover]] — measured at the planted-pair octaves
+    * (`Scale bitextivf` arm=hier, SCALE.md §r17): (s1 = 3, soft = 3)
+    * holds planted recall 0.9847 at ×64 and 0.9802 at ×128, far above
+    * the 0.7 floor. */
+  private[graft] val BitextHierS1 = 3
+  private[graft] val BitextHierSoft = 3
+
+  /** Where the bitext auto policies hand the shortlist front from the
+    * capped FLAT quantizer to the two-level [[HierQuantizer]]. This is
+    * NOT a measured speed crossover — the r17 A/B measured the capped
+    * flat arm FASTER at every affordable octave (158 vs 275 s at
+    * 128 k, 538 vs 753 s at 256 k, SCALE.md §r17) — it is the point
+    * where the flat arm stops being STRUCTURALLY sane: its model is
+    * nlist = n/125 driver-collected, per-iteration-broadcast centroids,
+    * so at 16 M vectors the model passes 2¹⁷ centroids ≈ 67 MB — past
+    * which collect-per-Lloyd-round and per-task broadcast deserialize
+    * dominate any assignment arithmetic (the r9 #1 argument that
+    * produced the two-level quantizer in the first place). Below the
+    * cutover the measured-fastest arm runs; above it the arm whose
+    * driver state is O(√nlist) — measured recall ≥ 0.98 on both, so
+    * the handoff trades measured constants, not quality. */
+  private[graft] val BitextHierCrossover: Long = 16000000L
+
+  /** The SCORED candidate frame through the two-level
+    * [[HierQuantizer]] ([[ivfCandidatesHierAmong]]) instead of the
+    * flat coarse quantizer — the auto policies' front above
+    * [[HierCrossover]]: bounded training sample, O(√nlist) model held
+    * on the driver, O(√nlist) per-vector assignment; the scoring back
+    * half ([[bitextScoredFrom]]) and every mining tail downstream are
+    * byte-identical to the flat form's. */
+  private[graft] def bitextHierScoredOf(spark: SparkSession, all: DataFrame,
+      n: Long, nlist: Int, softAssign: Int, s1: Int): DataFrame =
+    bitextScoredFrom(all,
+      ivfCandidatesHierAmong(spark, all, all, n, nlist, softAssign, s1))
+
+  /** The per-source miner over the hier front — the `Scale bitextivf`
+    * arm=hier seam, and the shape [[mineBitextAutoOf]] registers above
+    * [[HierCrossover]]. */
+  private[graft] def mineBitextHierOf(spark: SparkSession, all: DataFrame,
+      n: Long, nlist: Int, softAssign: Int = BitextHierSoft,
+      s1: Int = BitextHierS1): DataFrame =
+    bitextMarginTail(bitextHierScoredOf(spark, all, n, nlist, softAssign, s1))
 
   /** [[mineBitextMutual]] with the scored pairs coming from the IVF
     * shortlist instead of the all-pairs broadcast cross — the
@@ -442,12 +496,27 @@ object Similarity extends QueryPack {
   /** The auto form over ANY (vec_id, v) frame with an overridable
     * cutover (spec seam — the arm flip is testable on toy frames). */
   private[graft] def mineBitextMutualAutoOf(spark: SparkSession,
-      all: DataFrame, cutover: Long = BitextMutualCrossover): DataFrame = {
+      all: DataFrame, cutover: Long = BitextMutualCrossover,
+      hierCutover: Long = BitextHierCrossover): DataFrame = {
     val n = all.count() // one corpus-count action: the gate input
     if (n < cutover) bitextMutualTail(bitextExactScoredOf(all))
-    else mineBitextMutualIvfOf(spark, all,
-      nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt,
-      softAssign = 3, nKnown = n) // n already counted ⇒ capped training
+    else bitextMutualTail(bitextAutoScored(spark, all, n, hierCutover))
+  }
+
+  /** The shortlist front both auto policies share above their exact
+    * cutover: flat IVF with the capped training sample up to
+    * [[BitextHierCrossover]] (measured fastest at every affordable
+    * octave — see that constant's scaladoc), the two-level hier front
+    * at or above it (where the flat model's driver/broadcast footprint
+    * is the binding constraint, not speed). Occupancy-constant
+    * nlist = max(16, n/125) either way. */
+  private def bitextAutoScored(spark: SparkSession, all: DataFrame,
+      n: Long, hierCutover: Long): DataFrame = {
+    val nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt
+    if (n < hierCutover)
+      bitextIvfScoredOf(spark, all, nlist, softAssign = 3, nKnown = n)
+    else bitextHierScoredOf(spark, all, n, nlist,
+      softAssign = BitextHierSoft, s1 = BitextHierS1)
   }
 
   /** Implementation-choice gate for [[mineBitextAuto]] — the measured
@@ -455,9 +524,10 @@ object Similarity extends QueryPack {
     * planted-pair corpora, local[32], occupancy-constant nlist =
     * 16·mult): at 16 k vectors the exact broadcast cross still wins
     * (9.9 s vs the shortlist's 18.8 s — k-means training dominates
-    * small corpora); at 32 k the shortlist wins (SCALE.md §r17's
-    * re-read of the A/B) and the cross's |A|·|B| growth only widens
-    * it (789 s vs 307 s at 64 k, r15). 24 000 sits between the two
+    * small corpora); at 32 k the shortlist wins 4.6× (59.2 s vs the
+    * cross's 274.0 s, this round's re-read at recall 0.9991 —
+    * SCALE.md §r17) and the cross's |A|·|B| growth only widens it
+    * (789 s vs 307 s at 64 k, r15). 24 000 sits between the two
     * measured points. Same policy shape as
     * [[BitextMutualCrossover]] (whose own A/B flips slightly earlier —
     * the mutual tail re-reads the margin frame twice, shifting the
@@ -480,12 +550,11 @@ object Similarity extends QueryPack {
   /** The auto form over ANY (vec_id, v) frame with an overridable
     * cutover (spec seam — the arm flip is testable on toy frames). */
   private[graft] def mineBitextAutoOf(spark: SparkSession,
-      all: DataFrame, cutover: Long = BitextCrossover): DataFrame = {
+      all: DataFrame, cutover: Long = BitextCrossover,
+      hierCutover: Long = BitextHierCrossover): DataFrame = {
     val n = all.count() // one corpus-count action: the gate input
     if (n < cutover) bitextMarginTail(bitextExactScoredOf(all))
-    else mineBitextIvfOf(spark, all,
-      nlist = math.min(math.max(16L, n / 125L), Int.MaxValue.toLong).toInt,
-      softAssign = 3, nKnown = n)
+    else bitextMarginTail(bitextAutoScored(spark, all, n, hierCutover))
   }
 
   /** Recall floor for [[mineBitextMutualIvfVerified]] — measured-minus-

@@ -303,17 +303,25 @@ object Scale {
       val all = plantedVecs(spark, mult)
       all.persist()
       all.count()
-      // (arm label, nKnown): -1 = the r15/r16 uncapped trainer, n =
-      // the capped training sample (VERDICT r16 #4 — IvfTrainCap)
-      val armList = arms match {
-        case "capped"   => Seq(("capped", n))
-        case "uncapped" => Seq(("uncapped", -1L))
-        case _          => Seq(("uncapped", -1L), ("capped", n))
-      }
-      for ((arm, nKnown) <- armList) {
-        val (ivf, tIvf) = timed(
-          Similarity.mineBitextIvfOf(spark, all,
-            nlist = 16 * mult, softAssign = 3, nKnown = nKnown).collect())
+      // uncapped = the r15/r16 full-corpus trainer; capped = the
+      // absolute training-sample cap (VERDICT r16 #4, IvfTrainCap via
+      // nKnown); hier = the two-level quantizer front (r17: the term
+      // left after the cap is the flat quantizer's n·nlist assignment)
+      def flat(nKnown: Long) = () => Similarity.mineBitextIvfOf(spark, all,
+        nlist = 16 * mult, softAssign = 3, nKnown = nKnown)
+      val hier = () => Similarity.mineBitextHierOf(spark, all, n,
+        nlist = 16 * mult)
+      val armList: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+        arms match {
+          case "capped"   => Seq(("capped", flat(n)))
+          case "uncapped" => Seq(("uncapped", flat(-1L)))
+          case "hier"     => Seq(("hier", hier))
+          case "all"      => Seq(("uncapped", flat(-1L)), ("capped", flat(n)),
+                                 ("hier", hier))
+          case _          => Seq(("uncapped", flat(-1L)), ("capped", flat(n)))
+        }
+      for ((arm, mk) <- armList) {
+        val (ivf, tIvf) = timed(mk().collect())
         val ivfPairs = pairSet(ivf)
         val plantedFound = ivfPairs.count { case (s, t) => t == s + 1 }
         val plantedRecall = plantedFound.toDouble / concepts

@@ -74,6 +74,13 @@ class MineBitextSpec extends SparkSpec {
     assert(autoIvf == rows(
       Similarity.mineBitextMutualIvfOf(spark, all, nlist = 16, softAssign = 3)))
     assert(autoIvf.nonEmpty)
+    // forced-tiny hier cutover → the two-level front through the
+    // mutual tail, row-identical to composing the pieces directly
+    val autoHier = rows(Similarity.mineBitextMutualAutoOf(spark, all,
+      cutover = 10L, hierCutover = 10L))
+    assert(autoHier == rows(Similarity.bitextMutualTail(
+      Similarity.bitextHierScoredOf(spark, all, n = 20L, nlist = 16,
+        softAssign = Similarity.BitextHierSoft, s1 = Similarity.BitextHierS1))))
   }
 
   test("per-source auto gate (VERDICT r16 #2): below the cutover the " +
@@ -95,6 +102,12 @@ class MineBitextSpec extends SparkSpec {
     assert(autoIvf == rows(
       Similarity.mineBitextIvfOf(spark, all, nlist = 16, softAssign = 3)))
     assert(autoIvf.nonEmpty)
+    // forced-tiny hier cutover → the two-level quantizer front,
+    // row-identical to the explicit hier form
+    val autoHier = rows(Similarity.mineBitextAutoOf(spark, all,
+      cutover = 10L, hierCutover = 10L))
+    assert(autoHier == rows(
+      Similarity.mineBitextHierOf(spark, all, n = 20L, nlist = 16)))
   }
 
   test("capped k-means training (VERDICT r16 #4): over the cap the " +
