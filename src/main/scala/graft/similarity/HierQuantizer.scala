@@ -109,14 +109,17 @@ object HierQuantizer {
 
     // ---- level 2: k2 sub-centroids per super-cell, DISTRIBUTED ----
     val subSample = sampled(base, n, math.min(SubTrainCap, SubPerCell * nlist))
-    // single-super assignment of the training sample: argmax as a hash
-    // aggregate against the broadcast supers (no window sort)
+    // single-super assignment of the training sample: per-row argmax
+    // against the plan-time super model ([[graft.functions
+    // .NearestCellsExpr]], r17) — the supers are O(√nlist)
+    // driver-local by construction, so the old broadcast-join ×k1 +
+    // sample-wide hash-agg Exchange is a pure function of (v, supers);
+    // ordering ties identical to the min-struct it replaces
     val supAssigned = Materialize(
-      subSample.join(broadcast(supers))
-        .withColumn("s_sim", expr("cosine_sim(v, sv)"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct((-col("s_sim")).as("ns"), col("sup"), col("v"))).as("w"))
-        .select(col("w.sup").as("sup"), col("vec_id"), col("w.v").as("v")))
+      subSample.select(
+        Similarity.nearestCellsCol(col("v"), supCentroids(supers), 1)
+          .getItem(0).as("sup"),
+        col("vec_id"), col("v")))
     // id-seeded per super-cell: first k2 sample vectors by vec_id. The
     // window runs over the bounded sample keyed by sup — fine at scale.
     val wSeed = Window.partitionBy(col("sup")).orderBy(col("vec_id"))
@@ -171,32 +174,26 @@ object HierQuantizer {
     trained.unionByName(dead)
   }
 
+  /** The supers frame relabeled to the (cid, cv) shape
+    * [[Similarity.centroidArrays]] collects. */
+  private def supCentroids(supers: DataFrame): DataFrame =
+    supers.select(col("sup").as("cid"), col("sv").as("cv"))
+
   /** Per-row cell assignment: the top `soft` cells among the `s1`
-    * nearest super-cells' children. Two bounded stages — score k1
-    * broadcast supers, then an equi-join on `sup` meets only s1·k2
-    * sub-centroids per row — O(√nlist) per vector where the flat
-    * quantizer paid O(nlist). Output: `df`'s columns + `out` (cell
-    * id), ≤ `soft` rows per input row. Deterministic ties:
-    * (sim desc, sup, scid). */
+    * nearest super-cells' children. Two bounded stages — the top-s1
+    * supers per row as a PLAN-TIME expression over the O(√nlist)
+    * driver-local super model ([[graft.functions.NearestCellsExpr]],
+    * r17 — was a broadcast-join ×k1 + corpus-wide hash-agg/window
+    * Exchange; ordering and ties unchanged: sim desc, sup asc), then
+    * an equi-join on `sup` meets only s1·k2 sub-centroids per row —
+    * O(√nlist) per vector where the flat quantizer paid O(nlist).
+    * Output: `df`'s columns + `out` (cell id), ≤ `soft` rows per input
+    * row. Deterministic ties: (sim desc, sup, scid). */
   def assignCells(model: Model, df: DataFrame, soft: Int, s1: Int,
       out: String): DataFrame = {
     val cols = df.columns
-    val supScored = df.join(broadcast(model.supers))
-      .withColumn("s_sim", expr("cosine_sim(v, sv)"))
-    val supTop =
-      if (s1 == 1)
-        supScored.groupBy(col("vec_id"))
-          .agg(min(struct((-col("s_sim")).as("ns"), col("sup"),
-            struct(cols.map(col): _*).as("row"))).as("w"))
-          .select(cols.map(c => col(s"w.row.$c")) :+ col("w.sup").as("sup"): _*)
-      else {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("s_sim").desc, col("sup"))
-        supScored
-          .withColumn("s_rank", row_number().over(w))
-          .filter(col("s_rank") <= s1)
-          .select(cols.map(col) :+ col("sup"): _*)
-      }
+    val supTop = df.withColumn("sup",
+      explode(Similarity.nearestCellsCol(col("v"), supCentroids(model.supers), s1)))
     val cellScored = supTop.join(model.subs, "sup")
       .withColumn("c_sim", expr("cosine_sim(v, cv)"))
     if (soft == 1)

@@ -31,34 +31,63 @@ object ProductQuantizer {
   // interpreted lambda per element
   private val sqDist = "sq_dist(%s, %s)"
 
-  /** (vec_id, m, sv): the M sub-vectors of each unit-normalized vector.
-    * The norm is floored at a tiny positive value so an all-zero vector
-    * maps to the zero sub-vectors instead of NaNs (0/0) that would
-    * poison every distance they touch. */
-  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame = {
+  /** (vec_id, u): each vector unit-normalized. The norm is floored at a
+    * tiny positive value so an all-zero vector maps to the zero vector
+    * instead of NaNs (0/0) that would poison every distance it
+    * touches. */
+  private def unitVectors(vecs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(vecs.sparkSession) // sq_dist
     vecs
       .withColumn("nrm", greatest(lit(1e-300), expr(
         "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))")))
-      .withColumn("u", expr("transform(v, x -> x / nrm)"))
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice(u, i * $subDim + 1, $subDim))"))
-        .as(Seq("m", "sv")))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
   }
 
-  /** Nearest codeword per (vector, subspace); ties broken by cid.
-    * Argmin as a hash aggregate — `min` over (d, cid, sv) structs picks
-    * the same row the old (d, cid)-ordered window row_number did, but
-    * partial+final aggregation replaces the window's per-partition full
-    * sort (at scale: shuffle carries one row per (vector, subspace),
-    * not K). */
-  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), "m")
-      .withColumn("d", expr(sqDist.format("sv", "cv")))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("cid"), col("sv"))).as("w"))
-      .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
-        col("w.sv").as("sv"), col("w.d").as("d"))
+  /** (vec_id, m, sv): the M sub-vector slices of a `(vec_id, u)`
+    * frame — the exploded form Lloyd training and the per-query lookup
+    * table need. */
+  private def subOfU(u: DataFrame, m: Int, subDim: Int): DataFrame =
+    u.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), i -> slice(u, i * $subDim + 1, $subDim))"))
+      .as(Seq("m", "sv")))
+
+  /** [[unitVectors]] + [[subOfU]] — the one-frame form for callers that
+    * only ever need the exploded rows (training). */
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    subOfU(unitVectors(vecs), m, subDim)
+
+  /** Collected `(m, cid, cv)` codebook, per-subspace ids + centroid
+    * matrices sorted by cid — the plan-time model the per-row
+    * assignment expressions take. Model-sized by construction
+    * (M × K × subDim doubles — the same bound the old
+    * `broadcast(cents)` hint asserted). */
+  private def codebookArrays(cents: DataFrame): (Array[Array[Int]], Array[Array[Array[Double]]]) = {
+    val rows = cents
+      .select(col("m").cast("int"), col("cid").cast("int"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byM = rows.groupBy(_._1)
+    val mTot = if (rows.isEmpty) 0 else byM.keys.max + 1
+    val ids = Array.tabulate(mTot)(m =>
+      byM.getOrElse(m, Array.empty[(Int, Int, Array[Double])]).sortBy(_._2).map(_._2))
+    val book = Array.tabulate(mTot)(m =>
+      byM.getOrElse(m, Array.empty[(Int, Int, Array[Double])]).sortBy(_._2).map(_._3))
+    (ids, book)
+  }
+
+  /** Nearest codeword per (vector, subspace) row; ties broken by cid.
+    * Per-row expression against the plan-time codebook
+    * ([[graft.functions.PqNearestCodeExpr]], r17): the winner is a pure
+    * function of (m, sv, codebook), so the old broadcast-join × K
+    * blow-up and the (vec_id, m) hash-agg Exchange are gone — the
+    * min-struct (d, cid) ordering is replicated bit-for-bit. */
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    val (ids, book) = codebookArrays(cents)
+    sub.withColumn("cid", GraftPlanBridge.column(graft.functions.PqNearestCodeExpr(
+      GraftPlanBridge.expr(col("m")), GraftPlanBridge.expr(col("sv")), ids, book)))
+      .select(col("vec_id"), col("m"), col("cid"), col("sv"))
+  }
 
   /** Train the `M × K` codebook with Lloyd iterations. Returns
     * (m, cid, cv). Deterministic (decimal-exact means, id-seeded). */
@@ -104,30 +133,44 @@ object ProductQuantizer {
     }
   }
 
-  /** Encode every vector as its M codes: (vec_id, codes ARRAY<INT>). */
-  def encode(sub: DataFrame, cents: DataFrame): DataFrame =
-    assign(sub, cents)
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)")
-        .as("codes"))
+  /** Encode every vector of a `(vec_id, u)` frame as its M codes:
+    * (vec_id, codes ARRAY<INT>), one per-row expression pass
+    * ([[graft.functions.PqAllCodesExpr]], r17). The old pipeline —
+    * explode to M sub-rows, broadcast-join × K, min-struct hash-agg,
+    * then a SECOND shuffle on vec_id to `collect_list` the codes back
+    * into an array — paid two corpus Exchanges for what is a pure
+    * per-row function of (u, codebook); the codes array (subspace
+    * order, same (d, cid) winners) is bit-for-bit unchanged. */
+  private def encodeU(u: DataFrame, cents: DataFrame, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    val (ids, book) = codebookArrays(cents)
+    u.select(col("vec_id"), GraftPlanBridge.column(graft.functions.PqAllCodesExpr(
+      GraftPlanBridge.expr(col("u")), ids, book, subDim)).as("codes"))
+  }
 
   /** ADC top-k: query sub-vectors × codebook = the per-query lookup
     * table; candidates join it on (m, code) and sum M entries. */
   def adcTopK(spark: SparkSession, vecs: DataFrame,
       m: Int, subDim: Int, k: Int, iters: Int,
       isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
-    // one explode, materialized ONCE via localCheckpoint: training (every
-    // Lloyd pass is an eager collect), encode, and the LUT all read the
-    // materialized sub-vector blocks instead of re-running the normalize +
-    // explode pipeline. Unlike an explicit cache (which would have to
-    // outlive this call to benefit the lazy search plan, i.e. leak until
-    // the caller's clearCache), checkpoint blocks are released by the
-    // ContextCleaner as soon as the returned plan is GC'd.
+    // one normalize, materialized ONCE via localCheckpoint: training
+    // (every Lloyd pass is an eager collect), encode, and the LUT all
+    // read the materialized unit-vector blocks instead of re-running
+    // the normalize pipeline (r17: the checkpoint moved from the
+    // exploded sub-vector frame to the 1-row-per-vector unit frame —
+    // encode is now a per-row expression over `u`, so the explode only
+    // exists where Lloyd training and the query LUT need it). Unlike an
+    // explicit cache (which would have to outlive this call to benefit
+    // the lazy search plan, i.e. leak until the caller's clearCache),
+    // checkpoint blocks are released by the ContextCleaner as soon as
+    // the returned plan is GC'd.
     // LAZY checkpoint — see adcTopKAmong's note
-    val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
-    val cents = trainFrom(spark, sub, k, iters)
-    val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
-    val lut = lutOf(sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id"), cents)
+    val uf = unitVectors(vecs).localCheckpoint(false)
+    val cents = trainFrom(spark, subOfU(uf, m, subDim), k, iters)
+    val codes = encodeU(uf.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"),
+      cents, subDim)
+    val lut = lutOf(subOfU(uf.join(vecs.filter(isQuery).select("vec_id"), "vec_id"),
+      m, subDim), cents)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     // whole-corpus scan: the LUT joins on (m, cid) alone — every corpus
@@ -148,10 +191,12 @@ object ProductQuantizer {
 
   /** (vec_id, codes) for every row of a raw `(vec_id, v)` frame against
     * an already-trained codebook — the persisted-index encode
-    * ([[graft.similarity.Similarity.ensureServedIndex]]). */
+    * ([[graft.similarity.Similarity.ensureServedIndex]]). Map-only
+    * since r17: normalize + the per-row codes expression, no explode
+    * and no shuffle. */
   def encodeAll(vecs: DataFrame, m: Int, subDim: Int,
       cents: DataFrame): DataFrame =
-    encode(subVectors(vecs, m, subDim), cents)
+    encodeU(unitVectors(vecs), cents, subDim)
 
   /** The per-query ADC lookup table: one (query, subspace, codeword)
     * distance row per codebook entry. */
@@ -218,12 +263,14 @@ object ProductQuantizer {
       m: Int, subDim: Int, k: Int, iters: Int,
       isQuery: org.apache.spark.sql.Column, topK: Int): DataFrame = {
     // LAZY checkpoint: the training seed collect right below is the
-    // first action through `sub`, so one job materializes the explode
+    // first action through `uf`, so one job materializes the normalize
     // AND reads the seed off it; every later stage reads the blocks
-    val sub = subVectors(vecs, m, subDim).localCheckpoint(false)
-    val cents = trainFrom(spark, sub, k, iters)
-    val codes = encode(sub.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"), cents)
-    val lut = lutOf(sub.join(vecs.filter(isQuery).select("vec_id"), "vec_id"), cents)
+    val uf = unitVectors(vecs).localCheckpoint(false)
+    val cents = trainFrom(spark, subOfU(uf, m, subDim), k, iters)
+    val codes = encodeU(uf.join(vecs.filter(!isQuery).select("vec_id"), "vec_id"),
+      cents, subDim)
+    val lut = lutOf(subOfU(uf.join(vecs.filter(isQuery).select("vec_id"), "vec_id"),
+      m, subDim), cents)
     adcRank(candidates, codes, lut, topK)
   }
 }

@@ -457,11 +457,15 @@ object Similarity extends QueryPack {
     * regression (broken cells, lost candidates, margin drift past the
     * threshold band). */
   def mineBitextIvfVerified(spark: SparkSession, d: String): DataFrame = {
-    val exact = graft.operators.Materialize(
-      mineBitext(spark, d).select("src_id", "tgt_id"))
-    val found = exact.join(
-      mineBitextIvf(spark, d).select("src_id", "tgt_id"),
-      Seq("src_id", "tgt_id"), "left_semi")
+    // both arms are independent until the semi-join; their construction
+    // runs eager chains (exact cross + margin heaps vs k-means collects
+    // + shortlist margins), so build them concurrently
+    // ([[graft.operators.Concurrently]], r17 — guide §2.6)
+    val (exact, shortlist) = graft.operators.Concurrently.pair(
+      graft.operators.Materialize(
+        mineBitext(spark, d).select("src_id", "tgt_id")),
+      mineBitextIvf(spark, d).select("src_id", "tgt_id"))
+    val found = exact.join(shortlist, Seq("src_id", "tgt_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .select(lit(BitextIvfFloor).as("floor"), col("n_exact"),
@@ -580,11 +584,13 @@ object Similarity extends QueryPack {
     * recover at least [[BitextMutualIvfFloor]] of the exactly-mined
     * mutual pairs. Same contract as [[mineBitextIvfVerified]]. */
   def mineBitextMutualIvfVerified(spark: SparkSession, d: String): DataFrame = {
-    val exact = graft.operators.Materialize(
-      mineBitextMutual(spark, d).select("src_id", "tgt_id"))
-    val found = exact.join(
-      mineBitextMutualIvf(spark, d).select("src_id", "tgt_id"),
-      Seq("src_id", "tgt_id"), "left_semi")
+    // independent arms built concurrently — same rationale as
+    // [[mineBitextIvfVerified]] (guide §2.6, r17)
+    val (exact, shortlist) = graft.operators.Concurrently.pair(
+      graft.operators.Materialize(
+        mineBitextMutual(spark, d).select("src_id", "tgt_id")),
+      mineBitextMutualIvf(spark, d).select("src_id", "tgt_id"))
+    val found = exact.join(shortlist, Seq("src_id", "tgt_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .select(lit(BitextMutualIvfFloor).as("floor"), col("n_exact"),
@@ -773,15 +779,16 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cv")
     (1 to iters).foldLeft(seed) { (cents, _) =>
-      // argmax similarity as a hash aggregate: min over (-sim, cid, v)
-      // structs = max sim with min-cid tie-break, exactly the row the
-      // old descending window row_number picked — without the window's
-      // per-partition sort (negation is an exact IEEE sign flip)
-      val assigned = all.join(broadcast(cents))
-        .withColumn("c_sim", expr("cosine_sim(v, cv)"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct((-col("c_sim")).as("ns"), col("cid"), col("v"))).as("w"))
-        .select(col("w.cid").as("cid"), col("w.v").as("v"))
+      // argmax similarity per ROW against the plan-time model
+      // ([[graft.functions.NearestCellsExpr]], r17): the winner is a
+      // pure function of (v, centroids), so no corpus × nlist join
+      // blow-up and no corpus-wide hash-agg Exchange per Lloyd round —
+      // the expression replicates the old min(struct(-sim, cid, v))
+      // ordering (sim DESC with ±0.0 equated, ties to the smaller cid)
+      // bit-for-bit, and vec_id is unique, so the (cid, v) multiset is
+      // identical to the aggregate's
+      val assigned = all.select(
+        nearestCellsCol(col("v"), cents, 1).getItem(0).as("cid"), col("v"))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -829,29 +836,41 @@ object Similarity extends QueryPack {
     * [[annLsh]] — the probe is an equi-join on the list id — but with
     * data-adaptive cells instead of fixed hyperplanes. Approximate ⇒
     * rows-only. */
-  /** Nearest coarse-quantizer lists for every row of `df`: one list per
-    * corpus vector (argmax as a hash aggregate, no window sort), or the
-    * `n`-probe expansion for query rows (window over queries only). */
+  /** Nearest coarse-quantizer lists for every row of `df`: the single
+    * assignment (n = 1) or the n-probe expansion, both as a PER-ROW
+    * expression against the plan-time centroid model
+    * ([[graft.functions.NearestCellsExpr]], r17 optimization round).
+    * The previous plan — broadcast-join (corpus × nlist rows, each
+    * carrying the embedding) + a corpus-wide hash aggregate (n = 1) or
+    * window sort (n > 1) — paid a full-corpus Exchange per assignment;
+    * the winner set is a pure function of (v, model), so this is now a
+    * map-only stage inside the scan's codegen. Cell order and every
+    * tie-break replicate the old (sim DESC, cid ASC) exactly — see the
+    * expression's scaladoc for the bit-for-bit argument. */
   private[graft] def nearestLists(centroids: DataFrame, df: DataFrame,
       vcol: String, n: Int, out: String): DataFrame = {
-    val scored = df.join(broadcast(centroids))
-      .withColumn("c_sim", expr(s"cosine_sim($vcol, cv)"))
-    if (n == 1)
-      // the corpus-wide single-assignment path: argmax as a hash
-      // aggregate (same trick as trainCentroids), no window sort
-      scored.groupBy(col("vec_id"))
-        .agg(min(struct((-col("c_sim")).as("ns"), col("cid"),
-          struct(df.columns.map(col): _*).as("row"))).as("w"))
-        .select((df.columns.map(c => col(s"w.row.$c")) :+ col("w.cid").as(out)): _*)
-    else {
-      // the n-probe path runs only over the query rows — window is fine
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cid"))
-      scored
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-        .select(df.columns.map(col) :+ col("cid").as(out): _*)
-    }
+    val cells = nearestCellsCol(col(vcol), centroids, n)
+    if (n == 1) df.withColumn(out, cells.getItem(0))
+    else df.withColumn(out, explode(cells))
+  }
+
+  /** Collected `(cid, cv)` model of a centroid frame, sorted by cid.
+    * Every producer ([[trainCentroids]], the served coarse index) is
+    * either already driver-local or model-sized — the same bound the
+    * old `broadcast(centroids)` hint asserted. */
+  private[graft] def centroidArrays(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids.select(col("cid").cast("long"), col("cv")).collect()
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** `nearest_cells(vcol)` column bound to a collected centroid model. */
+  private[graft] def nearestCellsCol(vcol: org.apache.spark.sql.Column,
+      centroids: DataFrame, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.execution.graft.GraftPlanBridge
+    val (cids, cvs) = centroidArrays(centroids)
+    GraftPlanBridge.column(
+      graft.functions.NearestCellsExpr(GraftPlanBridge.expr(vcol), cids, cvs, k))
   }
 
   def annIvf(spark: SparkSession, d: String): DataFrame = {
@@ -1758,8 +1777,18 @@ object Similarity extends QueryPack {
     val centroids =
       if (nKnown > 0L) trainCentroidsCapped(spark, all, nKnown, nlist, iters = 2)
       else trainCentroids(spark, all, nlist, iters = 2)
+    // ids-only repartition by vec_id (r17): the per-row assignment above
+    // is map-only, so without this the pair self-join's streamed side
+    // inherits the SCAN's partitioning and the `distinct()` below pays a
+    // full exchange of the RAW pair fan-out (measured 481k records at
+    // sf0.1, on one task). HashPartitioning(vec_a) satisfies the
+    // distinct's clustered distribution, so with it the dedup is
+    // partition-local — the shuffle is n·soft rows of (id, list), ~30×
+    // narrower than the corpus × nlist vector rows the old window
+    // exchange moved to get the same layout.
     val assigned = nearestLists(centroids, sub.select("vec_id", "v"), "v", softAssign, "list_id")
       .select("vec_id", "list_id")
+      .repartition(col("vec_id"))
     assigned.select(col("vec_id").as("vec_a"), col("list_id"))
       .join(assigned.select(col("vec_id").as("vec_b"), col("list_id")), Seq("list_id"))
       .filter(col("vec_a") < col("vec_b"))
@@ -1872,11 +1901,17 @@ object Similarity extends QueryPack {
   def semanticDedupIvfVerified(spark: SparkSession, d: String): DataFrame = {
     val all = vecs(spark, d)
     val sub = probeFrame(all, probeBuckets(all.count()))
-    val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
-      .select(col("vec_id"), col("is_survivor").as("ex_s"))
-    val ivf = clusterized(sub,
-        verifyPairs(sub, ivfCandidatesAmong(spark, all, sub, ServedNList, 2), 0.4))
-      .select(col("vec_id"), col("is_survivor").as("iv_s"))
+    // the two survivor frames are independent until the final join, and
+    // each one's construction runs a long eager chain (a connected-
+    // components loop each, plus the ivf arm's Lloyd collects) — build
+    // them concurrently ([[graft.operators.Concurrently]], r17 — guide
+    // §2.6); `sub` is materialized above, before the fork
+    val (exact, ivf) = graft.operators.Concurrently.pair(
+      clusterized(sub, exactPairsAmong(sub, 0.4))
+        .select(col("vec_id"), col("is_survivor").as("ex_s")),
+      clusterized(sub,
+          verifyPairs(sub, ivfCandidatesAmong(spark, all, sub, ServedNList, 2), 0.4))
+        .select(col("vec_id"), col("is_survivor").as("iv_s")))
     exact.join(ivf, "vec_id")
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -1965,8 +2000,6 @@ object Similarity extends QueryPack {
     // same discipline as [[semanticDedupIvfVerified]] since r9
     val nlist = nlistForCorpus(n)
     val sub = probeFrame(all, probeBuckets(n))
-    val exact = clusterized(sub, exactPairsAmong(sub, 0.4))
-      .select(col("vec_id"), col("is_survivor").as("ex_s"))
     // Size-gated quantizer hybrid (VERDICT r10 #4). Below
     // [[HierCrossover]] the flat quantizer is strictly cheaper
     // (SCALE.md §r10 crossover table: 2.38 s vs 8.06 s at ×1 — the
@@ -1984,12 +2017,20 @@ object Similarity extends QueryPack {
     // was the recall bottleneck — 0.90 at (3,4), 0.98 at (4,6), 0.998
     // at (4,8); (4,6) clears the 0.9 floor with margin at constant
     // per-vector cost, so candidates stay linear either way).
-    val cand =
-      if (n < HierCrossover) ivfCandidatesAmong(spark, all, sub, nlist, 4)
-      else ivfCandidatesHierAmong(spark, all, sub, n, nlist,
-        softAssign = 6, s1 = 4)
-    val ivf = clusterized(sub, verifyPairs(sub, cand, 0.4))
-      .select(col("vec_id"), col("is_survivor").as("iv_s"))
+    // independent survivor arms built concurrently, same as
+    // [[semanticDedupIvfVerified]] (guide §2.6, r17); `sub` is
+    // materialized above, before the fork
+    val (exact, ivf) = graft.operators.Concurrently.pair(
+      clusterized(sub, exactPairsAmong(sub, 0.4))
+        .select(col("vec_id"), col("is_survivor").as("ex_s")),
+      {
+        val cand =
+          if (n < HierCrossover) ivfCandidatesAmong(spark, all, sub, nlist, 4)
+          else ivfCandidatesHierAmong(spark, all, sub, n, nlist,
+            softAssign = 6, s1 = 4)
+        clusterized(sub, verifyPairs(sub, cand, 0.4))
+          .select(col("vec_id"), col("is_survivor").as("iv_s"))
+      })
     exact.join(ivf, "vec_id")
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -2014,11 +2055,14 @@ object Similarity extends QueryPack {
     * ride along from [[recallGate]] so the served path also carries the
     * exact-top-5 recall bound with `n_exact` data-derived. */
   def annIvfPqServedVerified(spark: SparkSession, d: String): DataFrame = {
-    val served = graft.operators.Materialize(annIvfPqServed(spark, d))
     // one in-query build only: annIvfPq trains at plan-construction time
     // (trainCentroids collects per Lloyd round), so both exceptAll sides
-    // must share one materialized frame (durable off-local, VERDICT r9 #2)
-    val inq = graft.operators.Materialize(annIvfPq(spark, d))
+    // must share one materialized frame (durable off-local, VERDICT r9 #2).
+    // The served read/first-build and the in-query train are independent
+    // chains — built concurrently (guide §2.6, r17)
+    val (served, inq) = graft.operators.Concurrently.pair(
+      graft.operators.Materialize(annIvfPqServed(spark, d)),
+      graft.operators.Materialize(annIvfPq(spark, d)))
     val diff = served.exceptAll(inq).unionAll(inq.exceptAll(served))
     recallGate(spark, d, served, 0.6)
       .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
