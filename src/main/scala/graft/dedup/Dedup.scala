@@ -538,7 +538,12 @@ object Dedup extends QueryPack {
           else {
             // EAGERLY materialized (unlike the rest of the loop) so the
             // shortcut's self-join reads these O(nodes) rows twice
-            // instead of racing two stages into the edge join
+            // instead of racing two stages into the edge join. (r17
+            // A/B: a lazy checkpoint here let the self-join's two scans
+            // race the hop's edge join — semantic_dedup_lsh, whose
+            // 850k-candidate edge frame makes that join the round's
+            // cost, went 3.4 s → 7.9 s. The comment above is measured,
+            // not conjecture; kept eager.)
             val hop = hopPlan.localCheckpoint()
             // pointer-doubling shortcut: adopt the label of your label
             // (explicit renames, not .as("x"): a dataset alias on a
@@ -624,15 +629,24 @@ object Dedup extends QueryPack {
         .distinct()
     }
     var rounds = 0
-    var converged = edges.isEmpty
+    // one count per FRAME, carried across rounds (r17): the loop used
+    // to re-count the cached previous edge set every round (a whole
+    // job just to re-read a number it had already computed), and the
+    // eager checkpoint paid another job before the count; the lazy
+    // checkpoint's materializing action IS the count now — per round:
+    // one count + (only on a size tie) the exceptAll check, down from
+    // four actions.
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       rounds += 1
+      val nextCount = next.count() // materializes the lazy checkpoint
       // both sets are distinct: equal iff same size and no new edge
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       val prev = edges
       edges = next
+      edgeCount = nextCount
       prev.unpersist()
     }
     val members = edges

@@ -715,6 +715,13 @@ object Extended extends QueryPack {
   /** Candidate id pairs from colliding variant hashes — the heaviest
     * shuffle, ids + 8-byte keys only. */
   private[graft] def fuzzyCandidatesOf(names: DataFrame): DataFrame = {
+    // r17 note: the ivfCandidatesAmong ids-only-repartition layout rule
+    // was A/B'd here and REJECTED — pre-partitioning the variants by id
+    // does make the pair distinct partition-local (shuffle records
+    // 1.2M → 0.49M), but AQE coalesces the skinny exchange to ~2
+    // partitions and the CPU-heavy collision emission + levenshtein
+    // verify then run nearly serial (wall 3.3 s → 5.9 s). The vh-keyed
+    // join exchange below is what spreads that work; kept as is.
     val variants = fuzzyVariantsOf(names)
     variants.select(col("id").as("id_a"), col("vh"))
       .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
@@ -1239,7 +1246,12 @@ object Extended extends QueryPack {
         .agg(sum(col("c")).as("s"))
         .select(col("pb").as("node"),
           expr(s"(15 * ${base}L + 85 * s) div 100").as("rank"))
-        .localCheckpoint()
+        // LAZY (r17): the next round's broadcast build (or, on the last
+        // round, the caller's terminal action) is the materializing
+        // action — the eager form paid one extra job per iteration just
+        // to materialize the O(nodes) rank frame it was about to
+        // broadcast anyway
+        .localCheckpoint(false)
     }
     if (!bcast) adjLoop.unpersist()
     rank

@@ -1284,14 +1284,23 @@ object Similarity extends QueryPack {
     * cannot run k-means, so the sketch side itself stays rows-only —
     * this is exactly the checkable statement that remains.) */
   private[graft] def recallGate(spark: SparkSession, d: String,
-      sketch: DataFrame, floor: Double): DataFrame = {
+      sketch: => DataFrame, floor: Double): DataFrame = {
     // materialize the exact top-k once: without it the brute-force
     // ranked scan (the gate's heaviest stage) would run twice — once
     // under each count. The materialized frame is queries×k rows
     // (durable off-local — Materialize, VERDICT r9 #2).
-    val exact = graft.operators.Materialize(
-      annTopK(spark, d).select("query_id", "neighbor_id"))
-    val found = exact.join(sketch.select("query_id", "neighbor_id"),
+    // `sketch` is BY-NAME and constructed concurrently with the exact
+    // arm (r17; guide §2.6): the approximate arm's construction runs
+    // eager work (counts, Lloyd collects, assignment checkpoints) and
+    // the exact arm's Materialize is a brute-force ranked scan — two
+    // independent job chains that previously serialized at every one
+    // of the six recallGate call sites. Same Concurrently.pair idiom
+    // (and safety argument) as the tranche-2 gates.
+    val (exact, sk) = graft.operators.Concurrently.pair(
+      graft.operators.Materialize(
+        annTopK(spark, d).select("query_id", "neighbor_id")),
+      sketch)
+    val found = exact.join(sk.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1397,7 +1406,10 @@ object Similarity extends QueryPack {
     // both implementations (r9's and r10's green rows respectively).
     val nlist = nlistAnnForCorpus(n)
     val nprobe = nprobeForNlist(nlist)
-    val sketch =
+    // def, not val: recallGate's sketch parameter is by-name so the
+    // arm's construction overlaps the exact arm (r17) — a val here
+    // would evaluate it eagerly and re-serialize the two chains
+    def sketch =
       if (n < HierCrossover) annIvfPqWith(spark, d, nlist, nprobe, m, dim / m)
       else annIvfPqHierWith(spark, d, n, nlist, nprobe, m, dim / m)
     recallGate(spark, d, sketch, 0.5)

@@ -612,9 +612,28 @@ object StreamingAnalytics {
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BudgetDoc]
     val name = "token_budget_admission_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = tokenBudgetStream(stream.toDS(), AdmissionBudget)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
+    // Size the state-store partition count from the KEY SPACE, not the
+    // session's byte-derived shuffle default (r17; guide §2.2 "fewer,
+    // larger partitions"): the state axis is sources — bounded and tiny
+    // at any corpus size (the operator's own scaladoc) — while the
+    // session default provisions for corpus-sized shuffles. Every state
+    // partition costs a store open/commit per micro-batch whether or
+    // not it holds a key, so 32 partitions × 5 batches ran 160 state
+    // tasks for 20 sources (measured 84 exec-core-s of store overhead
+    // at sf0.1). Derived from the data (distinct sources in the feed,
+    // floor 4 for key skew), never hard-coded to a core count; the
+    // ledger is per-source deterministic, so partitioning cannot change
+    // a row. Restored in the same finally that drops the sink view.
+    val nSources = feed.iterator.map(_.source).toSet.size
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, math.min(prevParts.toInt, nSources)).toString)
+    val q =
+      try tokenBudgetStream(stream.toDS(), AdmissionBudget)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      catch { case t: Throwable =>
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts); throw t }
     // drain the ledger out of the memory sink, then DROP the sink's
     // temp view before returning: the sink table holds the full ledger
     // on the driver and clearCache() does not drop temp views, so a
@@ -635,6 +654,7 @@ object StreamingAnalytics {
         // drop BEFORE stop: stop() can throw (stopTimeout, fatal
         // stream error), and the view drop must not be skippable or
         // the ledger leak this drain exists to close reopens
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.catalog.dropTempView(name)
         q.stop()
       }

@@ -1414,8 +1414,12 @@ object TextAnalysis extends QueryPack {
         case None => dry = true
         case Some((a, b, n)) =>
           learned += ((r.toLong, a, b, n))
+          // LAZY (r17): the next round's argmax collect — or, on the
+          // last round, the caller's terminal action — materializes
+          // the rewrite, so the loop pays one job per merge instead of
+          // two (lineage still truncates at each materialization)
           toks = toks.select(col("doc_id"), fuseCol(a, b).as("t"))
-            .localCheckpoint()
+            .localCheckpoint(false)
       }
       r += 1
     }
@@ -1523,11 +1527,21 @@ object TextAnalysis extends QueryPack {
                   lit(false))),
             x => x)
           // evaluate the flag ONCE per doc; both filters below read the
-          // checkpointed result
+          // checkpointed result. `flagged` stays EAGER — it is the
+          // round's fan-out point (the counts delta reads it through
+          // BOTH the rewritten and the affected branch within one job,
+          // and a lazy persist would let those scans race the flag
+          // computation — the clusterLabels hop lesson). The three
+          // single-consumer checkpoints below are LAZY since r17: the
+          // next round's argmax collect materializes the counts delta
+          // (and through it `rewritten`), and the next round's flag
+          // checkpoint materializes the new `toks` — so the loop pays
+          // two jobs per merge instead of five, with no scan racing
+          // (measured: 104 → ~40 jobs, see OPTIMIZATION_r17.md).
           val flagged = toks.withColumn("aff", hasPair).localCheckpoint()
           val affected = flagged.filter(col("aff")).select("doc_id", "t")
           val rewritten = affected
-            .select(col("doc_id"), fuseCol(a, b).as("t")).localCheckpoint()
+            .select(col("doc_id"), fuseCol(a, b).as("t")).localCheckpoint(false)
           // counts ⊎ (pairs after − pairs before), zeros dropped: the
           // only shuffle of the round, over the affected sliver's pairs
           // plus the vocabulary-shaped counts frame
@@ -1538,9 +1552,9 @@ object TextAnalysis extends QueryPack {
               .agg((-count(lit(1))).as("dn")))
             .groupBy("a", "b").agg(sum(col("dn")).as("n"))
             .filter(col("n") > 0)
-            .localCheckpoint()
+            .localCheckpoint(false)
           toks = flagged.filter(!col("aff")).select("doc_id", "t")
-            .unionAll(rewritten).coalesce(nParts).localCheckpoint()
+            .unionAll(rewritten).coalesce(nParts).localCheckpoint(false)
       }
       r += 1
     }
