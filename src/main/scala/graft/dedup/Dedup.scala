@@ -223,21 +223,31 @@ object Dedup extends QueryPack {
     winnowPairsOf(Tables.documents(spark, d))
 
   def winnowPairsOf(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.RollingHashExpr.register(documents.sparkSession)
     val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= WinnowK)
-    val grams = docs.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(1, size(t) - ${WinnowK - 1}), " +
-        s"i -> rolling_hash(concat_ws(' ', slice(t, i, $WinnowK))))"))
-      .as(Seq("pos", "h")))
-    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val fps = grams
-      .withColumn("fp", min(col("h")).over(wWin))
-      .select("doc_id", "fp")
-      .distinct()
+    // Fingerprint selection is a pure PER-DOCUMENT computation, so it
+    // runs entirely in-array (r17; guide §2.4 "remove shuffles
+    // outright"): the old form exploded the gram-hash stream and ran
+    // `min over (partitionBy doc_id orderBy pos rowsBetween 0, W-1)`
+    // plus a `(doc_id, fp) distinct` — TWO corpus-sized Exchanges (the
+    // window's hash-partition + sort over every gram of every document,
+    // then the distinct's re-shuffle) for a sliding minimum that never
+    // crosses a document boundary. Here the gram hashes stay an array
+    // column (`hs`), each window minimum is `array_min(slice(hs, j, W))`
+    // (slice truncates at the tail exactly like the shrinking
+    // rowsBetween frames did), and the per-doc distinct is
+    // `array_distinct` before the explode — the first shuffle the plan
+    // pays is the df-count aggregate over the already-selected
+    // fingerprints. Same O(n·W) per-doc compute either way.
+    val fps = docs
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(t) - ${WinnowK - 1}), " +
+          s"i -> rolling_hash(concat_ws(' ', slice(t, i, $WinnowK))))").as("hs"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $WinnowW)))")))
+        .as("fp"))
     // MOSS common-fingerprint elimination: df > WinnowMaxDf ⇒
     // boilerplate, dropped before the join — bounds every bucket
     val kept = fps.join(

@@ -203,11 +203,16 @@ object HierQuantizer {
         .select(cols.map(c => col(s"w.row.$c")) :+
           (col("w.sup") * lit(model.k2.toLong) + col("w.scid")).as(out): _*)
     else {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("sup"), col("scid"))
-      cellScored
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= soft)
+      // bounded-heap top-`soft` per vector (r17): the window form
+      // re-exchanged and per-key-sorted the corpus × (s1·k2) scored
+      // frame — including the embedding and sub-centroid vectors it
+      // carried — just to keep `soft` rows; TopKPerKey cuts each map
+      // partition to ≤ soft rows per vec_id before the exchange (the
+      // centroid vector dropped up front), identical (sim desc, sup,
+      // scid) tie order.
+      graft.plans.TopKPerKey(cellScored.drop("cv"),
+          Seq("vec_id"),
+          Seq(col("c_sim").desc, col("sup").asc, col("scid").asc), k = soft)
         .select(cols.map(col) :+ model.cellId(col("sup"), col("scid")).as(out): _*)
     }
   }
@@ -221,12 +226,16 @@ object HierQuantizer {
   def queryCells(model: Model, q: DataFrame, nprobe: Int,
       out: String): DataFrame = {
     val cols = q.columns
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("sup"), col("scid"))
-    broadcast(q).join(model.subs)
-      .withColumn("c_sim", expr("cosine_sim(v, cv)"))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") <= nprobe)
+    // bounded-heap top-nprobe per query (r17): queries × ≈nlist scored
+    // cell rows funneled through ≤ |q| window partitions was a full
+    // sort on the handful of query keys — the heap cut keeps ≤ nprobe
+    // rows per query per map partition instead (assignCells' note).
+    graft.plans.TopKPerKey(
+        broadcast(q).join(model.subs)
+          .withColumn("c_sim", expr("cosine_sim(v, cv)"))
+          .drop("cv"),
+        Seq("vec_id"),
+        Seq(col("c_sim").desc, col("sup").asc, col("scid").asc), k = nprobe)
       .select(cols.map(col) :+ model.cellId(col("sup"), col("scid")).as(out): _*)
   }
 }

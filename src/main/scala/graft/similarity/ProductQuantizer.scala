@@ -176,15 +176,21 @@ object ProductQuantizer {
     // whole-corpus scan: the LUT joins on (m, cid) alone — every corpus
     // code row matches its query entries — so this keeps its own join
     // shape rather than adcRank's candidate-restricted (query_id, m,
-    // cid) join; the decimal-exact entry sum is identical
-    codes.select(col("vec_id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("m", "cid")))
-      .join(lut, Seq("m", "cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d").cast(DecimalType(20, 14)))
-        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // cid) join; the decimal-exact entry sum is identical.
+    // Top-k through the bounded-heap TopKPerKey (r17): the window form
+    // re-exchanged and full-sorted the queries×corpus ADC frame per
+    // query; the heap cuts each map partition to ≤ topK rows per query
+    // before the exchange, and the residual row_number runs over
+    // ≤ queries×topK rows.
+    graft.plans.TopKPerKey(
+      codes.select(col("vec_id").as("neighbor_id"),
+          posexplode(col("codes")).as(Seq("m", "cid")))
+        .join(lut, Seq("m", "cid"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("d").cast(DecimalType(20, 14)))
+          .cast(DecimalType(38, 14)).cast("double").as("adc_dist")),
+      Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k = topK)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×topK rows
       .select("query_id", "neighbor_id", "adc_dist", "rank")
       .orderBy("query_id", "rank")
   }
@@ -218,16 +224,18 @@ object ProductQuantizer {
       lut: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    candidates
-      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("m", "cid")))
-      .join(lut, Seq("query_id", "m", "cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d").cast(DecimalType(20, 14)))
-        .cast(DecimalType(38, 14)).cast("double").as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // bounded-heap top-k (r17) — see adcTopK's note; identical ordering
+    graft.plans.TopKPerKey(
+      candidates
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          posexplode(col("codes")).as(Seq("m", "cid")))
+        .join(lut, Seq("query_id", "m", "cid"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("d").cast(DecimalType(20, 14)))
+          .cast(DecimalType(38, 14)).cast("double").as("adc_dist")),
+      Seq("query_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc), k = topK)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×topK rows
       .select("query_id", "neighbor_id", "adc_dist", "rank")
       .orderBy("query_id", "rank")
   }

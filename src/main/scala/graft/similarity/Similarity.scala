@@ -701,12 +701,16 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("tbl", "bucket"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id") // may collide in several tables
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // bounded-heap top-5 (r17): ids+sim through the cut, not the full
+    // sorted candidate frame with its vectors — see annIvf's note
+    graft.plans.TopKPerKey(
+      c.join(q, Seq("tbl", "bucket"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+        .dropDuplicates("query_id", "neighbor_id") // may collide in several tables
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
@@ -743,12 +747,15 @@ object Similarity extends QueryPack {
           "j -> cast(bucket ^ shiftleft(1, j) as int)))")).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("tbl", "bucket"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // bounded-heap top-5 (r17) — see annIvf's note
+    graft.plans.TopKPerKey(
+      c.join(q, Seq("tbl", "bucket"))
+        .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
@@ -886,11 +893,20 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, "list_id")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // per-query top-5 through the bounded-heap TopKPerKey (r17; the
+    // exact/mrl arms' idiom): the window form shuffled and full-sorted
+    // every scored candidate PLUS its two 64-dim vectors (the qv/cv
+    // projection happened only after the rank filter) — the heap cut
+    // carries (query_id, neighbor_id, cos_sim) only, ≤5 rows per query
+    // per map partition, and the residual row_number runs over
+    // ≤ queries×5 rows.
+    graft.plans.TopKPerKey(
+      c.join(q, "list_id")
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
@@ -1114,12 +1130,17 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("query_id"), col("pv").as("qp"))
     val c = proj.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("pv").as("cp"))
-    val wP = Window.partitionBy(col("query_id"))
-      .orderBy(col("proj_sim").desc, col("neighbor_id"))
-    val shortlist = c.join(broadcast(q))
-      .withColumn("proj_sim", expr("cosine_sim(qp, cp)"))
-      .withColumn("p_rank", row_number().over(wP))
-      .filter(col("p_rank") <= 20)
+    // bounded-heap top-20 on the projected similarity (r17): this is
+    // the one stage that scores the FULL corpus per query — the window
+    // form shuffled and per-query-sorted all of it (with the projected
+    // vectors aboard); the heap cut ships ids+sim only, ≤20 per query
+    // per map partition. No rank column survives, so TopKPerKey
+    // replaces the window outright.
+    val shortlist = graft.plans.TopKPerKey(
+      c.join(broadcast(q))
+        .withColumn("proj_sim", expr("cosine_sim(qp, cp)"))
+        .select("query_id", "neighbor_id", "proj_sim"),
+      Seq("query_id"), Seq(col("proj_sim").desc, col("neighbor_id").asc), k = 20)
       .select("query_id", "neighbor_id")
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1219,11 +1240,14 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, "list_id")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    // bounded-heap top-5 (r17) — see annIvf's note
+    graft.plans.TopKPerKey(
+      c.join(q, "list_id")
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos_sim", expr("cosine_sim(qv, cv)"))
+        .select("query_id", "neighbor_id", "cos_sim"),
+      Seq("query_id"), Seq(col("cos_sim").desc, col("neighbor_id").asc), k = 5)
+      .withColumn("rank", row_number().over(w)) // ≤ queries×5 rows
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }

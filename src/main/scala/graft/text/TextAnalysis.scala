@@ -118,10 +118,16 @@ object TextAnalysis extends QueryPack {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     // broadcast the 1-row corpus count — without the hint, pre-AQE
     // planning (no stats on an agg output) can pick CartesianProduct
-    tf.join(df, "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    // per-doc top-3 through the bounded-heap [[graft.plans.TopKPerKey]]
+    // (r17; the bm25/quality idiom): the window form full-sorted every
+    // (doc, term) row per doc partition and shuffled them all — the
+    // two-phase heap cuts each map partition to ≤3 rows per doc before
+    // the exchange. The residual row_number runs over ≤ docs×3 rows.
+    graft.plans.TopKPerKey(scored,
+        Seq("doc_id"), Seq(col("score").desc, col("term")), k = 3)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
       .select("doc_id", "term", "tf", "df", "score", "rn")
       .orderBy("doc_id", "rn")
   }
@@ -1694,7 +1700,6 @@ object TextAnalysis extends QueryPack {
   }
 
   def nbClassifyOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val terms = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("term"))
     val (model, totals) = nbModelOf(docs)
@@ -1702,13 +1707,20 @@ object TextAnalysis extends QueryPack {
       .join(model, "term")
       .groupBy(col("doc_id"), col("clang"))
       .agg(sum(col("c")).as("mass"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("clang"))
+    // argmax as a map-side-combinable min-struct AGGREGATE (r17; guide
+    // §2.3 "aggregate before you shuffle"), not a window: the old
+    // `row_number over (partitionBy doc_id orderBy score desc, clang)`
+    // re-exchanged and per-doc-sorted the docs×classes frame just to
+    // keep rn = 1. `min(struct(-score, clang))` picks the identical
+    // winner — max score, ties to the lexicographically smallest clang
+    // (score > 0 strictly, so the negation never meets ±0.0) — with
+    // map-side partial aggregation and no sort. Same idiom as
+    // HierQuantizer.assignCells' soft=1 arm.
     val pred = mass.join(totals, "clang")
       .withColumn("score", col("mass").cast("double") / col("t"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("clang").as("predicted"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("clang"))).as("w"))
+      .select(col("doc_id"), col("w.clang").as("predicted"))
     docs.select("doc_id", "lang").join(pred, "doc_id")
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))

@@ -85,6 +85,17 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** The operator drops rows WITHIN partitions and never moves one —
+    * pass the child's partitioning through (r17). Without this the
+    * default `UnknownPartitioning` made every downstream key-aligned
+    * consumer (the `row_number` rank windows every ANN tail runs over
+    * the ≤ keys×k cut) re-exchange the survivors it could already
+    * consume in place: one extra job + a keys×k-row shuffle per query,
+    * measured at exactly queries×k records on each converted tail. No
+    * ordering is claimed — the heap emits key groups unsorted. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "fallbackPartitions" -> SQLMetrics.createMetric(sparkContext,
       "partitions that fell back to external sort"))
