@@ -94,7 +94,16 @@ object HierQuantizer {
   /** Train the two-level model. `all` must carry (vec_id, v); `n` is
     * its count (callers already have it — no second scan). */
   def train(spark: SparkSession, all: DataFrame, n: Long, nlist: Int,
-      iters: Int = 2): Model = {
+      iters: Int = 2): Model = trainImpl(spark, all, n, nlist, iters, forceDistributedSub = false)
+
+  /** Test seam: sub level forced through the distributed rounds —
+    * LocalTrainSpec pins local == distributed. */
+  private[graft] def trainDistributedForTest(spark: SparkSession, all: DataFrame,
+      n: Long, nlist: Int, iters: Int = 2): Model =
+    trainImpl(spark, all, n, nlist, iters, forceDistributedSub = true)
+
+  private def trainImpl(spark: SparkSession, all: DataFrame, n: Long, nlist: Int,
+      iters: Int, forceDistributedSub: Boolean): Model = {
     VectorFunctions.register(spark)
     val k1 = math.max(1, ceilIsqrt(nlist))
     val k2 = math.max(1, (nlist + k1 - 1) / k1)
@@ -115,11 +124,26 @@ object HierQuantizer {
     // driver-local by construction, so the old broadcast-join ×k1 +
     // sample-wide hash-agg Exchange is a pure function of (v, supers);
     // ordering ties identical to the min-struct it replaces
-    val supAssigned = Materialize(
-      subSample.select(
-        Similarity.nearestCellsCol(col("v"), supCentroids(supers), 1)
-          .getItem(0).as("sup"),
-        col("vec_id"), col("v")))
+    val supAssignedPlan = subSample.select(
+      Similarity.nearestCellsCol(col("v"), supCentroids(supers), 1)
+        .getItem(0).as("sup"),
+      col("vec_id"), col("v"))
+    // bounded samples (every driver SF; SubTrainCap bounds the rest up
+    // to LocalTrain.RowCap) collect once and run the sub-level Lloyd
+    // rounds driver-locally with bit-identical arithmetic
+    // ([[LocalTrain.lloydHier]], r18) — no per-round Materialize jobs,
+    // no per-round distributed pass over the sample; past the cap the
+    // distributed loop below keeps its exact previous plan
+    (if (forceDistributedSub) None else LocalTrain.collectHier(supAssignedPlan)) match {
+      case Some(rows) =>
+        val s0 = spark
+        import s0.implicits._
+        val trainedLocal =
+          LocalTrain.lloydHier(rows, k2, iters).toDF("sup", "scid", "cv")
+        return Model(supers, patchDeadSupers(supers, trainedLocal), k1, k2)
+      case None => ()
+    }
+    val supAssigned = Materialize(supAssignedPlan)
     // id-seeded per super-cell: first k2 sample vectors by vec_id. The
     // window runs over the bounded sample keyed by sup — fine at scale.
     val wSeed = Window.partitionBy(col("sup")).orderBy(col("vec_id"))

@@ -101,8 +101,34 @@ object ProductQuantizer {
   }
 
   /** Same, over an already-built (and ideally cached) sub-vector frame —
-    * lets [[adcTopK]] share one explode across train/encode/LUT. */
+    * lets [[adcTopK]] share one explode across train/encode/LUT.
+    *
+    * Bounded inputs (every driver SF; the FAISS train-on-sample
+    * discipline bounds the rest) collect once and iterate driver-
+    * locally with bit-identical arithmetic ([[LocalTrain]], r18 —
+    * same rationale as [[Similarity.trainCentroids]]); past
+    * [[LocalTrain.RowCap]] the distributed form keeps its exact
+    * previous plan. */
   private def trainFrom(spark: SparkSession, sub: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val s0 = spark
+    LocalTrain.collectPq(sub) match {
+      case Some(sample) =>
+        import s0.implicits._
+        LocalTrain.lloydPq(sample, k, iters).toDF("m", "cid", "cv")
+      case None => trainFromDistributed(spark, sub, k, iters)
+    }
+  }
+
+  /** Test seam: the public [[train]] geometry forced through the
+    * distributed Lloyd — LocalTrainSpec pins local == distributed. */
+  private[graft] def trainDistributedForTest(spark: SparkSession, vecs: DataFrame,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val sub = subVectors(vecs, m, subDim).cache()
+    try trainFromDistributed(spark, sub, k, iters) finally sub.unpersist()
+  }
+
+  private[similarity] def trainFromDistributed(spark: SparkSession, sub: DataFrame,
       k: Int, iters: Int): DataFrame = {
     val s = spark
     import s.implicits._

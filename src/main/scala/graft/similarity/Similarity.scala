@@ -775,7 +775,27 @@ object Similarity extends QueryPack {
     * partitioning or core count. A cluster that loses every member drops
     * out of the model (standard Lloyd behavior — nlist is an upper
     * bound). */
+  /** Entry point: the training frame is collected ONCE when it fits
+    * [[LocalTrain.RowCap]] (every registered path since the train-on-
+    * sample caps — at the driver's SFs the whole corpus fits) and the
+    * Lloyd iterations run driver-locally with bit-identical arithmetic
+    * ([[LocalTrain]], r18: the model was already driver-held between
+    * iterations; this removes the per-iteration distributed pass, at
+    * 100 TB the per-iteration re-derivation of the capped sample from
+    * the corpus). Past the cap the probe early-terminates and the
+    * distributed form below keeps its exact previous plan. */
   def trainCentroids(spark: SparkSession, all: DataFrame,
+      nlist: Int, iters: Int): DataFrame = {
+    val s0 = spark
+    LocalTrain.collectFlat(all) match {
+      case Some(sample) =>
+        import s0.implicits._
+        LocalTrain.lloydFlat(sample, nlist, iters).toDF("cid", "cv")
+      case None => trainCentroidsDistributed(spark, all, nlist, iters)
+    }
+  }
+
+  private[graft] def trainCentroidsDistributed(spark: SparkSession, all: DataFrame,
       nlist: Int, iters: Int): DataFrame = {
     val s = spark
     import s.implicits._
