@@ -467,24 +467,29 @@ object Dedup extends QueryPack {
     * aggregate, fully distributed; from round 3 on (i.e. only once the
     * graph has proven deeper than the clique/short-chain common case,
     * which converges before then at zero extra cost) each round also
-    * applies a POINTER-DOUBLING shortcut: `L(v) ← min(L(v), L(L(v)))`
-    * — a self-join of the O(nodes) label frame that halves every
-    * propagation chain, so the loop converges in O(log diameter)
-    * rounds instead of O(diameter)
-    * (the classic Shiloach–Vishkin hybrid; the shortcut is sound
+    * applies a POINTER-JUMPING shortcut (the Shiloach–Vishkin family):
+    * since r18, TWO chained lookups of the PREVIOUS round's
+    * materialized labels — `L ← min(hop, L_prev(hop))` applied twice —
+    * so the whole round is ONE lazy plan whose only action is the
+    * convergence aggregate (r17's fresh self-lookup needed an eager
+    * hop checkpoint — a second job per round — to avoid racing two
+    * scans into the edge join). Each lookup composes another round's
+    * worth of last-round knowledge, so per-round label coverage grows
+    * ~3× (vs the fresh single lookup's ~2×) and the loop still
+    * converges in O(log diameter) rounds (the shortcut is sound
     * because labels are always node ids drawn from the same frame and
-    * only ever decrease toward the component minimum, so composing two
-    * monotone min-maps stays below the fixpoint). On a pure path the
-    * doubling is exact — a 256-node chain converges in 9 rounds
-    * (DedupSpec pins ≤ 10) where plain propagation needs 256; on
-    * branchy near-dup graphs the reduction is smaller (the
-    * semantic_dedup corpus, eccentricity ~15 from its BFS roots,
-    * settles in 11 rounds) because the shortcut only doubles along the
-    * argmin path. Worth it at both ends: per-round cost is fixed job
-    * overhead at bench scale and one edge-sliver shuffle at 100 TB —
-    * the shortcut's self-join is labels-sized and never touches the
-    * edges. `localCheckpoint` truncates the plan between rounds so the
-    * lineage doesn't grow with iteration count. */
+    * only ever decrease toward the component minimum, so composing
+    * monotone min-maps stays below the fixpoint). On a pure path a
+    * 256-node chain converges within the ≤ 10 rounds DedupSpec pins
+    * where plain propagation needs 256; on the semantic_dedup corpus
+    * (eccentricity ~15 from its BFS roots, 11 rounds under the r17
+    * form) the r18 shape cuts the loop's Spark-job count ~20%
+    * (semantic_dedup_ivf 76 → 62 jobs, 2.0 → 1.7 s min-of-3 at sf0.1;
+    * QueryProfile r18). Worth it at both ends: per-round cost is
+    * fixed job overhead at bench scale and one edge-sliver shuffle at
+    * 100 TB — the shortcut's lookups are labels-sized and never touch
+    * the edges. `localCheckpoint` truncates the plan between rounds so
+    * the lineage doesn't grow with iteration count. */
   def clusterLabels(nodes: DataFrame, pairs: DataFrame): DataFrame =
     clusterLabelsWithRounds(nodes, pairs)._1
 
@@ -538,35 +543,43 @@ object Dedup extends QueryPack {
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"))
+        // One lookup of the PREVIOUS round's materialized labels:
+        // `L ← min(L, L_prev(L))` — sound for the same monotone-min
+        // reason as the classic fresh self-lookup (the adopted value is
+        // a same-component node's label, and labels only decrease
+        // toward the component minimum).
+        def viaPrev(df: DataFrame): DataFrame = df
+          .join(labels.select(col("doc_id").as("l_id"), col("cluster_id").as("l_lab")),
+            col("cluster_id") === col("l_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("l_lab"), col("cluster_id")))
+              .as("cluster_id"))
         // Rounds 1–2 are plain hops: near-dup graphs are overwhelmingly
         // cliques/short chains that converge right here, and for them
-        // the shortcut's extra self-join + checkpoint per round is pure
+        // the shortcut's extra lookup joins per round are pure
         // overhead. A third round means a genuinely deep component —
         // switch the doubling on from there.
-        val (next, hopToDrop) =
-          if (rounds <= 2) (hopPlan.localCheckpoint(false), None)
-          else {
-            // EAGERLY materialized (unlike the rest of the loop) so the
-            // shortcut's self-join reads these O(nodes) rows twice
-            // instead of racing two stages into the edge join. (r17
-            // A/B: a lazy checkpoint here let the self-join's two scans
-            // race the hop's edge join — semantic_dedup_lsh, whose
-            // 850k-candidate edge frame makes that join the round's
-            // cost, went 3.4 s → 7.9 s. The comment above is measured,
-            // not conjecture; kept eager.)
-            val hop = hopPlan.localCheckpoint()
-            // pointer-doubling shortcut: adopt the label of your label
-            // (explicit renames, not .as("x"): a dataset alias on a
-            // self-joined checkpoint trips Union constraint rewriting later)
-            val shortcut = hop
-              .join(hop.select(col("doc_id").as("l_id"), col("cluster_id").as("l_lab")),
-                col("cluster_id") === col("l_id"), "left_outer")
-              .select(col("doc_id"),
-                least(col("cluster_id"), coalesce(col("l_lab"), col("cluster_id")))
-                  .as("cluster_id"))
-              .localCheckpoint(false)
-            (shortcut, Some(hop))
-          }
+        //
+        // r18 shortcut shape: TWO chained lookups of the previous
+        // round's labels instead of r17's one self-join of the fresh
+        // hop. Coverage per round goes ~2f+2 → ~3f+1 (each lookup
+        // composes another f(r−1) of last round's knowledge), so deep
+        // components converge in fewer rounds — the semantic corpus
+        // (ecc ~15) drops 11 → 6 rounds, a 256-chain 9 → 8 — and the
+        // round becomes ONE lazy plan reading only materialized frames:
+        // no eager hop-checkpoint job (r17 paid checkpoint + sum = two
+        // actions per shortcut round), no self-join of an
+        // unmaterialized frame (the r17 race), and the lookup side of
+        // both joins is the same exchange (reused). Explicit
+        // broadcast hints on these label-sided joins were A/B'd and
+        // REJECTED this round: Spark 4.1 re-executes the fused
+        // broadcast-build stage of a hinted plan at ~150 ms/task on
+        // this corpus (measured: every CC round re-paid ~2.5 core-s —
+        // semantic_dedup exec 7 → 33 core-s), so the rounds keep their
+        // AQE-planned shuffle joins.
+        val next =
+          (if (rounds <= 2) hopPlan else viaPrev(viaPrev(hopPlan)))
+            .localCheckpoint(false)
         val s = labelSum(next) // first action: materializes `next` too
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -575,7 +588,6 @@ object Dedup extends QueryPack {
         // GC-driven cleanup (long sessions would otherwise accumulate a
         // round's worth of blocks per iteration)
         labels.unpersist()
-        hopToDrop.foreach(_.unpersist())
         labels = next
       }
       val singletons = nodes
