@@ -820,7 +820,17 @@ object Extended extends QueryPack {
     * naive a<b<c three-way self-join the DuckDB oracle runs yields the
     * identical per-node counts. */
   def graphTriangles(spark: SparkSession, d: String): DataFrame =
-    trianglesOf(coOccurHalf(spark, d))
+    // checkpoint the half frame ONCE (r18): trianglesOf consumes it in
+    // two separate ACTIONS (the degree checkpoint, then the oriented
+    // adjacency build) and Spark's exchange reuse does not cross jobs,
+    // so the un-materialized frame re-ran the whole corpus-side
+    // edge build per action (measured: two ~1.8 core-s scan+groupBy+
+    // explode chains in the stage profile). One write of the edge
+    // sliver replaces a corpus re-scan — at 100 TB the same trade,
+    // only bigger. kcore/pagerank/communities already materialize it
+    // exactly once via their own checkpoint/persist; they keep their
+    // plans.
+    trianglesOf(coOccurHalf(spark, d).localCheckpoint())
       .orderBy(col("triangles").desc, col("node")).limit(100)
 
   /** The orientation + adjacency-intersection pipeline over a `pa < pb`
@@ -924,7 +934,9 @@ object Extended extends QueryPack {
     * and dmax 1e4 that is 1e17, inside int64; corpora past that scale
     * the moments to DECIMAL(38,0) before the products. */
   def graphDegreeStats(spark: SparkSession, d: String): DataFrame =
-    degreeStatsOf(coOccurHalf(spark, d))
+    // same two-action double-build as graphTriangles (deg checkpoint +
+    // moment pass) — checkpoint once (r18)
+    degreeStatsOf(coOccurHalf(spark, d).localCheckpoint())
 
   private[graft] def degreeStatsOf(half: DataFrame,
       bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
@@ -1045,7 +1057,13 @@ object Extended extends QueryPack {
     var frontier = true
     while (r < rounds && frontier) {
       r += 1
-      val dead = deg.filter(col("dg") < lit(k)).select("n").localCheckpoint()
+      // LAZY (r18): the count right below is the first action and
+      // materializes the frontier; every later consumer (the two decr
+      // branches, the anti join) runs in the round's SECOND action and
+      // reads the blocks — consumers in strictly later actions cannot
+      // race a lazy checkpoint, so the eager form's separate
+      // materialization job per round bought nothing
+      val dead = deg.filter(col("dg") < lit(k)).select("n").localCheckpoint(false)
       val nDead = dead.count()
       frontier = nDead > 0
       def hinted(df: DataFrame): DataFrame =
@@ -1063,7 +1081,10 @@ object Extended extends QueryPack {
           .join(decr, Seq("n"), "left_outer")
           .select(col("n"),
             (col("dg") - coalesce(col("dec"), lit(0L))).as("dg"))
-          .localCheckpoint()
+          // LAZY (r18): the next round's frontier count (or the
+          // caller's terminal action on the last round) materializes
+          // it — same strictly-later-action argument as `dead` above
+          .localCheckpoint(false)
         deg.unpersist()
         dead.unpersist()
         deg = next
