@@ -501,9 +501,25 @@ object Dedup extends QueryPack {
     // would pay its final stages twice. The checkpointed pair set is tiny
     // (the near-dup sliver), the pipeline above it is not.
     val p = pairs.localCheckpoint()
+    // SELF-LOOPS folded into the static edge frame (r18, guide §2.4):
+    // with (n, n) rows for every edge-bearing node, each round's hop is
+    // `min(cluster_id over neighbors ∪ self)` in ONE edge-join +
+    // aggregate — algebraically identical to the old
+    // `least(self, coalesce(nbrMin, self))` but without the per-round
+    // left-outer join of the label frame against the vote aggregate
+    // (two exchanges of O(nodes) rows per round, and their AQE stage
+    // jobs, gone from every CC consumer: the dedup cluster family,
+    // split_by_cluster, entity_resolution, the semantic_dedup arms).
+    // LAZY: the convergence sum below is the first action and
+    // materializes it through the labels-init lineage; the edge cache
+    // (round 1's action) reads the blocks strictly later
+    val loops = p.select(col("doc_a").as("src"))
+      .union(p.select(col("doc_b").as("src"))).distinct()
+      .localCheckpoint(false)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(loops.select(col("src"), col("src").as("dst")))
       .cache()
     try {
       // propagate only over docs that have at least one edge — at corpus
@@ -514,7 +530,7 @@ object Dedup extends QueryPack {
       // both materializes the round's labels and reads the sum off
       // them — an eager checkpoint would pay a separate job per round
       // just to materialize
-      var labels = edges.select(col("src").as("doc_id")).distinct()
+      var labels = loops.select(col("src").as("doc_id"))
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint(false)
       // labels only ever decrease, so the exact decimal sum of all labels
@@ -534,15 +550,15 @@ object Dedup extends QueryPack {
       var rounds = 0
       while (!converged) {
         rounds += 1
-        val nbrMin = edges
+        // the self-loop rows make this aggregate the WHOLE hop: every
+        // node votes its own label alongside its neighbors', so the
+        // old `least(self, coalesce(nbrMin, self))` outer join is this
+        // min — same values, two fewer exchanges per round
+        val hopPlan = edges
           .join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src"))
-          .agg(min(col("cluster_id")).as("nbr_min"))
-        val hopPlan = labels
-          .join(nbrMin, col("doc_id") === col("src"), "left_outer")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+          .select(col("src").as("doc_id"), col("cluster_id"))
         // One lookup of the PREVIOUS round's materialized labels:
         // `L ← min(L, L_prev(L))` — sound for the same monotone-min
         // reason as the classic fresh self-lookup (the adopted value is

@@ -731,12 +731,19 @@ object Extended extends QueryPack {
 
   def fuzzyJoinOf(names: DataFrame): DataFrame = {
     val cand = fuzzyCandidatesOf(names)
+    // BOUNDED levenshtein (r18, guide §1.2 per-task work): the verify
+    // only ever needs "distance ≤ 1", and levenshtein(a, b, 1) runs the
+    // banded O(threshold·len) DP with a length-difference early exit
+    // instead of the full O(len²) table — returning -1 past the bound
+    // and the EXACT distance inside it, so the kept rows and their
+    // `dist` values are bit-identical to the unbounded form the DuckDB
+    // oracle still runs.
     cand
       .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
       .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }
 
@@ -1458,8 +1465,10 @@ object Extended extends QueryPack {
         col("nk").as("nk_a"), col("seg").as("seg_a")), "id_a")
       .join(records.select(col("id").as("id_b"), col("name").as("name_b"),
         col("nk").as("nk_b"), col("seg").as("seg_b")), "id_b")
+      // bounded levenshtein, same rows as the unbounded `≤ 1` (see
+      // fuzzyJoinOf): -1 past the bound, exact distance inside it
       .filter(col("nk_a") === col("nk_b") && col("seg_a") === col("seg_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1)
+        levenshtein(col("name_a"), col("name_b"), 1) >= 0)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val labels = graft.dedup.Dedup.clusterLabels(
       records.select(col("id").as("doc_id")), pairs)

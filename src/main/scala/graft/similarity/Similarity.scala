@@ -245,6 +245,19 @@ object Similarity extends QueryPack {
     * and cosine scoring must not replay 3× (r14-session-2 review). */
   private[graft] def bitextMarginTail(scoredIn: DataFrame): DataFrame =
     graft.operators.Staged.scoped(scoredIn) { scored =>
+      // MATERIALIZE the stage before the terminal action reads it
+      // (r18, guide §7.1 fetch-wait triage): the margin plan scans
+      // `scored` through THREE subtrees (both kNN-mean heaps + the
+      // margin join) inside ONE action, and a lazily-persisted frame
+      // serializes that action on the block-store lock — each cache
+      // partition is computed by whichever scan's task arrives first
+      // while the other scans' tasks BLOCK holding their task slots
+      // (measured on the mutual tail: TopK cut stages at 17.0 s
+      // runtime vs 3.7 s CPU). One count fills the cache cleanly; the
+      // cuts then read warm columnar blocks. At 100 TB the count is
+      // the same single pass over the shortlist the cache fill always
+      // paid — it just stops re-running/blocking it per consumer.
+      scored.count()
       graft.plans.TopKPerKey(bitextMargins(scored), Seq("src_id"),
         Seq(col("margin").desc, col("tgt_id").asc), k = 1)
         .filter(col("margin") > lit(BitextMargin))
@@ -302,7 +315,17 @@ object Similarity extends QueryPack {
     * scope (ADVICE r15: bare stage+releaseAfter leaked both persists
     * if construction threw). */
   private[graft] def bitextMutualTail(scoredIn: DataFrame): DataFrame =
-    graft.operators.Staged.scoped2(scoredIn)(bitextMargins) { (_, mar) =>
+    graft.operators.Staged.scoped2(scoredIn) { scored =>
+      // materialize each stage BEFORE anything scans it concurrently
+      // (r18; the bitextMarginTail scaladoc has the measured numbers):
+      // the margin frame reads `scored` through three subtrees and is
+      // itself read by both argmax cuts in the terminal action —
+      // lazily persisted, every one of those concurrent scans blocks
+      // on the block-store lock while one task computes the partition
+      scored.count()
+      bitextMargins(scored)
+    } { (_, mar) =>
+      mar.count()
       val bestPerSrc = graft.plans.TopKPerKey(mar, Seq("src_id"),
         Seq(col("margin").desc, col("tgt_id").asc), k = 1)
       val bestPerTgt = graft.plans.TopKPerKey(mar, Seq("tgt_id"),
