@@ -1453,14 +1453,24 @@ object TextAnalysis extends QueryPack {
   private def fuseCol(a: String, b: String): org.apache.spark.sql.Column = {
     val (pa, pb) = (lit(a), lit(b))
     val fused = lit(a + "@@" + b)
-    filter(
-      transform(col("t"), (x, i) =>
-        when(x === pa &&
-          try_element_at(col("t"), i + lit(2)) === pb, fused)
-        .when(element_at(col("t"), greatest(i, lit(1))) === pa &&
-          x === pb, lit(null: String))
-        .otherwise(x)),
-      x => x.isNotNull)
+    // containment guard (r18, guide §1.2 per-task work): a doc lacking
+    // either token fuses nothing and consumes nothing, so the rewrite
+    // is the identity — return the input array untouched instead of
+    // rebuilding it element-by-element through the two when-branches.
+    // Most docs fail the guard at most merges (fused tokens get rarer
+    // every round), and the two array_contains probes are tight
+    // equality scans vs the per-element branch chain. Value-identical
+    // by the identity argument, so every BPE query hashes unchanged.
+    when(array_contains(col("t"), pa) && array_contains(col("t"), pb),
+      filter(
+        transform(col("t"), (x, i) =>
+          when(x === pa &&
+            try_element_at(col("t"), i + lit(2)) === pb, fused)
+          .when(element_at(col("t"), greatest(i, lit(1))) === pa &&
+            x === pb, lit(null: String))
+          .otherwise(x)),
+        x => x.isNotNull))
+    .otherwise(col("t"))
   }
 
   /** [[bpeTrain]] with INCREMENTAL pair-count maintenance — the
@@ -1526,7 +1536,14 @@ object TextAnalysis extends QueryPack {
           // all-non-null boolean per element (coalesce absorbs the
           // try_element_at NULL past the end) so the flag and its
           // negation partition the corpus exactly
-          val hasPair = exists(
+          // containment prefilter (r18): the positional scan only runs
+          // on docs that contain BOTH tokens at all — two tight
+          // equality probes short-circuit the transform+exists array
+          // build for the (increasingly common, as merges rarify) docs
+          // that cannot match. exists ⊆ contains, so the flag is
+          // unchanged.
+          val hasPair = array_contains(col("t"), pa) &&
+            array_contains(col("t"), pb) && exists(
             transform(col("t"), (x, i) =>
               x === pa &&
                 coalesce(try_element_at(col("t"), i + lit(2)) === pb,
