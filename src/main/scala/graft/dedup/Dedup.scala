@@ -165,7 +165,14 @@ object Dedup extends QueryPack {
     // while checkpoint blocks are released when the plan is GC'd. The
     // cost is lineage truncation: on a real cluster an executor loss
     // re-runs the checkpointed stage instead of replaying lineage.
-    val sh = hashedShingles(docs).localCheckpoint()
+    // UNRESTRICTED inverted-index self-join → shingle layout declared
+    // at materialize (r18, KeyedStore scaladoc): the intersection join
+    // runs exchange-free and sort-free; one pinned exchange of the
+    // index replaces the join's two. The candidate-RESTRICTED callers
+    // below keep the plain checkpoint deliberately — there the join
+    // exchanges only the restricted sliver, and exchanging the whole
+    // index once to save two sliver exchanges inverts at scale.
+    val sh = graft.operators.KeyedStore.byKeys(hashedShingles(docs), "shingle")
     jaccardOf(sh, None)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
@@ -241,13 +248,19 @@ object Dedup extends QueryPack {
     // `array_distinct` before the explode — the first shuffle the plan
     // pays is the df-count aggregate over the already-selected
     // fingerprints. Same O(n·W) per-doc compute either way.
-    val fps = docs
+    // materialized ONCE, fp-layout declared (r18, KeyedStore scaladoc):
+    // un-stored, the rolling-hash + window-min selection pipeline ran
+    // THREE times (the df-count aggregate and both self-join sides)
+    // and the df-gate join + pair self-join each exchanged both scans
+    // by fp; now one pinned exchange at materialize and the gate join,
+    // the df aggregate and the pair join are all partition-local
+    val fps = graft.operators.KeyedStore.byKeys(docs
       .select(col("doc_id"), expr(
         s"transform(sequence(1, size(t) - ${WinnowK - 1}), " +
           s"i -> rolling_hash(concat_ws(' ', slice(t, i, $WinnowK))))").as("hs"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $WinnowW)))")))
-        .as("fp"))
+        .as("fp")), "fp")
     // MOSS common-fingerprint elimination: df > WinnowMaxDf ⇒
     // boilerplate, dropped before the join — bounds every bucket
     val kept = fps.join(
@@ -439,9 +452,13 @@ object Dedup extends QueryPack {
 
   def minhashLshRowOf(docs: DataFrame): DataFrame = {
     graft.functions.MinHashBandsRowExpr.register(docs.sparkSession)
-    val banded = docs.select(col("doc_id"),
-      posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey")))
-      .localCheckpoint()
+    // (band, bkey) layout declared at materialize (r18; was a plain
+    // localCheckpoint whose hidden layout made the candidate self-join
+    // exchange both scans)
+    val banded = graft.operators.KeyedStore.byKeys(
+      docs.select(col("doc_id"),
+        posexplode(expr("minhash_bands_row(text)")).as(Seq("band", "bkey"))),
+      "band", "bkey")
     val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -1583,7 +1600,9 @@ object Dedup extends QueryPack {
 
   /** Same over any (doc_id, text) frame. */
   def containmentOf(docs: DataFrame, t: Double = 0.9): DataFrame = {
-    val sh = hashedShingles(docs).localCheckpoint()
+    // unrestricted self-join — declared shingle layout, same argument
+    // as [[ngramJaccardOf]] (r18)
+    val sh = graft.operators.KeyedStore.byKeys(hashedShingles(docs), "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

@@ -716,13 +716,25 @@ object Extended extends QueryPack {
     * shuffle, ids + 8-byte keys only. */
   private[graft] def fuzzyCandidatesOf(names: DataFrame): DataFrame = {
     // r17 note: the ivfCandidatesAmong ids-only-repartition layout rule
-    // was A/B'd here and REJECTED — pre-partitioning the variants by id
-    // does make the pair distinct partition-local (shuffle records
-    // 1.2M → 0.49M), but AQE coalesces the skinny exchange to ~2
-    // partitions and the CPU-heavy collision emission + levenshtein
-    // verify then run nearly serial (wall 3.3 s → 5.9 s). The vh-keyed
-    // join exchange below is what spreads that work; kept as is.
-    val variants = fuzzyVariantsOf(names)
+    // was A/B'd here and REJECTED — pre-partitioning the variants by ID
+    // made the pair distinct partition-local but AQE coalesced the
+    // skinny exchange to ~2 partitions and the CPU-heavy collision
+    // emission + levenshtein verify ran nearly serial. r18 keeps that
+    // lesson and removes the waste differently: the variant frame was
+    // COMPUTED TWICE (once per self-join side) and exchanged twice by
+    // vh; it is now built once into a deserialized checkpoint whose
+    // vh-hash layout and in-partition vh order are DECLARED
+    // (checkpointHashPartitioned with a PINNED partition count — AQE
+    // cannot coalesce it to the serial layout the r17 A/B rejected),
+    // so the self-join runs exchange-free AND sort-free over N-way
+    // partitions.
+    val spark = names.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (variants, _) = org.apache.spark.sql.execution.graft.GraftPlanBridge
+      .checkpointHashPartitioned(
+        fuzzyVariantsOf(names)
+          .repartition(nParts, col("vh")).sortWithinPartitions("vh"),
+        Seq("vh"), sortedByKeys = true)
     variants.select(col("id").as("id_a"), col("vh"))
       .join(variants.select(col("id").as("id_b"), col("vh")), Seq("vh"))
       .filter(col("id_a") < col("id_b"))
@@ -1155,20 +1167,36 @@ object Extended extends QueryPack {
   private[graft] def lpaOf(half: DataFrame,
       rounds: Int = LpaRounds,
       bcastCap: Long = GraphBroadcastRowCap): DataFrame = {
-    val edges = half.select(col("pa").as("a"), col("pb").as("b"))
-      .union(half.select(col("pb").as("a"), col("pa").as("b")))
-      .repartition(col("a"))
-      // sorted by the PROBE key, not the partitioning key: each round's
-      // broadcast-hash probe then walks the label map in near-sorted
-      // order instead of randomly. Once |V| outgrows cache that's the
-      // round bottleneck — ScaleR8's A/B reads 33% off every vote round
-      // at 16× and 64× the bench graph (checksum-identical labels), for
-      // one partition-local sort paid once at materialize.
-      // HashPartitioning(a) survives the sort, so both vote
-      // aggregations stay partition-local (zero exchange, unchanged).
-      .sortWithinPartitions("b")
-      .persist()
-    edges.count() // materialize: every round reuses the one shuffle
+    // DESERIALIZED checkpoint with the partitioning DECLARED (r18):
+    // the r17 form persisted this frame (columnar cache) because a
+    // plain localCheckpoint drops the hash partitioning and every
+    // round would re-exchange the vote stream — but the columnar
+    // decode measured ~2× the whole round cost at sf0.1
+    // (graph_communities exec 56.6 core-s persisted vs 29.5 with
+    // deserialized blocks, where the latter paid THREE extra vote-
+    // stream shuffles: 39 → 117 MB written). checkpointHashPartitioned
+    // is the missing corner: UnsafeRow blocks AND a truthful
+    // HashPartitioning(a, N) on the LogicalRDD — N pinned explicitly
+    // (sessions' byte-derived shuffle count) so AQE cannot coalesce
+    // the layout the declaration promises. Both vote aggregations
+    // stay partition-local (zero exchange, the LpaSpec pin), and the
+    // rounds read cheap deserialized blocks.
+    val spark = half.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (edges, edgesRdd) = org.apache.spark.sql.execution.graft
+      .GraftPlanBridge.checkpointHashPartitioned(
+        half.select(col("pa").as("a"), col("pb").as("b"))
+          .union(half.select(col("pb").as("a"), col("pa").as("b")))
+          .repartition(nParts, col("a"))
+          // sorted by the PROBE key, not the partitioning key: each
+          // round's broadcast-hash probe then walks the label map in
+          // near-sorted order instead of randomly. Once |V| outgrows
+          // cache that's the round bottleneck — ScaleR8's A/B reads
+          // 33% off every vote round at 16× and 64× the bench graph
+          // (checksum-identical labels), for one partition-local sort
+          // paid once at materialize.
+          .sortWithinPartitions("b"),
+        Seq("a"))
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -1189,8 +1217,9 @@ object Extended extends QueryPack {
       labels = next
     }
     // community sizes run on the final O(nodes) label frame; the
-    // eager label checkpoints make dropping the edge cache safe here
-    edges.unpersist()
+    // eager label checkpoints make dropping the edge blocks safe here
+    // (the RDD handle, not Dataset.unpersist — a no-op on checkpoints)
+    edgesRdd.unpersist(blocking = false)
     if (!bcast) edgesJoin.unpersist()
     sizesOf(labels, bcast)
   }

@@ -1670,8 +1670,12 @@ object Similarity extends QueryPack {
     VectorFunctions.register(spark)
     val fname = s"lsh_buckets_${tables}_$bits"
     graft.functions.LshBucketKeysExpr.register(spark, fname, planesFor(tables, bits), bits)
-    val base = vectors
-      .select(col("vec_id"), posexplode(expr(s"$fname(v)")).as(Seq("tbl", "bucket")))
+    // bucket frame materialized ONCE with its (tbl, bucket) layout
+    // declared (r18, KeyedStore scaladoc): the LSH key expression ran
+    // once per self-join side and the join exchanged both scans
+    val base = graft.operators.KeyedStore.byKeys(vectors
+      .select(col("vec_id"), posexplode(expr(s"$fname(v)")).as(Seq("tbl", "bucket"))),
+      "tbl", "bucket")
     base.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(base.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

@@ -205,4 +205,53 @@ object GraftPlanBridge {
     * filter sketch pair). */
   def column(e: Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** `localCheckpoint()` that KEEPS a hash partitioning visible to the
+    * planner (r18). `Dataset.localCheckpoint` under AQE builds its
+    * `LogicalRDD` with unknown partitioning, so a loop that re-joins /
+    * re-aggregates the checkpointed frame on the very key it was just
+    * partitioned by pays a fresh exchange per round; `persist()` keeps
+    * the partitioning but stores compressed COLUMNAR batches, whose
+    * per-scan decode measured 2–7× the cost of iterating deserialized
+    * UnsafeRows on loop-rescanned long-pair frames (the r18 kcore /
+    * LPA A/Bs). This helper takes the third corner: deserialized
+    * blocks + a DECLARED `HashPartitioning(keys, N)`.
+    *
+    * The declaration must be TRUE, so the contract is strict: `df`'s
+    * physical plan must end in `repartition(N, keys…)` with an
+    * EXPLICIT N (AQE never coalesces a user repartition with a pinned
+    * count, and Spark's `RepartitionByExpression` uses exactly the
+    * `HashPartitioning` declared here), optionally followed by
+    * narrow, partitioning-preserving ops (`sortWithinPartitions`,
+    * projections). `keys` are resolved against `df`'s output by name.
+    *
+    * Returns the checkpointed frame plus the backing RDD — callers
+    * unpersist the RDD when the loop ends (Dataset.unpersist is a
+    * no-op on checkpoint blocks). */
+  def checkpointHashPartitioned(df0: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], sortedByKeys: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, RDD[InternalRow]) = {
+    val df = df0.asInstanceOf[DataFrame]
+    val spark = df.sparkSession
+    val qe = df.queryExecution
+    // toRdd reuses row buffers per partition — copy, as Dataset.checkpoint does
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize now: loop rounds must read blocks, not race
+    val attrs = qe.analyzed.output
+    val keyAttrs = keys.map(k => attrs.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(
+        s"checkpointHashPartitioned: no column '$k' in ${attrs.map(_.name)}")))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      keyAttrs, rdd.getNumPartitions)
+    // declared only when the caller ALSO ran sortWithinPartitions on
+    // exactly `keys` (ascending, nulls first — the defaults both
+    // sides use): a sort-merge self-join then skips its per-partition
+    // sorts as well as its exchanges
+    val ordering =
+      if (sortedByKeys) keyAttrs.map(a => SortOrder(a, Ascending)) else Nil
+    (Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rdd, part,
+        ordering)(spark)), rdd)
+  }
 }
