@@ -1658,7 +1658,12 @@ object Dedup extends QueryPack {
     * check (no SQL oracle); the exact-verified form with a hash-matched
     * oracle is [[simhashVerified]]. */
   def simhashPairs(spark: SparkSession, d: String): DataFrame = {
-    val banded = simhashBanded(simhashFingerprints(Tables.documents(spark, d)), 4)
+    // materialized ONCE with the (band, bkey) layout declared (r18,
+    // KeyedStore scaladoc): the fingerprint aggregate + banding ran
+    // once per self-join side and the join exchanged both scans
+    val banded = graft.operators.KeyedStore.byKeys(
+      simhashBanded(simhashFingerprints(Tables.documents(spark, d)), 4),
+      "band", "bkey")
     banded.select(col("doc_id").as("doc_a"), col("simhash").as("fa"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"), col("band"), col("bkey")),
         Seq("band", "bkey"))
